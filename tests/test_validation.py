@@ -1,0 +1,289 @@
+"""Integration semantics mirroring reference tests/test_validation.py:452-711.
+
+Each test reproduces one of the reference's exact difference-set
+assertions against the Spark engine (micro-fixtures F5 in FIXTURES.md).
+"""
+
+import pytest
+
+from datatest_spark import (
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    ValidationError,
+    valid,
+    validate,
+)
+from tests.conftest import df_from
+
+
+def get_differences(excinfo):
+    return excinfo.value.differences
+
+
+class TestSetMembership:
+    """reference test_validation.py:629-635"""
+
+    def test_missing_and_extra(self, spark):
+        df = df_from(spark, [1, 2, 3, 5])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {1, 2, 3, 4}, column="value")
+        diffs = get_differences(exc)
+        assert sorted(diffs, key=repr) == [Extra(5), Missing(4)]
+
+    def test_passing_set(self, spark):
+        df = df_from(spark, [1, 2, 3])
+        assert valid(df, {1, 2, 3}, column="value")
+
+    def test_duplicate_extras_deduped(self, spark):
+        # reference RequiredSet dedupes extras (requirements.py:541-544)
+        df = df_from(spark, [1, 2, 5, 5, 5])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {1, 2}, column="value")
+        assert get_differences(exc) == [Extra(5)]
+
+    def test_string_set(self, spark):
+        df = df_from(spark, ["a", "b", "x"])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"a", "b", "c"}, column="value")
+        assert sorted(get_differences(exc), key=repr) == [Extra("x"), Missing("c")]
+
+
+class TestSubsetSuperset:
+    def test_subset_violation(self, spark):
+        df = df_from(spark, [1, 2, 3, 5])
+        with pytest.raises(ValidationError) as exc:
+            validate.subset(df, {1, 2, 3, 4}, column="value")
+        assert get_differences(exc) == [Extra(5)]
+
+    def test_subset_pass(self, spark):
+        df = df_from(spark, [1, 2])
+        res = validate.subset(df, {1, 2, 3}, column="value")
+        assert res.ok
+
+    def test_superset_violation(self, spark):
+        df = df_from(spark, [1, 2, 3])
+        with pytest.raises(ValidationError) as exc:
+            validate.superset(df, {1, 2, 3, 4}, column="value")
+        assert get_differences(exc) == [Missing(4)]
+
+    def test_superset_pass(self, spark):
+        df = df_from(spark, [1, 2, 3, 4, 5])
+        res = validate.superset(df, {1, 2, 3}, column="value")
+        assert res.ok
+
+
+class TestUnique:
+    """reference test_validation.py:679-686"""
+
+    def test_duplicates(self, spark):
+        df = df_from(spark, [1, 2, 3, 3])
+        with pytest.raises(ValidationError) as exc:
+            validate.unique(df, columns=["value"])
+        assert get_differences(exc) == [Extra(3)]
+
+    def test_multiplicity(self, spark):
+        # one Extra per duplicate occurrence (requirements.py:627-634)
+        df = df_from(spark, [1, 3, 3, 3])
+        with pytest.raises(ValidationError) as exc:
+            validate.unique(df, columns=["value"])
+        assert get_differences(exc) == [Extra(3), Extra(3)]
+
+    def test_unique_pass(self, spark):
+        df = df_from(spark, [1, 2, 3])
+        assert validate.unique(df, columns=["value"], raise_on_failure=False).ok
+
+
+class TestInterval:
+    """reference test_validation.py:607-622"""
+
+    def test_grouped_interval(self, spark):
+        data = {"A": 3, "B": 6, "C": [6, 7], "D": [9, 10]}
+        df = df_from(spark, data).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(df, min=5, max=9, column="value", key="key")
+        diffs = get_differences(exc)
+        assert diffs == {"A": Deviation(-2, 5), "D": Deviation(+1, 9)}
+
+    def test_ungrouped_interval(self, spark):
+        df = df_from(spark, [4, 5, 6, 10])
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(df, min=5, max=9, column="value")
+        assert set(get_differences(exc)) == {Deviation(-1, 5), Deviation(+1, 9)}
+
+    def test_left_bounded_only(self, spark):
+        df = df_from(spark, [4, 5, 6])
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(df, min=5, column="value")
+        assert get_differences(exc) == [Deviation(-1, 5)]
+
+    def test_null_is_invalid(self, spark):
+        df = df_from(spark, [5, None])
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(df, min=5, max=9, column="value")
+        assert get_differences(exc) == [Invalid(None)]
+
+
+class TestApprox:
+    """reference test_validation.py:573-592"""
+
+    def test_grouped_approx(self, spark):
+        df = df_from(spark, {"A": 3, "B": 10.00000001}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate.approx(df, {"A": 5, "B": 10}, column="value", key="key")
+        assert get_differences(exc) == {"A": Deviation(-2, 5)}
+
+    def test_scalar_approx_pass(self, spark):
+        df = df_from(spark, [10.00000001, 10.0])
+        assert validate.approx(df, 10, column="value", raise_on_failure=False).ok
+
+    def test_delta(self, spark):
+        df = df_from(spark, [10.5, 12.0])
+        with pytest.raises(ValidationError) as exc:
+            validate.approx(df, 10, delta=1, column="value")
+        assert get_differences(exc) == [Deviation(2, 10)]
+
+
+class TestRegex:
+    """reference test_validation.py:557-571"""
+
+    def test_regex_violations(self, spark):
+        df = df_from(spark, ["Alpha", "Beta", "gamma"])
+        with pytest.raises(ValidationError) as exc:
+            validate.regex(df, "^[A-Z]", column="value")
+        assert get_differences(exc) == [Invalid("gamma")]
+
+    def test_regex_search_not_fullmatch(self, spark):
+        # reference uses re.search semantics (predicate.py:80-86)
+        df = df_from(spark, ["xAy"])
+        assert validate.regex(df, "A", column="value", raise_on_failure=False).ok
+
+
+class TestFuzzy:
+    """reference test_validation.py:594-605"""
+
+    def test_grouped_fuzzy(self, spark):
+        df = df_from(spark, {"A": "axx", "B": "bbx"}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate.fuzzy(df, {"A": "aaa", "B": "bbb"}, cutoff=0.6,
+                           column="value", key="key")
+        assert get_differences(exc) == {"A": Invalid("axx", "aaa")}
+
+    def test_fuzzy_scalar(self, spark):
+        df = df_from(spark, ["bbx", "zzz"])
+        with pytest.raises(ValidationError) as exc:
+            validate.fuzzy(df, "bbb", cutoff=0.6, column="value")
+        assert get_differences(exc) == [Invalid("zzz", "bbb")]
+
+
+class TestOrder:
+    """reference test_validation.py:688-711"""
+
+    def test_order_diffs(self, spark):
+        df = df_from(spark, ["A", "C", "D", "F"])
+        with pytest.raises(ValidationError) as exc:
+            validate.order(df, ["A", "B", "C", "D"], column="value", order_by="pos")
+        diffs = get_differences(exc)
+        assert sorted(diffs, key=repr) == [Extra("(3, F)"), Missing("(1, B)")]
+
+    def test_order_pass(self, spark):
+        df = df_from(spark, ["A", "B", "C"])
+        res = validate.order(df, ["A", "B", "C"], column="value",
+                             order_by="pos", raise_on_failure=False)
+        assert res.ok
+
+
+class TestSequence:
+    """reference requirements.py:712-758 (zip_longest semantics)"""
+
+    def test_sequence_positional(self, spark):
+        df = df_from(spark, [1, 2, 9])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, [1, 2, 3, 4], column="value", order_by="pos")
+        diffs = get_differences(exc)
+        assert Deviation(6, 3) in diffs  # index 2: 9 vs 3
+        assert Missing(4) in diffs  # index 3: data exhausted
+
+    def test_sequence_extra(self, spark):
+        df = df_from(spark, [1, 2, 3])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, [1, 2], column="value", order_by="pos")
+        assert get_differences(exc) == [Extra(3)]
+
+
+class TestPredicate:
+    """reference test_validation.py:452-555"""
+
+    def test_scalar_numeric_deviation(self, spark):
+        df = df_from(spark, [5, 7])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, 5, column="value")
+        assert get_differences(exc) == [Deviation(2, 5)]
+
+    def test_string_equality(self, spark):
+        df = df_from(spark, ["foo", "bar"])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, "foo", column="value")
+        assert get_differences(exc) == [Invalid("bar")]
+
+    def test_callable_predicate(self, spark):
+        df = df_from(spark, [2, 4, 5])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, lambda x: x % 2 == 0, column="value")
+        assert get_differences(exc) == [Invalid(5)]
+
+    def test_type_predicate(self, spark):
+        df = df_from(spark, [1.0, 2.5])
+        assert valid(df, float, column="value")
+
+    def test_grouped_predicate_mapping(self, spark):
+        df = df_from(spark, {"A": "x", "B": "y"}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": "x", "B": "z"}, key="key")
+        assert get_differences(exc) == {"B": Invalid("y", "z")}
+
+    def test_mapping_numeric_deviation(self, spark):
+        df = df_from(spark, {"A": 100, "B": 200}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": 100, "B": 290}, key="key")
+        assert get_differences(exc) == {"B": Deviation(-90, 290)}
+
+    def test_mapping_missing_key(self, spark):
+        df = df_from(spark, {"A": 1}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": 1, "B": 2}, key="key")
+        assert get_differences(exc) == {"B": Missing(2)}
+
+    def test_mapping_extra_key(self, spark):
+        # data key not in requirement → Extra(value) (requirements.py:821-830)
+        df = df_from(spark, {"A": 1, "B": 2}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": 1}, key="key")
+        assert get_differences(exc) == {"B": Extra(2)}
+
+    def test_mapping_set_value(self, spark):
+        df = df_from(spark, {"A": [1, 2, 3], "B": [1, 2]}).drop("pos")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": {1, 2}, "B": {1, 2}}, key="key")
+        assert get_differences(exc) == {"A": Extra(3)}
+
+
+class TestValidFunction:
+    def test_valid_true(self, spark):
+        df = df_from(spark, [1, 2, 3])
+        assert valid(df, {1, 2, 3}, column="value") is True
+
+    def test_valid_false(self, spark):
+        df = df_from(spark, [1, 2, 9])
+        assert valid(df, {1, 2, 3}, column="value") is False
+
+
+class TestErrorRendering:
+    def test_sorted_and_truncated(self, spark):
+        df = df_from(spark, list(range(30)))
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {-1}, column="value")
+        msg = str(exc.value)
+        assert "difference" in msg
+        assert "more" in msg  # truncation marker
