@@ -115,6 +115,20 @@ class Rule:
     def plan(self, ctx: ValidationContext) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def fingerprint(self) -> str:
+        """Stable identity incl. parameters (checkpoint invalidation)."""
+        parts = [type(self).__name__, self.rule_id]
+        for k in sorted(vars(self)):
+            v = vars(self)[k]
+            if isinstance(v, (str, int, float, bool, type(None))):
+                parts.append(f"{k}={v!r}")
+            elif isinstance(v, (set, frozenset, list, tuple)):
+                try:
+                    parts.append(f"{k}={sorted(map(repr, v))}")
+                except TypeError:
+                    parts.append(f"{k}=<coll:{len(v)}>")
+        return "|".join(parts)
+
 
 def _is_number(x: Any) -> bool:
     return isinstance(x, Number) and not isinstance(x, bool)
@@ -1136,3 +1150,88 @@ class MappingRule(Rule):
 
 def mapping(key, requirement, rule_id=None, order_by=None):
     return MappingRule(key, requirement, rule_id, order_by)
+
+
+class RefMatchRule(Rule):
+    """Per-key equality (or fuzzy match) against a reference table —
+    the distributed form of the reference's mapping-requirement checks
+    (requirements.py:801-874) when the requirement itself is a table:
+    e.g. transcript equality vs a manifest of reference transcripts.
+
+    Spark plan: equi-join on the key (broadcast if ``broadcast_hint``,
+    else sort-merge with AQE skew handling) + one comparison projection.
+    ``fuzzy_cutoff`` adds the Ratcliff–Obershelp pandas-UDF stage ONLY
+    for rows that fail exact equality (JVM-side short-circuit).
+    """
+
+    kind = "plan"
+
+    def __init__(self, column: str, ref: DataFrame, on: str,
+                 ref_column: str, fuzzy_cutoff: Optional[float] = None,
+                 missing_ref_ok: bool = True, rule_id: Optional[str] = None,
+                 broadcast_hint: bool = False):
+        super().__init__(rule_id or f"ref_match:{column}")
+        self.column = column
+        self.ref = ref
+        self.on = on
+        self.ref_column = ref_column
+        self.fuzzy_cutoff = fuzzy_cutoff
+        self.missing_ref_ok = missing_ref_ok
+        self.broadcast_hint = broadcast_hint
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        df = ctx.df.select(
+            F.col(self.on).alias("_on"),
+            F.col(self.column).alias("_actual"),
+        )
+        ref = self.ref.select(
+            F.col(self.on).alias("_on"),
+            F.col(self.ref_column).alias("_expected"),
+        )
+        if self.broadcast_hint:
+            ref = F.broadcast(ref)
+        j = df.join(ref, "_on", "left_outer")
+
+        exact = F.col("_actual").eqNullSafe(F.col("_expected"))
+        if self.fuzzy_cutoff is not None:
+            cutoff = self.fuzzy_cutoff
+
+            @F.pandas_udf(T.BooleanType())
+            def fuzzy_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+                import difflib
+
+                out = []
+                for x, y in zip(a, b):
+                    try:
+                        out.append(
+                            difflib.SequenceMatcher(a=y, b=x).ratio() >= cutoff
+                        )
+                    except TypeError:
+                        out.append(False)
+                return pd.Series(out, dtype="boolean")
+
+            passed = exact | F.coalesce(
+                fuzzy_ok(F.col("_actual"), F.col("_expected")), F.lit(False)
+            )
+        else:
+            passed = exact
+
+        if self.missing_ref_ok:
+            passed = passed | F.col("_expected").isNull()
+
+        return j.filter(~F.coalesce(passed, F.lit(False))).select(
+            finalize_cols(
+                self.rule_id,
+                INVALID,
+                key=repr_col(F.col("_on")),
+                column=self.column,
+                invalid=repr_col(F.col("_actual")),
+                expected=repr_col(F.col("_expected")),
+            )
+        )
+
+
+def ref_match(column, ref, on, ref_column, fuzzy_cutoff=None,
+              missing_ref_ok=True, rule_id=None, broadcast_hint=False):
+    return RefMatchRule(column, ref, on, ref_column, fuzzy_cutoff,
+                        missing_ref_ok, rule_id, broadcast_hint)

@@ -1,0 +1,275 @@
+"""Per-column statistics, sketches, and distribution-drift checks.
+
+The reference computes only exact single-machine aggregates (squint
+query.py:417-533).  At 10^12-row scale the per-column profile must be
+one columnar pass with sketch aggregates (north_star):
+
+* count / null-rate            — ``F.count`` + null-sum
+* min / max / mean / stddev    — exact aggregates
+* distinct                     — HyperLogLog++ (``approx_count_distinct``)
+* quantiles                    — Greenwald-Khanna (``percentile_approx``)
+
+ALL columns profile in a SINGLE ``df.agg(*exprs)`` — mirroring how the
+reference evaluates many requirements over one dataset, but columnar.
+
+Drift: the current profile's quantile grid / histogram is compared to a
+baseline sketch table (FIXTURES.md F3) with KS and PSI statistics.  PSI
+uses fixed bucket edges taken from the *baseline* quantiles (the
+standard population-stability construction), computed distributedly via
+``width_bucket`` + one groupBy; KS compares quantile grids driver-side
+(grids are tiny).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .requirements import Rule, ValidationContext, finalize_cols
+from .schema import DEVIATION
+
+__all__ = [
+    "profile",
+    "profile_long",
+    "quantile_sketch",
+    "psi",
+    "ks_statistic",
+    "DriftPSIRule",
+    "drift_psi",
+]
+
+_Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
+
+
+def _profile_exprs(df: DataFrame, column: str, accuracy: int) -> List[Column]:
+    c = F.col(column)
+    dtype = dict(df.dtypes)[column]
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    exprs = [
+        F.count(F.lit(1)).alias(f"{column}__rows"),
+        F.count(c).alias(f"{column}__count"),
+        F.sum(c.isNull().cast("long")).alias(f"{column}__nulls"),
+        F.approx_count_distinct(c).alias(f"{column}__distinct"),
+        F.min(c).cast("string").alias(f"{column}__min"),
+        F.max(c).cast("string").alias(f"{column}__max"),
+    ]
+    if numeric:
+        exprs += [
+            F.avg(c.cast("double")).alias(f"{column}__mean"),
+            F.stddev(c.cast("double")).alias(f"{column}__stddev"),
+            F.percentile_approx(
+                c.cast("double"), _Q_GRID, accuracy
+            ).alias(f"{column}__quantiles"),
+        ]
+    else:
+        exprs += [
+            F.lit(None).cast("double").alias(f"{column}__mean"),
+            F.lit(None).cast("double").alias(f"{column}__stddev"),
+            F.lit(None).cast("array<double>").alias(f"{column}__quantiles"),
+        ]
+    return exprs
+
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("non_null", T.LongType(), True),
+        T.StructField("null_count", T.LongType(), True),
+        T.StructField("null_rate", T.DoubleType(), True),
+        T.StructField("approx_distinct", T.LongType(), True),
+        T.StructField("min_value", T.StringType(), True),
+        T.StructField("max_value", T.StringType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("stddev", T.DoubleType(), True),
+        T.StructField("quantiles", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
+            accuracy: int = 10_000) -> DataFrame:
+    """One-pass profile of every (requested) column → long-format rows.
+
+    The wide agg row is reshaped with a single ``stack``-style select,
+    so the whole profile is exactly one Spark job over one scan.
+    """
+    columns = list(columns or [c for c, t in df.dtypes if t != "binary"])
+    exprs = []
+    for c in columns:
+        exprs.extend(_profile_exprs(df, c, accuracy))
+    wide = df.agg(*exprs)
+
+    structs = []
+    for c in columns:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("row_count"),
+                F.col(f"{c}__count").alias("non_null"),
+                F.col(f"{c}__nulls").alias("null_count"),
+                (F.col(f"{c}__nulls") / F.col(f"{c}__rows")).alias("null_rate"),
+                F.col(f"{c}__distinct").alias("approx_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__stddev").alias("stddev"),
+                F.col(f"{c}__quantiles").alias("quantiles"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_long(df: DataFrame, **kw) -> DataFrame:
+    return profile(df, **kw)
+
+
+def quantile_sketch(df: DataFrame, column: str, accuracy: int = 10_000) -> List[float]:
+    row = df.agg(
+        F.percentile_approx(F.col(column).cast("double"), _Q_GRID, accuracy).alias("q")
+    ).first()
+    return list(row["q"]) if row["q"] else []
+
+
+# ---------------------------------------------------------------------------
+# Drift statistics
+# ---------------------------------------------------------------------------
+
+
+def psi(current_props: Sequence[float], baseline_props: Sequence[float],
+        eps: float = 1e-6) -> float:
+    """Population Stability Index over aligned bucket proportions."""
+    total = 0.0
+    for p, q in zip(current_props, baseline_props):
+        p = max(p, eps)
+        q = max(q, eps)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def ks_statistic(q_a: Sequence[float], q_b: Sequence[float]) -> float:
+    """Two-sample KS statistic approximated from equal-probability
+    quantile grids: for each value in either grid, compare implied CDFs.
+
+    Both grids map grid-position → value at cumulative probability
+    i/(len-1); the KS statistic is the max CDF gap over the merged
+    value domain (linear interpolation between grid points).
+    """
+    if not q_a or not q_b:
+        return float("nan")
+
+    def cdf(grid: Sequence[float], x: float) -> float:
+        n = len(grid) - 1
+        if x < grid[0]:
+            return 0.0
+        if x >= grid[-1]:
+            return 1.0
+        # binary search for the bracketing segment
+        lo, hi = 0, n
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if grid[mid] <= x:
+                lo = mid
+            else:
+                hi = mid
+        v0, v1 = grid[lo], grid[lo + 1]
+        frac = 0.0 if v1 == v0 else (x - v0) / (v1 - v0)
+        return (lo + frac) / n
+
+    points = sorted(set(list(q_a) + list(q_b)))
+    return max(abs(cdf(q_a, x) - cdf(q_b, x)) for x in points)
+
+
+class DriftPSIRule(Rule):
+    """Distribution drift vs a baseline quantile sketch.
+
+    Buckets the column by the baseline's quantile edges (distributed:
+    ``width_bucket`` + one groupBy — partial aggregation map-side),
+    computes PSI against the uniform baseline proportions, and emits one
+    DEVIATION violation if PSI exceeds ``threshold``.
+
+    At 10^12 rows this is one shuffle of ~n_buckets rows per partition.
+    """
+
+    kind = "plan"
+
+    def __init__(self, column: str, baseline_quantiles: Sequence[float],
+                 threshold: float = 0.2, rule_id: Optional[str] = None):
+        super().__init__(rule_id or f"drift_psi:{column}")
+        self.column = column
+        self.baseline_q = list(baseline_quantiles)
+        self.threshold = threshold
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        # dedupe edges (flat regions in the baseline collapse buckets)
+        edges = sorted(set(self.baseline_q[1:-1]))
+        n_buckets = len(edges) + 1
+        if n_buckets < 2:
+            return ctx.spark.createDataFrame([], "x string").select(
+                finalize_cols(self.rule_id, DEVIATION)
+            ).limit(0)
+
+        # baseline proportion per collapsed bucket: each original grid
+        # segment carries 1/(len-1) mass; merge segments sharing an edge
+        seg_mass = 1.0 / (len(self.baseline_q) - 1)
+        props = []
+        seg_idx = 0
+        for b in range(n_buckets):
+            upper = edges[b] if b < len(edges) else None
+            mass = 0.0
+            while seg_idx < len(self.baseline_q) - 1 and (
+                upper is None or self.baseline_q[seg_idx + 1] <= upper
+            ):
+                mass += seg_mass
+                seg_idx += 1
+            props.append(mass)
+
+        c = F.col(self.column).cast("double")
+        # bucket index = number of edges below the value (codegen'd
+        # comparison chain — no UDF, no second scan)
+        bucket = sum((c > F.lit(e)).cast("int") for e in edges)
+
+        counts = (
+            ctx.df.select(bucket.alias("_b"))
+            .where(c.isNotNull())
+            .groupBy("_b")
+            .count()
+        )
+        # PSI itself runs driver-side over the tiny bucket vector
+        # (n_buckets values) — the heavy lifting was the one groupBy
+        row = counts.collect()
+        got = {r["_b"]: r["count"] for r in row}
+        n = sum(got.values()) or 1
+        current = [got.get(b, 0) / n for b in range(n_buckets)]
+        value = psi(current, props)
+
+        if value <= self.threshold:
+            from .schema import empty_violations
+
+            return empty_violations(ctx.spark)
+        return ctx.spark.createDataFrame(
+            [
+                (
+                    self.rule_id,
+                    None,
+                    self.column,
+                    DEVIATION,
+                    f"{value:.6f}",
+                    f"psi<={self.threshold}",
+                    float(value - self.threshold),
+                    float(self.threshold),
+                    None,
+                )
+            ],
+            "rule_id string, key string, column string, diff_type string, "
+            "invalid string, expected string, deviation double, "
+            "expected_num double, partition_id string",
+        )
+
+
+def drift_psi(column, baseline_quantiles, threshold=0.2, rule_id=None):
+    return DriftPSIRule(column, baseline_quantiles, threshold, rule_id)

@@ -1,0 +1,121 @@
+"""The flagship constraint suite over the audio+transcript table.
+
+This is the "full constraint-suite pass" that BASELINE.json's metric
+(validated clips/sec) measures: every north_star rule family exercised
+over the input_hint shape in a minimal number of Spark jobs:
+
+  1. one fused row-rule projection (interval checks on sr_hz/dur_ms,
+     codec regex)                                    — 1 scan
+  2. one decode pass (all audio consistency rules)   — 1 scan (Arrow)
+  3. uniqueness of clip_id                           — 1 shuffle (agg)
+  4. codec set membership                            — reuses the agg path
+  5. referential: clip_id ⊆ manifest                 — sort-merge anti-join
+  6. transcript equality vs reference (+fuzzy)       — sort-merge join
+  7. per-column profile + PSI drift                  — 1 agg pass
+
+All fragments union into one violation DataFrame; per-partition
+verdicts aggregate from it.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import requirements as R
+from .audio import AudioConsistencyRule
+from .requirements import Rule
+from .validation import Engine, ValidationResult
+
+__all__ = ["audio_rules", "validate_audio_table", "verdicts"]
+
+ALLOWED_CODECS = {"pcm_s16le", "flac", "opus"}
+ALLOWED_SRS = {8000, 16000, 22050, 44100, 48000}
+
+
+def audio_rules(
+    manifest: Optional[DataFrame] = None,
+    check_snr: bool = False,
+    fuzzy_cutoff: Optional[float] = None,
+    dur_tol_ms: int = 50,
+) -> List[Rule]:
+    """The full audio constraint suite (north_star rule families)."""
+    rules: List[Rule] = [
+        # row rules — fused into ONE projection by the engine
+        R.interval("sr_hz", 8000, 48000, rule_id="interval:sr_hz"),
+        R.interval("dur_ms", 1, 120_000, rule_id="interval:dur_ms"),
+        R.predicate("sr_hz", ALLOWED_SRS, rule_id="sr_hz:allowed"),
+        R.regex("clip_id", r"^clip-\d{12}$", rule_id="regex:clip_id"),
+        # plan rules
+        R.unique("clip_id", rule_id="unique:clip_id"),
+        R.subset("codec", ALLOWED_CODECS, rule_id="subset:codec"),
+        # decode pass: decodability + sr/dur/codec consistency (+SNR)
+        AudioConsistencyRule(dur_tol_ms=dur_tol_ms, check_snr=check_snr),
+    ]
+    if manifest is not None:
+        rules.append(
+            R.subset(
+                "clip_id",
+                manifest.select("clip_id"),
+                rule_id="subset:clip_id_manifest",
+            )
+        )
+        ref_col = (
+            "transcript_ref"
+            if "transcript_ref" in manifest.columns
+            else manifest.columns[-1]
+        )
+        rules.append(
+            R.ref_match(
+                "transcript",
+                manifest,
+                on="clip_id",
+                ref_column=ref_col,
+                fuzzy_cutoff=fuzzy_cutoff,
+                rule_id="ref_match:transcript",
+            )
+        )
+    return rules
+
+
+def validate_audio_table(
+    df: DataFrame,
+    manifest: Optional[DataFrame] = None,
+    check_snr: bool = False,
+    fuzzy_cutoff: Optional[float] = None,
+    partition_col: Optional[str] = "part_id",
+) -> ValidationResult:
+    part = partition_col if partition_col in df.columns else None
+    engine = Engine(df.sparkSession)
+    return engine.validate(
+        df,
+        audio_rules(manifest=manifest, check_snr=check_snr,
+                    fuzzy_cutoff=fuzzy_cutoff),
+        partition_col=part,
+        description="audio constraint suite",
+    )
+
+
+def verdicts(violations: DataFrame) -> DataFrame:
+    """Per-partition pass/fail verdict rows from a violation stream.
+
+    Aggregate-level violations (set membership, uniqueness Extras) have
+    no single source partition; they land in the ``__global__`` bucket.
+    """
+    violations = violations.withColumn(
+        "partition_id", F.coalesce(F.col("partition_id"), F.lit("__global__"))
+    )
+    return (
+        violations.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.sum((F.col("diff_type") == "MISSING").cast("long")).alias("n_missing"),
+            F.sum((F.col("diff_type") == "EXTRA").cast("long")).alias("n_extra"),
+            F.sum((F.col("diff_type") == "INVALID").cast("long")).alias("n_invalid"),
+            F.sum((F.col("diff_type") == "DEVIATION").cast("long")).alias("n_deviation"),
+            F.countDistinct("rule_id").alias("n_rules_failed"),
+        )
+        .withColumn("passed", F.lit(False))
+    )

@@ -1,0 +1,69 @@
+"""Checkpointed per-partition runs: verdicts, lineage, idempotent resume."""
+
+import shutil
+
+import pytest
+
+from datatest_spark import requirements as R
+from datatest_spark.plans import run_checkpointed
+from tests.conftest import df_from
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def part_df(spark):
+    rows = [(i, i % 4, 10 if i != 13 else 99) for i in range(40)]
+    return spark.createDataFrame(rows, "id long, part_id int, v long")
+
+
+class TestCheckpointedRun:
+    def test_verdicts_written(self, spark, ckpt_dir):
+        df = part_df(spark)
+        run = run_checkpointed(
+            df, [R.interval("v", 0, 50)], "part_id", ckpt_dir
+        )
+        verdicts = {r["partition_id"]: r for r in run.verdicts.collect()}
+        assert set(verdicts) == {"0", "1", "2", "3"}
+        # i=13 → part 1 fails
+        assert verdicts["1"]["passed"] is False
+        assert verdicts["1"]["n_violations"] == 1
+        assert verdicts["0"]["passed"] is True
+        assert verdicts["0"]["n_rows"] == 10
+        assert not run.ok
+
+    def test_resume_skips_committed(self, spark, ckpt_dir):
+        df = part_df(spark)
+        rules = [R.interval("v", 0, 50)]
+        first = run_checkpointed(df, rules, "part_id", ckpt_dir)
+        assert sorted(first.processed_partitions) == ["0", "1", "2", "3"]
+        second = run_checkpointed(df, rules, "part_id", ckpt_dir)
+        assert second.processed_partitions == []
+        assert sorted(second.skipped_partitions) == ["0", "1", "2", "3"]
+
+    def test_ruleset_change_invalidates(self, spark, ckpt_dir):
+        df = part_df(spark)
+        run_checkpointed(df, [R.interval("v", 0, 50)], "part_id", ckpt_dir)
+        run2 = run_checkpointed(
+            df, [R.interval("v", 0, 200)], "part_id", ckpt_dir
+        )
+        # different rule set hash → all partitions re-run
+        assert sorted(run2.processed_partitions) == ["0", "1", "2", "3"]
+        assert run2.ok  # looser bound passes
+
+    def test_mandatory_gating(self, spark, ckpt_dir):
+        df = part_df(spark)
+        run = run_checkpointed(
+            df,
+            [R.interval("v", 0, 50, rule_id="soft")],
+            "part_id",
+            ckpt_dir,
+            mandatory=[R.predicate("v", 10, rule_id="hard")],
+        )
+        verdicts = {r["partition_id"]: r for r in run.verdicts.collect()}
+        assert verdicts["1"]["failed_mandatory"] is True
+        assert verdicts["0"]["failed_mandatory"] is False
