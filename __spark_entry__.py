@@ -1,38 +1,546 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2, each runnable as ``fn(spark, sf_dir)`` over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+Violation-shaped results use the engine's canonical violation schema
+(datatest_spark/schema.py) with identical column names/values on both
+sides; numeric strings are repr-normalized (integral doubles render
+without ``.0``) via the same rule in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# violation columns every violation-shaped oracle emits
+_VCOLS = (
+    "rule_id, key, column, diff_type, invalid, expected, "
+    "deviation, expected_num, partition_id"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _repr_sql(x: str) -> str:
+    """DuckDB twin of datatest_spark.schema.repr_col (integral-double
+    normalization)."""
+    return (
+        f"CASE WHEN {x} IS NULL THEN NULL "
+        f"WHEN TRY_CAST({x} AS DOUBLE) IS NOT NULL "
+        f"AND TRY_CAST({x} AS DOUBLE) = FLOOR(TRY_CAST({x} AS DOUBLE)) "
+        f"AND ABS(TRY_CAST({x} AS DOUBLE)) < 1e15 "
+        f"THEN CAST(CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST({x} AS VARCHAR) END"
+    )
+
+
+def _viol_select(rule_id, diff_type, key="NULL", column="NULL", invalid="NULL",
+                 expected="NULL", deviation="NULL", expected_num="NULL"):
+    return (
+        f"SELECT '{rule_id}' AS rule_id, CAST({key} AS VARCHAR) AS key, "
+        f"{column} AS column, '{diff_type}' AS diff_type, "
+        f"CAST({invalid} AS VARCHAR) AS invalid, "
+        f"CAST({expected} AS VARCHAR) AS expected, "
+        f"CAST({deviation} AS DOUBLE) AS deviation, "
+        f"CAST({expected_num} AS DOUBLE) AS expected_num, "
+        f"CAST(NULL AS VARCHAR) AS partition_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_set_orderstatus(spark, sf_dir):
+    """RequiredSet (SURVEY §2B): distinct o_orderstatus == {'O','F','X'}."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "orders")
+    return Engine(spark).compile(
+        df, [R.set_equal("o_orderstatus", {"O", "F", "X"}, rule_id="set:o_orderstatus")]
+    )
+
+
+def q_subset_mktsegment(spark, sf_dir):
+    """RequiredSubset: c_mktsegment ⊆ 4 allowed segments → Extra."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "customer")
+    allowed = {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"}
+    return Engine(spark).compile(
+        df, [R.subset("c_mktsegment", allowed, rule_id="subset:c_mktsegment")]
+    )
+
+
+def q_superset_region(spark, sf_dir):
+    """RequiredSuperset: region names ⊇ required (incl. ATLANTIS) → Missing."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "region")
+    req = {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST", "ATLANTIS"}
+    return Engine(spark).compile(
+        df, [R.superset("r_name", req, rule_id="superset:r_name")]
+    )
+
+
+def q_unique_brand(spark, sf_dir):
+    """RequiredUnique: one Extra per duplicate occurrence of p_brand."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "part")
+    return Engine(spark).compile(
+        df, [R.unique("p_brand", rule_id="unique:p_brand")]
+    )
+
+
+def q_unique_lineitem_pk(spark, sf_dir):
+    """RequiredUnique composite key: (l_orderkey, l_linenumber)."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    return Engine(spark).compile(
+        df, [R.unique(["l_orderkey", "l_linenumber"], rule_id="unique:l_pk")]
+    )
+
+
+def q_interval_quantity(spark, sf_dir):
+    """RequiredInterval: l_quantity ∈ [5, 45] → Deviation(x-bound, bound)."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    return Engine(spark).compile(
+        df, [R.interval("l_quantity", 5, 45, rule_id="interval:l_quantity")]
+    )
+
+
+def q_interval_acctbal(spark, sf_dir):
+    """RequiredInterval one-sided: c_acctbal >= 0."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "customer")
+    return Engine(spark).compile(
+        df, [R.interval("c_acctbal", min=0, rule_id="interval:c_acctbal")]
+    )
+
+
+def q_regex_priority(spark, sf_dir):
+    """RequiredRegex: o_orderpriority matches '^[1-3]-' → Invalid."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "orders")
+    return Engine(spark).compile(
+        df, [R.regex("o_orderpriority", r"^[1-3]-", rule_id="regex:o_orderpriority")]
+    )
+
+
+def q_predicate_event_type(spark, sf_dir):
+    """RequiredPredicate scalar equality: event_type == 'click' → Invalid."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "events")
+    return Engine(spark).compile(
+        df, [R.predicate("event_type", "click", rule_id="predicate:event_type")]
+    )
+
+
+def q_mapping_nations(spark, sf_dir):
+    """RequiredMapping: nations-per-region counts vs required mapping
+    (region 4 deliberately expects 6 → Deviation(-1, 6))."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    counts = (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    req = {0: 5, 1: 5, 2: 5, 3: 5, 4: 6}
+    return Engine(spark).compile(
+        counts, [R.mapping("n_regionkey", req, rule_id="mapping:nations")]
+    )
+
+
+def q_ref_approx_totalprice(spark, sf_dir):
+    """ref_approx: o_totalprice vs sum(extendedprice*(1-disc)*(1+tax))
+    per order, delta=0.01 → Deviation rows (keyed approx, SURVEY §2B)."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    orders = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("computed")
+        )
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    return Engine(spark).compile(
+        orders,
+        [
+            R.ref_approx(
+                "o_totalprice", li, on="o_orderkey", ref_column="computed",
+                delta=0.01, rule_id="ref_approx:o_totalprice", round_to=2,
+            )
+        ],
+    )
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """Single-pass exact column profile (SURVEY §2D stats)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = []
+    for c in ["l_quantity", "l_discount", "l_extendedprice"]:
+        out.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("row_count"),
+                F.count(F.col(c)).alias("non_null"),
+                F.min(F.col(c)).cast("double").alias("min_v"),
+                F.max(F.col(c)).cast("double").alias("max_v"),
+                F.round(F.avg(F.col(c)), 4).alias("mean_r"),
+            )
+        )
+    wide = df.agg(*[s.alias(f"_s{i}") for i, s in enumerate(out)])
+    return wide.select(
+        F.explode(F.array(*[F.col(f"_s{i}") for i in range(len(out))])).alias("p")
+    ).select("p.*")
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: duplicate text groups in documents."""
+    from datatest_spark.operators import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"), "text")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting over documents (text-analysis operator)."""
+    from datatest_spark.operators import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "text", id_col="doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: tokens, distinct tokens, type-token ratio,
+    average word length."""
+    from datatest_spark.operators import text_quality
+
+    return text_quality(_t(spark, sf_dir, "documents"), "text", id_col="doc_id")
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine similarity vs the vec_id=0 embedding,
+    thresholded at 0.25 after rounding (similarity-search baseline)."""
+    from datatest_spark.operators import cosine_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_scores(emb, "embedding", id_col="vec_id",
+                         query_id=0, min_score=0.25)
+
+
+def q_set_doc_lang(spark, sf_dir):
+    """RequiredSet on documents.lang vs 6 required languages."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "documents")
+    return Engine(spark).compile(
+        df,
+        [R.set_equal("lang", {"en", "fr", "es", "zh", "de", "ru"},
+                     rule_id="set:lang")],
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) --------------------------------
+
+
+def q_audio_suite(spark, sf_dir):
+    """Flagship: full audio constraint suite on the deterministic
+    synthetic audio table (input_hint shape).  Non-SQL (binary decode)."""
+    from datatest_spark.fixtures import audio_clips_df, reference_transcripts_df
+    from datatest_spark.suite import validate_audio_table
+
+    df = audio_clips_df(spark, 2000, parts=4)
+    manifest = reference_transcripts_df(spark, 2000)
+    return validate_audio_table(df, manifest=manifest).violations
+
+
+def q_fuzzy_docs(spark, sf_dir):
+    """RequiredFuzzy (difflib ratio ≥ 0.95) of text vs its 10%-truncated
+    self — Python-side Ratcliff-Obershelp, not SQL-expressible."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "truncated",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr("substring(text, 1, cast(length(text) * 0.9 as int))"),
+        ).otherwise(F.col("text")),
+    )
+    return Engine(spark).compile(
+        df,
+        [R.fuzzy("truncated", expected_col="text", cutoff=0.95,
+                 rule_id="fuzzy:truncated")],
+    )
+
+
+def q_drift_psi(spark, sf_dir):
+    """Distribution drift: l_quantity PSI vs a shifted baseline sketch."""
+    from datatest_spark.stats import DriftPSIRule
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    shifted_baseline = [float(5 * i) + 30.0 for i in range(21)]
+    return Engine(spark).compile(
+        df,
+        [DriftPSIRule("l_quantity", shifted_baseline, threshold=0.05,
+                      rule_id="drift:l_quantity")],
+    )
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs over documents."""
+    from datatest_spark.operators import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: multi-rule engine pass over the TPC-H-ish
+    tables — one fused scan per table, plan-rule fragments unioned."""
+    sf_dir = "/root/testdata/sf0.001"
+    frames = [
+        q_set_orderstatus(spark, sf_dir),
+        q_interval_quantity(spark, sf_dir),
+        q_interval_acctbal(spark, sf_dir),
+        q_unique_brand(spark, sf_dir),
+        q_regex_priority(spark, sf_dir),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "set_orderstatus": q_set_orderstatus,
+        "subset_mktsegment": q_subset_mktsegment,
+        "superset_region": q_superset_region,
+        "unique_brand": q_unique_brand,
+        "unique_lineitem_pk": q_unique_lineitem_pk,
+        "interval_quantity": q_interval_quantity,
+        "interval_acctbal": q_interval_acctbal,
+        "regex_priority": q_regex_priority,
+        "predicate_event_type": q_predicate_event_type,
+        "mapping_nations": q_mapping_nations,
+        "ref_approx_totalprice": q_ref_approx_totalprice,
+        "profile_lineitem": q_profile_lineitem,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_token_stats": q_doc_token_stats,
+        "text_quality": q_text_quality,
+        "ann_cosine": q_ann_cosine,
+        "set_doc_lang": q_set_doc_lang,
+        "audio_suite": q_audio_suite,
+        "fuzzy_docs": q_fuzzy_docs,
+        "drift_psi": q_drift_psi,
+        "minhash_neardup": q_minhash_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qty = _repr_sql("l_quantity")
+    bal = _repr_sql("c_acctbal")
+    return {
+        "set_orderstatus": f"""
+            WITH actual AS (SELECT DISTINCT o_orderstatus AS v FROM orders),
+            req AS (SELECT * FROM (VALUES ('O'), ('F'), ('X')) t(v))
+            {_viol_select("set:o_orderstatus", "MISSING",
+                          column="'o_orderstatus'", expected="req.v")}
+            FROM req LEFT JOIN actual ON req.v = actual.v WHERE actual.v IS NULL
+            UNION ALL
+            {_viol_select("set:o_orderstatus", "EXTRA",
+                          column="'o_orderstatus'", invalid="actual.v")}
+            FROM actual LEFT JOIN req ON req.v = actual.v WHERE req.v IS NULL
+        """,
+        "subset_mktsegment": f"""
+            {_viol_select("subset:c_mktsegment", "EXTRA",
+                          column="'c_mktsegment'", invalid="v")}
+            FROM (SELECT DISTINCT c_mktsegment AS v FROM customer)
+            WHERE v NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD')
+        """,
+        "superset_region": f"""
+            {_viol_select("superset:r_name", "MISSING",
+                          column="'r_name'", expected="req.v")}
+            FROM (VALUES ('AFRICA'),('AMERICA'),('ASIA'),('EUROPE'),
+                         ('MIDDLE EAST'),('ATLANTIS')) req(v)
+            LEFT JOIN (SELECT DISTINCT r_name AS v FROM region) a
+              ON req.v = a.v WHERE a.v IS NULL
+        """,
+        "unique_brand": f"""
+            {_viol_select("unique:p_brand", "EXTRA",
+                          column="'p_brand'", invalid="p_brand")}
+            FROM (SELECT p_brand, unnest(range(c - 1)) FROM
+                  (SELECT p_brand, count(*) AS c FROM part
+                   GROUP BY p_brand HAVING count(*) > 1))
+        """,
+        "unique_lineitem_pk": f"""
+            {_viol_select("unique:l_pk", "EXTRA",
+                          column="'l_orderkey,l_linenumber'",
+                          invalid="'(' || k1 || ', ' || k2 || ')'")}
+            FROM (SELECT CAST(l_orderkey AS VARCHAR) k1,
+                         CAST(l_linenumber AS VARCHAR) k2,
+                         unnest(range(c - 1)) FROM
+                  (SELECT l_orderkey, l_linenumber, count(*) AS c
+                   FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1))
+        """,
+        "interval_quantity": f"""
+            {_viol_select("interval:l_quantity", "DEVIATION",
+                          column="'l_quantity'",
+                          invalid=qty,
+                          expected="CASE WHEN l_quantity < 5 THEN '5' ELSE '45' END",
+                          deviation="CASE WHEN l_quantity < 5 THEN l_quantity - 5 ELSE l_quantity - 45 END",
+                          expected_num="CASE WHEN l_quantity < 5 THEN 5 ELSE 45 END")}
+            FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+        """,
+        "interval_acctbal": f"""
+            {_viol_select("interval:c_acctbal", "DEVIATION",
+                          column="'c_acctbal'",
+                          invalid=bal,
+                          expected="'0'",
+                          deviation="c_acctbal - 0",
+                          expected_num="0")}
+            FROM customer WHERE c_acctbal < 0
+        """,
+        "regex_priority": f"""
+            {_viol_select("regex:o_orderpriority", "INVALID",
+                          column="'o_orderpriority'",
+                          invalid="o_orderpriority")}
+            FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        """,
+        "predicate_event_type": f"""
+            {_viol_select("predicate:event_type", "INVALID",
+                          column="'event_type'", invalid="event_type")}
+            FROM events WHERE event_type IS DISTINCT FROM 'click'
+        """,
+        "mapping_nations": f"""
+            WITH counts AS (SELECT n_regionkey AS k, count(*) AS n
+                            FROM nation GROUP BY 1),
+            req AS (SELECT * FROM (VALUES (0, 5), (1, 5), (2, 5), (3, 5),
+                                          (4, 6)) t(k, e))
+            {_viol_select("mapping:nations", "DEVIATION",
+                          key="counts.k",
+                          column="'n_nations'",
+                          invalid="counts.n", expected="req.e",
+                          deviation="counts.n - req.e", expected_num="req.e")}
+            FROM counts JOIN req ON counts.k = req.k WHERE counts.n != req.e
+        """,
+        "ref_approx_totalprice": f"""
+            WITH li AS (SELECT l_orderkey,
+                        sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS computed
+                        FROM lineitem GROUP BY 1)
+            {_viol_select("ref_approx:o_totalprice", "DEVIATION",
+                          key="o.o_orderkey",
+                          column="'o_totalprice'",
+                          invalid=_repr_sql("o.o_totalprice"),
+                          expected=_repr_sql("round(li.computed, 2)"),
+                          deviation="round(o.o_totalprice - li.computed, 2)",
+                          expected_num="round(li.computed, 2)")}
+            FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+            WHERE abs(o.o_totalprice - li.computed) > 0.01
+        """,
+        "profile_lineitem": """
+            SELECT 'l_quantity' AS column_name, count(*) AS row_count,
+                   count(l_quantity) AS non_null,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                   round(avg(l_quantity), 4) AS mean_r FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*), count(l_discount),
+                   CAST(min(l_discount) AS DOUBLE),
+                   CAST(max(l_discount) AS DOUBLE),
+                   round(avg(l_discount), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   CAST(max(l_extendedprice) AS DOUBLE),
+                   round(avg(l_extendedprice), 4) FROM lineitem
+        """,
+        "dedup_exact_docs": """
+            SELECT text, count(*) AS dup_count, min(doc_id) AS keep_id
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars_calc
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                       AS n_types,
+                   round(len(list_distinct(string_split(text, ' ')))
+                         / len(string_split(text, ' ')), 4) AS ttr_r,
+                   round((length(text) - len(string_split(text, ' ')) + 1.0)
+                         / len(string_split(text, ' ')), 4) AS awl_r
+            FROM documents
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cs_r
+            FROM embeddings, q
+            WHERE round(
+                     list_dot_product(embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) >= 0.25
+        """,
+        "set_doc_lang": f"""
+            WITH actual AS (SELECT DISTINCT lang AS v FROM documents),
+            req AS (SELECT * FROM (VALUES ('en'),('fr'),('es'),('zh'),
+                                          ('de'),('ru')) t(v))
+            {_viol_select("set:lang", "MISSING", column="'lang'",
+                          expected="req.v")}
+            FROM req LEFT JOIN actual ON req.v = actual.v WHERE actual.v IS NULL
+            UNION ALL
+            {_viol_select("set:lang", "EXTRA", column="'lang'",
+                          invalid="actual.v")}
+            FROM actual LEFT JOIN req ON req.v = actual.v WHERE req.v IS NULL
+        """,
+        # audio_suite / fuzzy_docs / drift_psi / minhash_neardup:
+        # non-SQL-expressible (binary decode, difflib ratio, sketch
+        # comparison, minhash) — rows-only checks by design.
+    }

@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Measures:
+  1. headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — per-query wall seconds;
+  2. the flagship metric from BASELINE.json: validated clips/sec for
+     the full audio constraint-suite pass, at TWO parallelism levels
+     (CPUS and CPUS/4) on the identical cached input, with scaling
+     efficiency = (clips/sec ratio) / (core ratio) — the sandbox
+     stand-in for the N→4N-executor criterion (see BASELINE.md).
+
+The audio table is the deterministic fixture (datatest_spark.fixtures)
+materialized once to parquet under .bench_cache/ and reused, so the
+measurement is validation, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+# audio clips scale: SF × 200k (sf0.1 → 20k clips ≈ 1.2 GB of PCM)
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_AUDIO_CLIPS", str(int(SF * 200_000))))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+HEADLINE = [
+    "set_orderstatus",
+    "unique_lineitem_pk",
+    "interval_quantity",
+    "regex_priority",
+    "mapping_nations",
+    "ref_approx_totalprice",
+    "profile_lineitem",
+    "text_quality",
+    "ann_cosine",
+    "minhash_neardup",
+    "drift_psi",
+]
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"datatest_spark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_audio_cache(spark, n_clips: int) -> tuple[str, str]:
+    from datatest_spark.fixtures import audio_clips_df, reference_transcripts_df
+
+    audio_path = os.path.join(CACHE, f"audio_v2_n{n_clips}")
+    manifest_path = os.path.join(CACHE, f"manifest_v2_n{n_clips}")
+    if not os.path.exists(os.path.join(audio_path, "_SUCCESS")):
+        (
+            audio_clips_df(spark, n_clips, parts=64)
+            .write.mode("overwrite")
+            .parquet(audio_path)
+        )
+    if not os.path.exists(os.path.join(manifest_path, "_SUCCESS")):
+        (
+            reference_transcripts_df(spark, n_clips)
+            .write.mode("overwrite")
+            .parquet(manifest_path)
+        )
+    return audio_path, manifest_path
+
+
+def run_audio_suite(spark, audio_path: str, manifest_path: str) -> float:
+    """One full constraint-suite pass; returns wall seconds."""
+    from datatest_spark.suite import validate_audio_table
+
+    df = spark.read.parquet(audio_path)
+    manifest = spark.read.parquet(manifest_path)
+    t0 = time.time()
+    res = validate_audio_table(df, manifest=manifest, check_snr=True)
+    res.violations.count()  # materialize the whole violation stream
+    return time.time() - t0
+
+
+def bench_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    lo_cores = max(CPUS // 4, 1)
+
+    # --- phase 1: full-core session — headline queries + audio suite
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    audio_path, manifest_path = ensure_audio_cache(spark, N_CLIPS)
+    run_audio_suite(spark, audio_path, manifest_path)  # warm-up (JIT, FS cache)
+    hi_sec = run_audio_suite(spark, audio_path, manifest_path)
+    query_secs = bench_queries(spark)
+    spark.stop()
+
+    # --- phase 2: quarter-core session — same input, same job
+    spark_lo = make_spark(lo_cores)
+    spark_lo.sparkContext.setLogLevel("ERROR")
+    run_audio_suite(spark_lo, audio_path, manifest_path)  # warm-up (JIT)
+    lo_sec = run_audio_suite(spark_lo, audio_path, manifest_path)
+    spark_lo.stop()
+
+    hi_cps = N_CLIPS / hi_sec
+    lo_cps = N_CLIPS / lo_sec
+    # efficiency of scaling lo→hi cores: speedup / core-ratio
+    eff = (hi_cps / lo_cps) / (CPUS / lo_cores)
+
+    result = {
+        "metric": "validated clips/sec (full audio constraint-suite pass)",
+        "value": round(sum(query_secs.values()) + hi_sec, 3),
+        "unit": "sec",
+        "queries": {**query_secs, "audio_suite_full": round(hi_sec, 3)},
+        "sf": SF,
+        "audio_clips": N_CLIPS,
+        "clips_per_sec": round(hi_cps, 1),
+        "clips_per_sec_low_parallelism": round(lo_cps, 1),
+        "cores_high": CPUS,
+        "cores_low": lo_cores,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,7 @@ DECODE_INFO_SCHEMA = T.StructType(
         T.StructField("dec_dur_ms", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
+        T.StructField("pcm_sha256", T.StringType(), True),
         T.StructField("sr_hz", T.IntegerType(), True),
         T.StructField("dur_ms", T.IntegerType(), True),
         T.StructField("codec", T.StringType(), True),
@@ -177,6 +178,8 @@ DECODE_INFO_SCHEMA = T.StructType(
 
 def decode_batch(pdf: pd.DataFrame, expected_pcm_fn=None) -> pd.DataFrame:
     """Decode one Arrow batch of clips → decode-info rows."""
+    import hashlib
+
     out = []
     has_part = "part_id" in pdf.columns
     for row in pdf.itertuples(index=False):
@@ -186,18 +189,19 @@ def decode_batch(pdf: pd.DataFrame, expected_pcm_fn=None) -> pd.DataFrame:
             codec, sr, pcm = decode_bytes(row.bytes)
             dur_ms = int(round(1000.0 * len(pcm) / sr)) if sr else None
             rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
+            sha = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
             snr = None
             if expected_pcm_fn is not None:
                 ref = expected_pcm_fn(row)
                 if ref is not None:
                     snr = pcm_snr_db(pcm, ref)
             out.append(
-                (clip_id, True, None, codec, sr, dur_ms, len(pcm), rms,
+                (clip_id, True, None, codec, sr, dur_ms, len(pcm), rms, sha,
                  row.sr_hz, row.dur_ms, row.codec, snr, part)
             )
         except ValueError as e:
             out.append(
-                (clip_id, False, str(e), None, None, None, None, None,
+                (clip_id, False, str(e), None, None, None, None, None, None,
                  row.sr_hz, row.dur_ms, row.codec, None, part)
             )
     return pd.DataFrame(out, columns=[f.name for f in DECODE_INFO_SCHEMA.fields])
@@ -207,7 +211,14 @@ def decode_info(df: DataFrame, with_snr: bool = False) -> DataFrame:
     """One Arrow-batched decode pass over the audio table.
 
     Column-prunes to exactly the fields the decode needs before the
-    Python stage so the Arrow transfer ships no dead bytes.
+    Python stage so the Arrow transfer ships no dead bytes.  Every row
+    gets a ``pcm_sha256`` of the decoded samples — the cheap content
+    fingerprint the SNR fast path joins against (hash-equal ⇒ SNR=∞).
+
+    ``with_snr=True`` additionally computes the full SNR per row by
+    regenerating the reference PCM — the slow path, used only as a
+    fallback when no manifest hash is available or for hash-mismatched
+    rows.
     """
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     if "part_id" in df.columns:
@@ -245,19 +256,29 @@ class AudioConsistencyRule(Rule):
     * container codec != codec column → INVALID (``audio:codec``)
     * (optional) SNR vs reference PCM < min_snr_db → DEVIATION
       (``audio:snr``) — the input_hint's decoded-PCM allclose check.
+
+    SNR fast path: when ``pcm_manifest`` (clip_id, pcm_sha256) is given,
+    the decoded-PCM hash joins against it — hash-equal means SNR=∞ ≥
+    any threshold, so the expensive reference-PCM regeneration runs
+    ONLY for the (rare) hash-mismatched rows via a semi-join-pruned
+    second decode.  At 10^12 rows this turns the allclose check into a
+    join on 64-byte hashes plus a near-empty slow path.
     """
 
     kind = "plan"
 
     def __init__(self, dur_tol_ms: int = 50, check_snr: bool = False,
-                 min_snr_db: float = 30.0, rule_id: str = "audio"):
+                 min_snr_db: float = 30.0, pcm_manifest=None,
+                 rule_id: str = "audio"):
         super().__init__(rule_id)
         self.dur_tol_ms = dur_tol_ms
         self.check_snr = check_snr
         self.min_snr_db = min_snr_db
+        self.pcm_manifest = pcm_manifest
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
-        info = decode_info(ctx.df, with_snr=self.check_snr)
+        use_hash_path = self.check_snr and self.pcm_manifest is not None
+        info = decode_info(ctx.df, with_snr=self.check_snr and not use_hash_path)
         rid = self.rule_id
         part = F.col("partition_id")
 
@@ -305,7 +326,7 @@ class AudioConsistencyRule(Rule):
                   F.col("dec_codec"), column="codec"),
             ),
         ]
-        if self.check_snr:
+        if self.check_snr and not use_hash_path:
             checks.append(
                 F.when(
                     F.col("ok")
@@ -320,8 +341,45 @@ class AudioConsistencyRule(Rule):
             )
 
         arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
-        return info.select(F.explode(arr).alias("_v")).select("_v.*")
+        out = info.select(F.explode(arr).alias("_v")).select("_v.*")
+
+        if use_hash_path:
+            manifest = self.pcm_manifest.select(
+                F.col("clip_id"), F.col("pcm_sha256").alias("_exp_sha")
+            )
+            mismatched = (
+                info.filter(F.col("ok"))
+                .join(manifest, "clip_id", "inner")
+                .filter(F.col("pcm_sha256") != F.col("_exp_sha"))
+                .select("clip_id")
+            )
+            # slow path only for hash-mismatched clips: semi-join prune,
+            # then full decode + reference regeneration + exact SNR
+            slow = decode_info(
+                ctx.df.join(F.broadcast(mismatched), "clip_id", "left_semi"),
+                with_snr=True,
+            )
+            snr_viol = slow.filter(
+                F.col("ok")
+                & F.col("snr_db").isNotNull()
+                & (F.col("snr_db") < self.min_snr_db)
+            ).select(
+                finalize_cols(
+                    f"{rid}:snr",
+                    DEVIATION,
+                    key=F.col("clip_id"),
+                    column="bytes",
+                    invalid=F.col("snr_db"),
+                    expected=F.lit(self.min_snr_db),
+                    deviation=F.col("snr_db") - self.min_snr_db,
+                    expected_num=F.lit(self.min_snr_db),
+                    partition_id=F.col("partition_id"),
+                )
+            )
+            out = out.unionByName(snr_viol)
+        return out
 
 
-def audio_consistency(dur_tol_ms=50, check_snr=False, min_snr_db=30.0):
-    return AudioConsistencyRule(dur_tol_ms, check_snr, min_snr_db)
+def audio_consistency(dur_tol_ms=50, check_snr=False, min_snr_db=30.0,
+                      pcm_manifest=None):
+    return AudioConsistencyRule(dur_tol_ms, check_snr, min_snr_db, pcm_manifest)

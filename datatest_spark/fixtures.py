@@ -250,21 +250,33 @@ def audio_clips_df(spark: SparkSession, n_rows: int, parts: int = 16) -> DataFra
     ).mapInPandas(gen, AUDIO_SCHEMA)
 
 
-def reference_transcripts_df(spark: SparkSession, n_rows: int) -> DataFrame:
-    """F2 reference_transcripts: complete manifest (superset of ids)."""
+def reference_transcripts_df(spark: SparkSession, n_rows: int,
+                             with_pcm_sha: bool = True) -> DataFrame:
+    """F2 reference_transcripts: complete manifest (superset of ids),
+    with the expected decoded-PCM sha256 for the SNR fast path."""
+    import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                rows.append((f"clip-{i:012d}", _transcript_words(i)))
-            yield pd.DataFrame(rows, columns=["clip_id", "transcript_ref"])
+                if with_pcm_sha:
+                    p = clip_params(i)
+                    pcm = synth_pcm(i, p.true_sr, p.true_dur_ms)
+                    sha = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
+                else:
+                    sha = None
+                rows.append((f"clip-{i:012d}", _transcript_words(i), sha))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "transcript_ref", "pcm_sha256"]
+            )
 
     schema = T.StructType(
         [
             T.StructField("clip_id", T.StringType(), False),
             T.StructField("transcript_ref", T.StringType(), True),
+            T.StructField("pcm_sha256", T.StringType(), True),
         ]
     )
     # manifest is a strict superset: extra 1% of ids beyond the data

@@ -1,0 +1,14 @@
+"""Large-scale pipeline operators: dedup, text analysis, similarity
+search, multimodal plumbing."""
+
+from .ann import cosine_scores, ivf_topk, topk_neighbors  # noqa: F401
+from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_neardup_pairs,
+    minhash_signatures,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from .text import fingerprint, lang_id, text_quality, token_stats  # noqa: F401
+from .multimodal import decode_stub, extract_clip_features  # noqa: F401

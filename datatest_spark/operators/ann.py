@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_scores` — brute-force cosine vs a query vector, the
+  exact baseline.  One projection (zip_with + aggregate, all JVM-side),
+  one filter; trivially parallel, no shuffle.
+* :func:`topk_neighbors` — exact top-k via the same projection + a
+  bounded sort (``orderBy ... limit k`` → Spark TakeOrdered, no global
+  sort materialization).
+* :func:`ivf_topk` — the scale path: k-means-lite coarse quantizer
+  (seeded sample, driver-side centroid refinement over a tiny sample)
+  assigns each vector to its nearest centroid JVM-side; queries probe
+  only the closest ``nprobe`` cells.  At 10^12 rows the probe prunes
+  the scan to cells/nprobe of the table (with cell-partitioned storage
+  this becomes partition pruning).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_scores", "topk_neighbors", "ivf_topk"]
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x.cast("array<double>"), y.cast("array<double>"),
+                   lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine_vs_literal(col: Column, qv: Sequence[float]) -> Column:
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    return _dot(col, q) / (F.sqrt(_dot(col, col)) * F.lit(qnorm))
+
+
+def _query_vector(df: DataFrame, column: str, id_col: str, query_id) -> List[float]:
+    row = df.filter(F.col(id_col) == query_id).select(column).first()
+    if row is None:
+        raise ValueError(f"query id {query_id!r} not found")
+    return [float(v) for v in row[0]]
+
+
+def cosine_scores(df: DataFrame, column: str = "embedding",
+                  id_col: str = "vec_id", query_id=0,
+                  min_score: float = 0.25) -> DataFrame:
+    """All vectors with rounded cosine ≥ min_score vs the query vector."""
+    qv = _query_vector(df, column, id_col, query_id)
+    cs = F.round(_cosine_vs_literal(F.col(column), qv), 4)
+    return df.select(F.col(id_col), cs.alias("cs_r")).filter(
+        F.col("cs_r") >= min_score
+    )
+
+
+def topk_neighbors(df: DataFrame, query_vector: Sequence[float], k: int = 10,
+                   column: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine (TakeOrdered — no full sort)."""
+    cs = _cosine_vs_literal(F.col(column), list(query_vector))
+    return (
+        df.select(F.col(id_col), F.round(cs, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _train_centroids(sample: np.ndarray, n_cells: int, iters: int = 5,
+                     seed: int = 42) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (IVF coarse quantizer)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        # cosine assignment on normalized vectors
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sn = sample / norms
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
+             column: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, nprobe: int = 4,
+             sample_rows: int = 10_000, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: train a coarse quantizer on a seeded sample,
+    assign vectors to cells JVM-side, search only the ``nprobe`` cells
+    nearest the query.  Returns (id, cosine) — approximate top-k."""
+    sample = np.array(
+        [
+            [float(v) for v in r[0]]
+            for r in df.select(column).limit(sample_rows).collect()
+        ]
+    )
+    centroids = _train_centroids(sample, n_cells, seed=seed)
+
+    # cell assignment as a JVM-side argmax over centroid dot products
+    cells = []
+    for ci, cvec in enumerate(centroids):
+        cn = cvec / max(float(np.linalg.norm(cvec)), 1e-12)
+        cells.append(
+            F.struct(
+                (_dot(F.col(column), F.array(*[F.lit(float(v)) for v in cn]))
+                 / F.sqrt(_dot(F.col(column), F.col(column))))
+                .alias("score"),
+                F.lit(ci).alias("cell"),
+            )
+        )
+    assigned = df.select(
+        F.col(id_col), F.col(column),
+        F.array_max(F.array(*cells))["cell"].alias("cell"),
+    )
+
+    q = np.asarray(list(query_vector), dtype=float)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
+
+    cs = _cosine_vs_literal(F.col(column), list(query_vector))
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(cs, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All hot paths are built-in Column expressions (whole-stage codegen):
+``split``/``array_distinct``/``xxhash64``/``transform`` — no Python in
+the per-row path.  These complement the validation rules: their outputs
+feed interval/drift rules (e.g. "token count ∈ [10, 10_000]").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+]
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_stats(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + character count per document."""
+    c = F.col(column)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(c)).alias("n_tokens"),
+        F.length(c).cast("int").alias("n_chars_calc"),
+    )
+
+
+def text_quality(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
+    """Quality metrics: token count, distinct tokens, type-token ratio,
+    average word length — the standard corpus-quality signals, one
+    projection, no shuffle."""
+    c = F.col(column)
+    toks = _tokens(c)
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(n_types / n_tokens, 4).alias("ttr_r"),
+        F.round(
+            (F.length(c) - n_tokens + F.lit(1.0)) / n_tokens, 4
+        ).alias("awl_r"),
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "que"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu", "nicht"],
+}
+
+
+def lang_id(df: DataFrame, column: str, id_col: str = "doc_id",
+            stopwords: Optional[dict] = None) -> DataFrame:
+    """N-gram/stopword heuristic language ID: the language whose
+    stopword set overlaps the document's token set most.  Pure Column
+    ops (array_intersect against broadcast literal arrays)."""
+    stopwords = stopwords or _STOPWORDS
+    toks = F.array_distinct(_tokens(F.lower(F.col(column))))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            .alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in stopwords.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, column: str, id_col: str = "doc_id",
+                shingle_len: int = 8) -> DataFrame:
+    """Document fingerprinting: full-text hash + a winnowed shingle
+    fingerprint (min hash over character shingles — rolling-hash
+    equivalent, computed JVM-side with ``transform``+``xxhash64``)."""
+    c = F.col(column)
+    n = F.greatest(F.length(c) - shingle_len + 1, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(shingle_len))
+    )
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(c).alias("text_hash"),
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))).alias(
+            "shingle_min_hash"
+        ),
+    )

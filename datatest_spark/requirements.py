@@ -1235,3 +1235,70 @@ def ref_match(column, ref, on, ref_column, fuzzy_cutoff=None,
               missing_ref_ok=True, rule_id=None, broadcast_hint=False):
     return RefMatchRule(column, ref, on, ref_column, fuzzy_cutoff,
                         missing_ref_ok, rule_id, broadcast_hint)
+
+
+class RefApproxRule(Rule):
+    """Numeric consistency against a computed/reference table: the
+    keyed form of ``validate.approx`` (requirements.py:368-423) where
+    the expected value is itself a column — e.g. order totals vs the
+    aggregated line items.
+
+    Spark plan: equi-join on the key (sort-merge; AQE handles skew) +
+    one arithmetic projection.  Failure → Deviation(actual-expected,
+    expected); null/missing expected → Invalid.
+    """
+
+    kind = "plan"
+
+    def __init__(self, column: str, ref: DataFrame, on: str, ref_column: str,
+                 delta: Optional[float] = None, places: int = 7,
+                 rule_id: Optional[str] = None, round_to: Optional[int] = None):
+        super().__init__(rule_id or f"ref_approx:{column}")
+        self.column = column
+        self.ref = ref
+        self.on = on
+        self.ref_column = ref_column
+        self.delta = delta
+        self.places = places
+        self.round_to = round_to
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        df = ctx.df.select(
+            F.col(self.on).alias("_on"),
+            F.col(self.column).try_cast("double").alias("_actual"),
+        )
+        ref = self.ref.select(
+            F.col(self.on).alias("_on"),
+            F.col(self.ref_column).try_cast("double").alias("_expected"),
+        )
+        j = df.join(ref, "_on", "inner")
+        diff = F.abs(F.col("_actual") - F.col("_expected"))
+        if self.delta is not None:
+            passed = diff <= F.lit(float(self.delta))
+        else:
+            passed = F.round(diff, self.places) == F.lit(0.0)
+        dev = F.col("_actual") - F.col("_expected")
+        exp = F.col("_expected")
+        if self.round_to is not None:
+            dev = F.round(dev, self.round_to)
+            exp = F.round(exp, self.round_to)
+        return j.filter(~F.coalesce(passed, F.lit(False))).select(
+            finalize_cols(
+                self.rule_id,
+                F.when(F.col("_actual").isNull(), F.lit(INVALID)).otherwise(
+                    F.lit(DEVIATION)
+                ),
+                key=repr_col(F.col("_on")),
+                column=self.column,
+                invalid=repr_col(F.col("_actual")),
+                expected=repr_col(exp),
+                deviation=F.when(F.col("_actual").isNotNull(), dev),
+                expected_num=F.when(F.col("_actual").isNotNull(), exp),
+            )
+        )
+
+
+def ref_approx(column, ref, on, ref_column, delta=None, places=7,
+               rule_id=None, round_to=None):
+    return RefApproxRule(column, ref, on, ref_column, delta, places,
+                         rule_id, round_to)

@@ -51,8 +51,17 @@ def audio_rules(
         # plan rules
         R.unique("clip_id", rule_id="unique:clip_id"),
         R.subset("codec", ALLOWED_CODECS, rule_id="subset:codec"),
-        # decode pass: decodability + sr/dur/codec consistency (+SNR)
-        AudioConsistencyRule(dur_tol_ms=dur_tol_ms, check_snr=check_snr),
+        # decode pass: decodability + sr/dur/codec consistency (+SNR —
+        # hash fast path when the manifest carries pcm_sha256)
+        AudioConsistencyRule(
+            dur_tol_ms=dur_tol_ms,
+            check_snr=check_snr,
+            pcm_manifest=(
+                manifest
+                if manifest is not None and "pcm_sha256" in manifest.columns
+                else None
+            ),
+        ),
     ]
     if manifest is not None:
         rules.append(
