@@ -1,0 +1,112 @@
+"""Data sources — the engine's scan surface.
+
+Re-expresses the reference's ingest layer (get_reader.py:174-263,
+load_csv.py:15-86, temptable.py:116-209) Spark-first:
+
+* CSV with utf-8 → latin-1 fallback (the reference's two-phase decode,
+  load_csv.py:39-86) via Spark's encoding option + a driver-side sniff
+  of the first bytes;
+* pandas DataFrames / dict-records / namedtuples via Arrow
+  ``createDataFrame`` (get_reader.py:219-249,313-330);
+* multi-file globs (query.py:1134-1185) via Spark's native path globs;
+* multi-source align-by-fieldname with missing-column defaults
+  (temptable.py:116-129,162-209) via ``unionByName(
+  allowMissingColumns=True)``.
+
+Excel/DBF (get_reader.py:332-404) are deliberately out of scope for
+v1 (no xlrd/dbfread in this environment); they would follow the same
+pandas→Arrow path.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from functools import reduce
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "from_pandas",
+    "from_records",
+    "align_by_fieldname",
+    "working_dir_glob",
+]
+
+
+def _sniff_encoding(path: str, probe_bytes: int = 1 << 20) -> str:
+    """utf-8 unless the first chunk fails to decode — then latin-1,
+    mirroring the reference's fallback (load_csv.py:39-86)."""
+    candidates = sorted(_glob.glob(path)) or [path]
+    for p in candidates[:4]:
+        if not os.path.isfile(p):
+            continue
+        with open(p, "rb") as f:
+            chunk = f.read(probe_bytes)
+        try:
+            chunk.decode("utf-8")
+        except UnicodeDecodeError:
+            return "ISO-8859-1"
+    return "UTF-8"
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             encoding: Optional[str] = None, infer_schema: bool = True,
+             **options) -> DataFrame:
+    """CSV scan with the reference's encoding-fallback semantics."""
+    enc = encoding or _sniff_encoding(path)
+    reader = (
+        spark.read.option("header", header)
+        .option("encoding", enc)
+        .option("inferSchema", infer_schema)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, columns=None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """pandas → Spark via Arrow (reference _normalize.py:57-76 adapts
+    pandas into its iterator model; here the DataFrame IS the model)."""
+    return spark.createDataFrame(pdf)
+
+
+def from_records(spark: SparkSession, records: Iterable, schema=None) -> DataFrame:
+    """dict-records / namedtuples / tuples (get_reader.py:219-249)."""
+    records = list(records)
+    if schema is None and records and hasattr(records[0], "_fields"):
+        schema = list(records[0]._fields)
+    return spark.createDataFrame(records, schema)
+
+
+def align_by_fieldname(frames: Sequence[DataFrame],
+                       fill: Optional[str] = None) -> DataFrame:
+    """Union sources with differing columns, aligning by field name and
+    defaulting absent fields (reference temptable.py:116-129 widens the
+    staging table with '' defaults; Spark's unionByName gives NULLs —
+    pass ``fill=''`` for exact squint parity)."""
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    if fill is not None:
+        string_cols = [c for c, t in out.dtypes if t == "string"]
+        out = out.fillna(fill, subset=string_cols)
+    return out
+
+
+def working_dir_glob(spark: SparkSession, pattern: str, fmt: str = "csv",
+                     **options) -> DataFrame:
+    """Multi-file glob load (reference query.py:1134-1185): Spark reads
+    the glob natively; files align by header fieldname."""
+    if fmt == "csv":
+        return read_csv(spark, pattern, **options)
+    return spark.read.format(fmt).load(pattern)

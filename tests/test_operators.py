@@ -1,0 +1,160 @@
+"""Pipeline operators: dedup, text analysis, ANN, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators import (
+    cosine_scores,
+    decode_stub,
+    embedding_neardup_pairs,
+    exact_duplicates,
+    extract_clip_features,
+    fingerprint,
+    ivf_topk,
+    lang_id,
+    minhash_neardup_pairs,
+    minhash_signatures,
+    simhash_neardup_pairs,
+    text_quality,
+    token_stats,
+    topk_neighbors,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "le chat est sur la table et le chien dort"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),   # near 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, spark, docs):
+        rows = exact_duplicates(docs, "text").collect()
+        assert len(rows) == 1
+        assert rows[0]["dup_count"] == 2
+        assert rows[0]["keep_id"] == 0
+
+
+class TestMinHash:
+    def test_signatures_deterministic(self, spark, docs):
+        a = minhash_signatures(docs, "text", num_hashes=16).collect()
+        b = minhash_signatures(docs, "text", num_hashes=16).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_neardup_pairs(self, spark, docs):
+        pairs = minhash_neardup_pairs(
+            docs, "text", num_hashes=32, bands=16, min_jaccard=0.4
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 3) in found  # exact dup: jaccard 1.0
+        exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 3)]
+        assert exact[0]["est_jaccard"] == 1.0
+        # near-dup 0/1 share most shingles
+        assert (0, 1) in found
+        # unrelated docs must not pair
+        assert (2, 4) not in found
+
+
+class TestSimHash:
+    def test_exact_dups_hamming_zero(self, spark, docs):
+        pairs = simhash_neardup_pairs(docs, "text", max_hamming=3).collect()
+        found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert found.get((0, 3)) == 0
+
+
+class TestEmbeddingDedup:
+    def test_neardup_cosine(self, spark, vectors):
+        pairs = embedding_neardup_pairs(
+            vectors, planes=4, min_cosine=0.95
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 4) in found or (0, 1) in found
+
+
+class TestANN:
+    def test_topk_exact(self, spark, vectors):
+        rows = topk_neighbors(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+        assert {r["vec_id"] for r in rows} == {0, 1, 4}
+
+    def test_cosine_scores_threshold(self, spark, vectors):
+        rows = cosine_scores(vectors, query_id=0, min_score=0.9).collect()
+        assert {r["vec_id"] for r in rows} == {0, 1, 4}
+
+    def test_ivf_finds_neighbors(self, spark, vectors):
+        rows = ivf_topk(
+            vectors, [1.0, 0.0, 0.0, 0.0], k=2, n_cells=2, nprobe=2,
+        ).collect()
+        assert rows[0]["vec_id"] == 0
+
+
+class TestTextOps:
+    def test_token_stats(self, spark, docs):
+        rows = {r["doc_id"]: r for r in token_stats(docs, "text").collect()}
+        assert rows[0]["n_tokens"] == 9
+        assert rows[0]["n_chars_calc"] == len(
+            "the quick brown fox jumps over the lazy dog"
+        )
+
+    def test_text_quality_ttr(self, spark, docs):
+        rows = {r["doc_id"]: r for r in text_quality(docs, "text").collect()}
+        assert rows[0]["n_types"] == 8  # 'the' twice
+        assert abs(rows[0]["ttr_r"] - round(8 / 9, 4)) < 1e-9
+
+    def test_lang_id(self, spark, docs):
+        rows = {r["doc_id"]: r for r in lang_id(docs, "text").collect()}
+        assert rows[0]["lang_guess"] == "en"
+        assert rows[4]["lang_guess"] == "fr"
+
+    def test_fingerprint_deterministic(self, spark, docs):
+        a = {r["doc_id"]: (r["text_hash"], r["shingle_min_hash"])
+             for r in fingerprint(docs, "text").collect()}
+        assert a[0] == a[3]  # exact dups share fingerprints
+        assert a[0] != a[2]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self, spark):
+        df = spark.createDataFrame([(1, b"not-an-image")], "id long, payload binary")
+        with pytest.raises(Exception) as exc:
+            decode_stub(df, "payload").collect()
+        assert "NotImplementedError" in str(exc.value) or "codec libraries" in str(exc.value)
+
+    def test_decode_stub_fake_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"payload-a"), (2, b"payload-b"), (3, None)],
+            "id long, payload binary",
+        )
+        rows = {r["id"]: r for r in decode_stub(df, "payload", fake=True).collect()}
+        assert rows[1]["ok"] and rows[2]["ok"] and not rows[3]["ok"]
+        again = {r["id"]: r for r in decode_stub(df, "payload", fake=True).collect()}
+        assert rows[1]["width"] == again[1]["width"]
+        assert rows[1]["payload_sha256"] != rows[2]["payload_sha256"]
+
+    def test_audio_frame_features_real(self, spark):
+        from datatest_spark.fixtures import audio_clips_df
+
+        df = audio_clips_df(spark, 20, parts=2)
+        rows = extract_clip_features(df, frame_ms=100).collect()
+        ok = [r for r in rows if r["ok"]]
+        assert len(ok) >= 18
+        assert all(len(r["frame_rms"]) >= 2 for r in ok)
+        assert all(v >= 0 for r in ok for v in r["frame_rms"])

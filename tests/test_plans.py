@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the 100 TB design checks.
+
+These tests pin the properties that matter at scale: broadcast for
+small requirement sides, column pruning down to the rule's columns,
+one scan for N fused row rules, whole-stage codegen on the hot path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import requirements as R
+from datatest_spark.plans.inspect import (
+    explain_str,
+    read_schema_columns,
+    scan_count,
+)
+from datatest_spark.validation import Engine
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+class TestColumnPruning:
+    def test_row_rule_prunes_scan(self, spark, orders):
+        """A regex rule on one column must read ONLY that column."""
+        v = Engine(spark).compile(orders, [R.regex("o_orderpriority", r"^[1-3]-")])
+        schemas = read_schema_columns(v)
+        assert schemas, "expected at least one scan"
+        assert all(set(s) <= {"o_orderpriority"} for s in schemas), schemas
+
+    def test_fused_rules_one_scan(self, spark, lineitem):
+        """N row rules = ONE scan reading only the union of rule columns."""
+        rules = [
+            R.interval("l_quantity", 5, 45),
+            R.interval("l_discount", 0, 0.1),
+            R.regex("l_returnflag", "^[ARN]$"),
+        ]
+        v = Engine(spark).compile(lineitem, rules)
+        assert scan_count(v) == 1
+        schemas = read_schema_columns(v)
+        assert set(schemas[0]) == {"l_quantity", "l_discount", "l_returnflag"}
+
+
+class TestBroadcast:
+    def test_literal_subset_broadcasts(self, spark, orders):
+        """Anti-join against a small literal set must be broadcast."""
+        v = Engine(spark).compile(
+            orders, [R.subset("o_orderstatus", {"O", "F", "P"})]
+        )
+        plan = explain_str(v, "formatted")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "LeftAnti" in plan
+
+    def test_mapping_requirement_broadcasts(self, spark):
+        df = spark.createDataFrame(
+            [("A", 1), ("B", 2)], "key string, value long"
+        )
+        v = Engine(spark).compile(df, [R.mapping("key", {"A": 1, "B": 2})])
+        plan = explain_str(v, "formatted")
+        assert "BroadcastHashJoin" in plan
+
+
+class TestCodegen:
+    def test_row_rules_stay_in_codegen(self, spark, lineitem):
+        """The fused row-rule projection must sit inside
+        WholeStageCodegen (no Python in the hot path)."""
+        v = Engine(spark).compile(lineitem, [R.interval("l_quantity", 5, 45)])
+        plan = explain_str(v, "formatted")
+        assert "[codegen id" in plan  # whole-stage codegen spans present
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_callable_predicate_uses_arrow_not_batch(self, spark, lineitem):
+        """Python predicates must be Arrow-vectorized, never row-at-a-time."""
+        v = Engine(spark).compile(
+            lineitem, [R.predicate("l_quantity", lambda x: x > 0)]
+        )
+        plan = explain_str(v, "formatted")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestAggregation:
+    def test_profile_single_scan(self, spark, lineitem):
+        from datatest_spark.stats import profile
+
+        p = profile(lineitem, ["l_quantity", "l_discount", "l_extendedprice"])
+        assert scan_count(p) == 1
+
+    def test_unique_partial_aggregation(self, spark, lineitem):
+        """groupBy count must have a map-side partial aggregate."""
+        v = Engine(spark).compile(lineitem, [R.unique("l_orderkey")])
+        plan = explain_str(v, "formatted")
+        assert plan.count("HashAggregate") >= 2  # partial + final

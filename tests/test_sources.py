@@ -1,0 +1,65 @@
+"""Source readers (reference get_reader/load_csv/temptable semantics)."""
+
+import pytest
+
+from datatest_spark.sources import (
+    align_by_fieldname,
+    from_records,
+    read_csv,
+)
+
+
+@pytest.fixture()
+def csv_files(tmp_path):
+    utf8 = tmp_path / "utf8.csv"
+    utf8.write_text("col1,col2\nutf8-value,1\nñandú,2\n", encoding="utf-8")
+    latin = tmp_path / "latin.csv"
+    latin.write_bytes(b"col1,col2\ncaf\xe9,3\n")  # é in iso-8859-1
+    return str(utf8), str(latin)
+
+
+class TestCSV:
+    def test_utf8(self, spark, csv_files):
+        utf8, _ = csv_files
+        rows = read_csv(spark, utf8).collect()
+        assert {r["col1"] for r in rows} == {"utf8-value", "ñandú"}
+
+    def test_latin1_fallback(self, spark, csv_files):
+        # reference falls back to latin-1 on UnicodeDecodeError
+        # (load_csv.py:39-86)
+        _, latin = csv_files
+        rows = read_csv(spark, latin).collect()
+        assert rows[0]["col1"] == "café"
+
+
+class TestRecords:
+    def test_namedtuples(self, spark):
+        from collections import namedtuple
+
+        Row = namedtuple("Row", ["a", "b"])
+        df = from_records(spark, [Row(1, "x"), Row(2, "y")])
+        assert df.columns == ["a", "b"]
+        assert df.count() == 2
+
+    def test_dict_records(self, spark):
+        df = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+        assert set(df.columns) == {"a", "b"}
+
+
+class TestAlignByFieldname:
+    def test_union_missing_columns(self, spark):
+        # reference aligns multi-source loads by fieldname with ''
+        # defaults (temptable.py:116-129)
+        a = spark.createDataFrame([(1, "x")], "id long, a string")
+        b = spark.createDataFrame([(2, "y")], "id long, b string")
+        out = align_by_fieldname([a, b], fill="")
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["a"] == "x" and rows[1]["b"] == ""
+        assert rows[2]["b"] == "y" and rows[2]["a"] == ""
+
+    def test_union_nulls_by_default(self, spark):
+        a = spark.createDataFrame([(1, "x")], "id long, a string")
+        b = spark.createDataFrame([(2,)], "id long")
+        out = align_by_fieldname([a, b])
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[2]["a"] is None
