@@ -279,6 +279,16 @@ class AudioConsistencyRule(Rule):
     def plan(self, ctx: ValidationContext) -> DataFrame:
         use_hash_path = self.check_snr and self.pcm_manifest is not None
         info = decode_info(ctx.df, with_snr=self.check_snr and not use_hash_path)
+        if use_hash_path:
+            # the hash path consumes `info` in two subtrees (violations +
+            # mismatch discovery); without a persist Spark recomputes the
+            # full 6-GB-scan decode once per subtree.  The decode output
+            # is tiny (~100 B/row, no binary), so cache it: the decode
+            # then runs exactly once per table regardless of fan-out.
+            from pyspark import StorageLevel
+
+            info = info.persist(StorageLevel.MEMORY_AND_DISK)
+            ctx.cached.append(info)
         rid = self.rule_id
         part = F.col("partition_id")
 
@@ -353,6 +363,14 @@ class AudioConsistencyRule(Rule):
                 .filter(F.col("pcm_sha256") != F.col("_exp_sha"))
                 .select("clip_id")
             )
+            # rule-level runtime adaptivity: `mismatched` derives from the
+            # CACHED decode info, so checking emptiness is one tiny job —
+            # and an empty mismatch set means the slow path (a second full
+            # scan of the binary column) can be dropped from the plan
+            # entirely.  At 10^12 rows this is the difference between one
+            # and two passes over the payload bytes.
+            if mismatched.isEmpty():
+                return out
             # slow path only for hash-mismatched clips: semi-join prune,
             # then full decode + reference regeneration + exact SNR
             slow = decode_info(

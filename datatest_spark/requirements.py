@@ -76,6 +76,7 @@ class ValidationContext:
         self.spark = df.sparkSession
         self.key_cols = list(key) if key else []
         self.partition_col = partition_col
+        self.cached = []  # DataFrames persisted by rules; unpersist after the run
 
     def key_expr(self) -> Optional[Column]:
         if not self.key_cols:

@@ -1,0 +1,65 @@
+"""Streaming validation — the same rule compiler inside foreachBatch.
+
+The reference has no streaming layer (SURVEY.md §2D: none); the
+engine's incremental story is per-partition checkpointed batch runs
+(plans/checkpoint.py).  This module adds the natural Structured
+Streaming wrapper on top: each micro-batch flows through the SAME
+``Engine.compile`` plan fragments, violations append to a sink, and
+Spark's checkpointing gives exactly-once per-batch lineage — so a
+streaming deployment reuses every rule unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..requirements import Rule
+from ..validation import Engine
+
+__all__ = ["validate_stream"]
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rules: Sequence[Rule],
+    violations_path: str,
+    checkpoint_path: str,
+    partition_col: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Attach the rule set to a streaming DataFrame.
+
+    Returns the started ``StreamingQuery``.  Violations append to
+    ``violations_path`` (parquet) with a ``batch_id`` column; Spark's
+    streaming checkpoint at ``checkpoint_path`` makes restarts resume
+    from the last committed micro-batch (exactly-once appends).
+
+    Plan-rule caveats at streaming time: aggregation-based rules (set /
+    unique) evaluate per micro-batch — they validate the batch, not
+    all-of-history (all-of-history uniqueness needs stateful dedup,
+    which the batch engine's checkpointed runs cover instead).
+    """
+    engine = Engine(stream_df.sparkSession)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        violations = engine.compile(
+            batch_df, list(rules), partition_col=partition_col
+        )
+        (
+            violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(violations_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

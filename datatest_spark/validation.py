@@ -148,10 +148,21 @@ class ValidationResult:
     until ``ok`` / ``differences()`` / ``raise_if_failed()``."""
 
     def __init__(self, violations: DataFrame, description: str = None,
-                 grouped: bool = False):
+                 grouped: bool = False, cached=None):
         self.violations = violations
         self.description = description
         self.grouped = grouped
+        self._cached = cached or []
+
+    def unpersist(self) -> None:
+        """Release intermediates persisted during rule compilation
+        (e.g. the decode-info cache) — call when done with the run."""
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached = []
 
     @property
     def ok(self) -> bool:
@@ -205,7 +216,9 @@ class Engine:
         if isinstance(key, str):
             key = [key]
         ctx = ValidationContext(df, key=key, partition_col=partition_col)
+        return self._compile_ctx(ctx, rules)
 
+    def _compile_ctx(self, ctx: ValidationContext, rules: Sequence[Rule]) -> DataFrame:
         fragments = []
         row_exprs = [r.row_expr(ctx) for r in rules if r.kind == "row"]
         if row_exprs:
@@ -235,9 +248,13 @@ class Engine:
         partition_col=None,
         description=None,
     ) -> ValidationResult:
-        violations = self.compile(df, rules, key=key, partition_col=partition_col)
+        if isinstance(key, str):
+            key = [key]
+        ctx = ValidationContext(df, key=key, partition_col=partition_col)
+        violations = self._compile_ctx(ctx, rules)
         return ValidationResult(
-            violations, description, grouped=key is not None
+            violations, description, grouped=key is not None,
+            cached=ctx.cached,
         )
 
 

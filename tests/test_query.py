@@ -1,0 +1,124 @@
+"""Squint-style query layer (reference __past__/squint/query.py semantics)."""
+
+import pytest
+
+from datatest_spark.query import Select
+
+
+@pytest.fixture(scope="module")
+def sel(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x", "10"),
+            ("a", "y", "20"),
+            ("b", "x", "5"),
+            ("b", "y", "oops"),  # text coerces to 0.0 in SQLite sums
+            ("b", "z", None),
+        ],
+        "A string, B string, C string",
+    )
+    return Select(df)
+
+
+class TestSelection:
+    def test_single_column(self, sel):
+        assert sorted(sel("A").fetch()) == ["a", "a", "b", "b", "b"]
+
+    def test_tuple_columns(self, sel):
+        got = sel(("A", "B")).fetch()
+        assert ("a", "x") in got and len(got) == 5
+
+    def test_dict_groupby(self, sel):
+        got = sel({"A": "C"}).fetch()
+        assert got == {"a": ["10", "20"], "b": ["5", "oops", None]}
+
+    def test_where_equality(self, sel):
+        assert sorted(sel("B", A="a").fetch()) == ["x", "y"]
+
+    def test_where_set_membership(self, sel):
+        got = sel("C", B={"x"}).fetch()
+        assert sorted(got) == ["10", "5"]
+
+    def test_where_callable(self, sel):
+        got = sel("A", C=lambda v: v is not None and v.isdigit()).fetch()
+        assert sorted(got) == ["a", "a", "b"]
+
+
+class TestSQLiteAggregates:
+    def test_sum_text_coercion(self, sel):
+        # 'oops' → 0.0, NULL skipped (reference query.py:417-442)
+        got = sel({"A": "C"}).sum().fetch()
+        assert got == {"a": 30.0, "b": 5.0}
+
+    def test_global_sum(self, sel):
+        assert sel("C").sum().fetch() == 35.0
+
+    def test_count_non_null(self, sel):
+        got = sel({"A": "C"}).count().fetch()
+        assert got == {"a": 2, "b": 2}
+
+    def test_avg(self, sel):
+        got = sel({"A": "C"}).avg().fetch()
+        assert got == {"a": 15.0, "b": 2.5}
+
+    def test_min_cross_type(self, sel):
+        # numeric sorts before text (reference query.py:457-482)
+        got = sel({"A": "C"}).min().fetch()
+        assert got["b"] == "5"  # 5 < 'oops', NULL skipped
+
+    def test_max_cross_type(self, sel):
+        got = sel({"A": "C"}).max().fetch()
+        assert got["b"] == "oops"  # text > numeric
+
+
+class TestTransforms:
+    def test_distinct(self, sel):
+        assert sorted(sel("A").distinct().fetch()) == ["a", "b"]
+
+    def test_filter(self, sel):
+        got = sel("C").filter(lambda v: v is not None and v.isdigit()).fetch()
+        assert sorted(got) == ["10", "20", "5"]
+
+    def test_map(self, sel):
+        got = sel("B", A="a").map(str.upper).fetch()
+        assert sorted(got) == ["X", "Y"]
+
+    def test_reduce(self, sel):
+        total = sel("C", B="x").map(float).reduce(lambda a, b: float(a) + float(b))
+        assert total == 15.0
+
+    def test_apply(self, sel):
+        got = sel({"A": "B"}).apply(len)
+        assert got == {"a": 2, "b": 3}
+
+    def test_to_csv(self, sel, tmp_path):
+        out = str(tmp_path / "out_csv")
+        sel(("A", "B")).to_csv(out)
+        import glob
+
+        files = glob.glob(out + "/*.csv")
+        assert files
+
+
+class TestStreaming:
+    def test_foreach_batch_validation(self, spark, tmp_path):
+        from datatest_spark import requirements as R
+        from datatest_spark.streaming import validate_stream
+
+        src = str(tmp_path / "stream_src")
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, v double"
+        ).write.parquet(src)
+
+        stream = spark.readStream.schema("id long, v double").parquet(src)
+        viol_path = str(tmp_path / "violations")
+        q = validate_stream(
+            stream,
+            [R.interval("v", 0, 40)],
+            violations_path=viol_path,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(viol_path)
+        assert got.count() == 9  # 41..49 out of range
+        assert got.select("batch_id").distinct().count() == 1
