@@ -1014,11 +1014,12 @@ class MappingRule(Rule):
         spark = ctx.spark
         key = self.key
         column = None
-        # the value column: the single non-key column of ctx, or explicit
-        value_cols = [c for c in df.columns if c != key]
+        # the value column: the single non-key (non-order) column
+        order_cols = set(_as_list(self.order_by)) if self.order_by else set()
+        value_cols = [c for c in df.columns if c != key and c not in order_cols]
         if len(value_cols) != 1:
             raise ValueError(
-                "mapping() expects a two-column frame (key, value); "
+                "mapping() expects a (key, value[, order]) frame; "
                 f"got {df.columns}"
             )
         column = value_cols[0]

@@ -287,3 +287,47 @@ class TestErrorRendering:
         msg = str(exc.value)
         assert "difference" in msg
         assert "more" in msg  # truncation marker
+
+
+class TestGroupedOrder:
+    """Grouped LCS order checks (OrderRule with keys via applyInPandas)."""
+
+    def test_per_key_order(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import Engine
+
+        rows = [
+            ("A", 0, "x"), ("A", 1, "y"), ("A", 2, "z"),      # matches
+            ("B", 0, "x"), ("B", 1, "q"), ("B", 2, "z"),      # y->q replace
+        ]
+        df = spark.createDataFrame(rows, "key string, pos int, value string")
+        engine = Engine(spark)
+        res = engine.validate(
+            df, [R.order("value", ["x", "y", "z"], order_by="pos")],
+            key=["key"],
+        )
+        got = res.violations.collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r["key"], []).append((r["diff_type"], r["invalid"], r["expected"]))
+        assert "A" not in by_key
+        assert ("MISSING", None, "(1, y)") in by_key["B"]
+        assert ("EXTRA", "(1, q)", None) in by_key["B"]
+
+
+class TestMappingWithSequence:
+    def test_mapping_order_values(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import Engine
+
+        rows = [("A", 0, "x"), ("A", 1, "y"), ("B", 0, "y"), ("B", 1, "x")]
+        df = spark.createDataFrame(rows, "key string, pos int, value string")
+        # requirement: A must be [x, y]; B must be [x, y] (it's reversed)
+        rule = R.mapping("key", {"A": ["x", "y"], "B": ["x", "y"]},
+                         order_by="pos")
+        # mapping needs (key, value) frames; pos is the order column
+        engine = Engine(spark)
+        res = engine.validate(df.select("key", "value", "pos"), [rule])
+        # B reversed -> LCS diffs exist; A clean
+        keys = {r["key"] for r in res.violations.collect()}
+        assert "B" in str(keys)
