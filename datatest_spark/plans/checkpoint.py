@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from ..requirements import Rule
 from ..validation import Engine
 
-__all__ = ["run_checkpointed", "CheckpointedRun"]
+__all__ = ["run_checkpointed", "CheckpointedRun", "GLOBAL_PARTITION"]
+
+# Bucket for violations that no single data partition can own
+# (aggregate/join rules: uniqueness across partitions, set membership,
+# drift).  It gets its own verdict row so these can never silent-pass.
+GLOBAL_PARTITION = "__global__"
 
 VERDICT_SCHEMA = (
     "partition_id string, passed boolean, failed_mandatory boolean, "
@@ -121,11 +126,21 @@ def run_checkpointed(
             work, list(mandatory), partition_col=partition_col
         )
         mand_rows = (
-            mand_viol.groupBy("partition_id").count().collect()
+            mand_viol.withColumn(
+                "partition_id",
+                F.coalesce(F.col("partition_id"), F.lit(GLOBAL_PARTITION)),
+            )
+            .groupBy("partition_id")
+            .count()
+            .collect()
         )
         mand_counts = {r["partition_id"]: r["count"] for r in mand_rows}
         mandatory_failed_parts = sorted(mand_counts)
-        if mandatory_failed_parts:
+        if GLOBAL_PARTITION in mand_counts:
+            # a global mandatory rule failed — fail-fast everything
+            # (the distributed analogue of @mandatory stopping the run)
+            gated = work.limit(0)
+        elif mandatory_failed_parts:
             # fail-fast: gated partitions skip the non-mandatory rules
             gated = work.filter(
                 ~F.col(partition_col).cast("string").isin(mandatory_failed_parts)
@@ -136,6 +151,13 @@ def run_checkpointed(
         violations = violations.unionByName(
             engine.compile(work, list(mandatory), partition_col=partition_col)
         )
+    # Aggregate-level violations (set/unique/subset extras, drift rows)
+    # have no single source partition and arrive with NULL partition_id.
+    # They MUST still fail the run: bucket them under '__global__' so
+    # they are counted in a verdict row instead of silently dropped.
+    violations = violations.withColumn(
+        "partition_id", F.coalesce(F.col("partition_id"), F.lit(GLOBAL_PARTITION))
+    )
 
     # one job: write violations partitioned by partition_id
     (
@@ -175,7 +197,10 @@ def run_checkpointed(
     elapsed = time.time() - start
     now = time.strftime("%Y-%m-%dT%H:%M:%S")
     verdict_rows = []
-    for p in todo:
+    verdict_parts = list(todo)
+    if GLOBAL_PARTITION in count_map:
+        verdict_parts.append(GLOBAL_PARTITION)
+    for p in verdict_parts:
         c = count_map.get(p)
         n_viol = c["n_violations"] if c else 0
         verdict_rows.append(

@@ -83,12 +83,10 @@ class ValidationContext:
             return None
         if len(self.key_cols) == 1:
             return repr_col(F.col(self.key_cols[0]))
-        # multi-column keys render as a tuple-ish string "(a, b)"
-        return F.concat(
-            F.lit("("),
-            F.concat_ws(", ", *[repr_col(F.col(c)) for c in self.key_cols]),
-            F.lit(")"),
-        )
+        # multi-column keys render as a tuple-ish string "(a, b)";
+        # NULL components render as "None" (concat_ws would silently
+        # drop them, collapsing distinct keys like (x, NULL)/(NULL, x))
+        return _render_tuple([F.col(c) for c in self.key_cols])
 
     def partition_expr(self) -> Optional[Column]:
         if self.partition_col:
@@ -304,9 +302,19 @@ class FuzzyRule(Rule):
     Ratcliff–Obershelp similarity via ``difflib.SequenceMatcher.ratio``
     — NOT Levenshtein (`F.levenshtein` is not equivalent).  Runs as an
     Arrow-vectorized pandas UDF; this is an inherently-Python matcher.
+
+    Plan shape (why this is a *plan* rule, not a fused row rule): Spark
+    hoists pandas UDFs into an ArrowEvalPython stage that evaluates for
+    EVERY input row regardless of boolean ``|`` short-circuits or
+    ``F.when`` guards.  At 10^12 rows where ~99% pass exact equality,
+    a fused expression would push the whole table through Python.  So
+    the rule compiles to two fragments: a JVM-side Filter that removes
+    exact matches first, then the difflib UDF over only the mismatch
+    fragment (the plan shows ArrowEvalPython strictly above that
+    Filter — pinned by tests/test_plans.py).
     """
 
-    kind = "row"
+    kind = "plan"
 
     def __init__(self, column, expected, cutoff=0.6, expected_col=None,
                  rule_id=None, show_expected=True):
@@ -317,7 +325,7 @@ class FuzzyRule(Rule):
         self.cutoff = cutoff
         self.show_expected = show_expected
 
-    def row_expr(self, ctx: ValidationContext) -> Column:
+    def plan(self, ctx: ValidationContext) -> DataFrame:
         cutoff = self.cutoff
 
         @F.pandas_udf(T.BooleanType())
@@ -340,19 +348,21 @@ class FuzzyRule(Rule):
         else:
             exp = F.lit(self.expected)
             exp_repr = F.lit(py_repr(self.expected))
-        # exact equality short-circuits JVM-side; UDF only sees the rest
-        passed = col.eqNullSafe(exp) | F.coalesce(fuzzy_ok(col, exp), F.lit(False))
-        return F.when(
-            ~passed,
-            violation_struct(
+
+        # fragment 1 (JVM, codegen'd): drop exact matches
+        mismatch = ctx.df.filter(~col.eqNullSafe(exp))
+        # fragment 2 (Python): difflib only over the mismatches
+        viol = mismatch.filter(~F.coalesce(fuzzy_ok(col, exp), F.lit(False)))
+        return viol.select(
+            finalize_cols(
                 self.rule_id,
-                F.lit(INVALID),
+                INVALID,
                 key=ctx.key_expr(),
                 column=self.column,
                 invalid=repr_col(col),
                 expected=exp_repr if self.show_expected else None,
                 partition_id=ctx.partition_expr(),
-            ),
+            )
         )
 
 
@@ -484,6 +494,15 @@ def _match_key_col(col: Column) -> Column:
     return repr_col(col)
 
 
+def _render_tuple(cols: Sequence[Column]) -> Column:
+    """Render several columns as the reference's tuple repr "(a, b)".
+
+    NULLs render as "None" — NEVER via bare concat_ws, which drops
+    NULL pieces and makes ('x', NULL) and (NULL, 'x') collide."""
+    pieces = [F.coalesce(repr_col(c), F.lit("None")) for c in cols]
+    return F.concat(F.lit("("), F.concat_ws(", ", *pieces), F.lit(")"))
+
+
 # ---------------------------------------------------------------------------
 # Plan rules (aggregation / join based)
 # ---------------------------------------------------------------------------
@@ -552,9 +571,7 @@ class SetRule(Rule):
             if nkeys == 1:
                 key_out = merged[0]
             else:
-                key_out = F.concat(
-                    F.lit("("), F.concat_ws(", ", *merged), F.lit(")")
-                )
+                key_out = _render_tuple(merged)
         else:
             joined = actual.join(
                 req, actual["_val"].eqNullSafe(req["_rval"]), "full_outer"
@@ -672,7 +689,7 @@ def _key_out_from_k(ctx: ValidationContext):
     ks = [F.col(f"_k{i}") for i in range(len(ctx.key_cols))]
     if len(ks) == 1:
         return ks[0]
-    return F.concat(F.lit("("), F.concat_ws(", ", *ks), F.lit(")"))
+    return _render_tuple(ks)
 
 
 class SupersetRule(Rule):
@@ -681,6 +698,9 @@ class SupersetRule(Rule):
 
     Spark plan: requirement LEFT ANTI data.distinct().  The distinct is
     the only shuffle; requirement side is usually broadcast-size.
+    Grouped form: distinct keys × broadcast requirement (the same
+    key-crossJoin shape SetRule uses) LEFT ANTI the per-key distinct
+    values — every key group must contain every required element.
     """
 
     kind = "plan"
@@ -691,27 +711,52 @@ class SupersetRule(Rule):
         self.required = required
         self.required_column = required_column
 
-    def plan(self, ctx: ValidationContext) -> DataFrame:
-        if ctx.key_cols:
-            raise NotImplementedError("grouped superset: use mapping()")
-        actual = ctx.df.select(
-            _match_key_col(F.col(self.column)).alias("_val")
-        ).distinct()
+    def _req_df(self, ctx) -> DataFrame:
         if isinstance(self.required, DataFrame):
             rcol = self.required_column or self.required.columns[0]
-            req = self.required.select(
+            return self.required.select(
                 _match_key_col(F.col(rcol)).alias("_rval")
             ).distinct()
-        else:
-            req = _literal_df(ctx.spark, self.required).select(
-                F.col("expected_repr").alias("_rval")
-            )
-        missing = req.join(
-            actual, req["_rval"].eqNullSafe(actual["_val"]), "left_anti"
+        return _literal_df(ctx.spark, self.required).select(
+            F.col("expected_repr").alias("_rval")
         )
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        req = self._req_df(ctx)
+        if not ctx.key_cols:
+            actual = ctx.df.select(
+                _match_key_col(F.col(self.column)).alias("_val")
+            ).distinct()
+            missing = req.join(
+                actual, req["_rval"].eqNullSafe(actual["_val"]), "left_anti"
+            )
+            return missing.select(
+                finalize_cols(
+                    self.rule_id, MISSING, column=self.column,
+                    expected=F.col("_rval"),
+                )
+            )
+
+        nkeys = len(ctx.key_cols)
+        key_exprs = [
+            repr_col(F.col(c)).alias(f"_k{i}") for i, c in enumerate(ctx.key_cols)
+        ]
+        akey_exprs = [
+            repr_col(F.col(c)).alias(f"_ak{i}") for i, c in enumerate(ctx.key_cols)
+        ]
+        actual = ctx.df.select(
+            *akey_exprs, _match_key_col(F.col(self.column)).alias("_val")
+        ).distinct()
+        keys = ctx.df.select(*key_exprs).distinct()
+        req_per_key = keys.crossJoin(F.broadcast(req))
+        cond = F.col("_rval").eqNullSafe(F.col("_val"))
+        for i in range(nkeys):
+            cond = cond & F.col(f"_k{i}").eqNullSafe(F.col(f"_ak{i}"))
+        missing = req_per_key.join(actual, cond, "left_anti")
         return missing.select(
             finalize_cols(
-                self.rule_id, MISSING, column=self.column, expected=F.col("_rval")
+                self.rule_id, MISSING, key=_key_out_from_k(ctx),
+                column=self.column, expected=F.col("_rval"),
             )
         )
 
@@ -720,9 +765,13 @@ class UniqueRule(Rule):
     """validate.unique — duplicate occurrences after the first are Extra
     (reference requirements.py:624-653), one Extra PER duplicate row.
 
-    Spark plan: groupBy(value).count() (map-side partial agg) → filter
-    count>1 → explode ``sequence(1, count-1)`` to reproduce the
-    one-Extra-per-occurrence multiplicity without shuffling raw rows.
+    Spark plan: groupBy over the RAW columns (map-side partial agg;
+    native-typed shuffle keys, no repr-string inflation; NULL components
+    stay distinct — a rendered key would collapse ('x', NULL) and
+    (NULL, 'x')) → filter count>1 → explode ``sequence(1, count-1)`` to
+    reproduce the one-Extra-per-occurrence multiplicity without
+    shuffling raw rows.  The "(a, b)" tuple repr is rendered only for
+    the (rare) violation rows, after the aggregate.
     """
 
     kind = "plan"
@@ -735,23 +784,21 @@ class UniqueRule(Rule):
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
         key_exprs = [repr_col(F.col(c)).alias(f"_k{i}") for i, c in enumerate(ctx.key_cols)]
-        if len(self.columns) == 1:
-            val = _match_key_col(F.col(self.columns[0])).alias("_val")
-        else:
-            val = F.concat(
-                F.lit("("),
-                F.concat_ws(", ", *[repr_col(F.col(c)) for c in self.columns]),
-                F.lit(")"),
-            ).alias("_val")
+        val_exprs = [F.col(c).alias(f"_c{j}") for j, c in enumerate(self.columns)]
+        val_names = [f"_c{j}" for j in range(len(self.columns))]
         counts = (
-            ctx.df.select(*key_exprs, val)
-            .groupBy(*[f"_k{i}" for i in range(len(ctx.key_cols))], "_val")
+            ctx.df.select(*key_exprs, *val_exprs)
+            .groupBy(*[f"_k{i}" for i in range(len(ctx.key_cols))], *val_names)
             .count()
             .filter(F.col("count") > 1)
         )
+        if len(self.columns) == 1:
+            val = _match_key_col(F.col("_c0")).alias("_val")
+        else:
+            val = _render_tuple([F.col(n) for n in val_names]).alias("_val")
         dups = counts.select(
             *[F.col(f"_k{i}") for i in range(len(ctx.key_cols))],
-            "_val",
+            val,
             F.explode(F.sequence(F.lit(1), F.col("count") - 1)).alias("_n"),
         )
         return dups.select(
@@ -1182,9 +1229,17 @@ class RefMatchRule(Rule):
         self.broadcast_hint = broadcast_hint
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
+        # violations are 1:1 with data rows, so the source partition is
+        # attributable — carry it through for checkpoint verdicts
+        part_sel = (
+            [F.col(ctx.partition_col).cast("string").alias("_part")]
+            if ctx.partition_col
+            else []
+        )
         df = ctx.df.select(
             F.col(self.on).alias("_on"),
             F.col(self.column).alias("_actual"),
+            *part_sel,
         )
         ref = self.ref.select(
             F.col(self.on).alias("_on"),
@@ -1194,7 +1249,15 @@ class RefMatchRule(Rule):
             ref = F.broadcast(ref)
         j = df.join(ref, "_on", "left_outer")
 
-        exact = F.col("_actual").eqNullSafe(F.col("_expected"))
+        # JVM fragment first: Spark hoists pandas UDFs into an
+        # ArrowEvalPython stage that runs for EVERY input row, so the
+        # difflib stage must sit above a Filter that already removed
+        # exact matches (at 10^12 transcripts ~99% pass exactly).
+        passed_jvm = F.col("_actual").eqNullSafe(F.col("_expected"))
+        if self.missing_ref_ok:
+            passed_jvm = passed_jvm | F.col("_expected").isNull()
+        mismatch = j.filter(~F.coalesce(passed_jvm, F.lit(False)))
+
         if self.fuzzy_cutoff is not None:
             cutoff = self.fuzzy_cutoff
 
@@ -1212,16 +1275,13 @@ class RefMatchRule(Rule):
                         out.append(False)
                 return pd.Series(out, dtype="boolean")
 
-            passed = exact | F.coalesce(
-                fuzzy_ok(F.col("_actual"), F.col("_expected")), F.lit(False)
+            mismatch = mismatch.filter(
+                ~F.coalesce(
+                    fuzzy_ok(F.col("_actual"), F.col("_expected")), F.lit(False)
+                )
             )
-        else:
-            passed = exact
 
-        if self.missing_ref_ok:
-            passed = passed | F.col("_expected").isNull()
-
-        return j.filter(~F.coalesce(passed, F.lit(False))).select(
+        return mismatch.select(
             finalize_cols(
                 self.rule_id,
                 INVALID,
@@ -1229,6 +1289,7 @@ class RefMatchRule(Rule):
                 column=self.column,
                 invalid=repr_col(F.col("_actual")),
                 expected=repr_col(F.col("_expected")),
+                partition_id=F.col("_part") if ctx.partition_col else None,
             )
         )
 
@@ -1265,9 +1326,15 @@ class RefApproxRule(Rule):
         self.round_to = round_to
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
+        part_sel = (
+            [F.col(ctx.partition_col).cast("string").alias("_part")]
+            if ctx.partition_col
+            else []
+        )
         df = ctx.df.select(
             F.col(self.on).alias("_on"),
             F.col(self.column).try_cast("double").alias("_actual"),
+            *part_sel,
         )
         ref = self.ref.select(
             F.col(self.on).alias("_on"),
@@ -1296,6 +1363,7 @@ class RefApproxRule(Rule):
                 expected=repr_col(exp),
                 deviation=F.when(F.col("_actual").isNotNull(), dev),
                 expected_num=F.when(F.col("_actual").isNotNull(), exp),
+                partition_id=F.col("_part") if ctx.partition_col else None,
             )
         )
 

@@ -32,10 +32,14 @@ def validate_stream(
 ):
     """Attach the rule set to a streaming DataFrame.
 
-    Returns the started ``StreamingQuery``.  Violations append to
-    ``violations_path`` (parquet) with a ``batch_id`` column; Spark's
+    Returns the started ``StreamingQuery``.  Violations land under
+    ``violations_path`` (parquet) partitioned by ``batch_id``; Spark's
     streaming checkpoint at ``checkpoint_path`` makes restarts resume
-    from the last committed micro-batch (exactly-once appends).
+    from the last committed micro-batch.  Writes are **idempotent per
+    batch**: dynamic partition overwrite keyed by ``batch_id`` means a
+    micro-batch retry (or a restart that replays the last uncommitted
+    batch) overwrites its own partition instead of appending duplicate
+    violation rows — foreachBatch alone is only at-least-once.
 
     Plan-rule caveats at streaming time: aggregation-based rules (set /
     unique) evaluate per micro-batch — they validate the batch, not
@@ -52,7 +56,9 @@ def validate_stream(
         )
         (
             violations.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(violations_path)
         )
 

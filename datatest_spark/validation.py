@@ -237,7 +237,7 @@ class Engine:
                 fragments.append(finalize_violations(r.plan(ctx)))
 
         if not fragments:
-            return empty_violations(df.sparkSession)
+            return empty_violations(ctx.df.sparkSession)
         return reduce(lambda a, b: a.unionByName(b), fragments)
 
     def validate(
@@ -397,18 +397,27 @@ def _v_fuzzy(df, requirement, column=None, cutoff=0.6, key=None, **kw):
 
 
 class _KeyedFuzzy(R.FuzzyRule):
+    """fuzzy against a per-key expected value (mapping form).
+
+    FuzzyRule is a plan rule (the difflib UDF must only see the
+    exact-mismatch fragment), so the key restriction is a JVM-side
+    pre-filter — it prunes before the Python stage."""
+
     def __init__(self, column, key, key_value, expected, cutoff):
         super().__init__(column, expected, cutoff, rule_id=f"fuzzy:{column}")
         self.key_col = key
         self.key_value = key_value
 
-    def row_expr(self, ctx):
+    def plan(self, ctx):
         from .schema import py_repr, repr_col
 
-        base = super().row_expr(ctx)
-        return F.when(
-            repr_col(F.col(self.key_col)) == py_repr(self.key_value), base
+        sub = ctx.df.filter(
+            repr_col(F.col(self.key_col)) == py_repr(self.key_value)
         )
+        sub_ctx = R.ValidationContext(
+            sub, key=[self.key_col], partition_col=ctx.partition_col
+        )
+        return super().plan(sub_ctx)
 
 
 def _v_interval(df, min=None, max=None, column=None, key=None, **kw):

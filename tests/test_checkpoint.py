@@ -55,6 +55,34 @@ class TestCheckpointedRun:
         assert sorted(run2.processed_partitions) == ["0", "1", "2", "3"]
         assert run2.ok  # looser bound passes
 
+    def test_global_plan_rule_violations_fail_run(self, spark, ckpt_dir):
+        # uniqueness violations span partitions → no single partition_id;
+        # they must land in the __global__ verdict bucket, not vanish
+        rows = [(i if i != 7 else 3, i % 4) for i in range(8)]
+        df = spark.createDataFrame(rows, "id long, part_id int")
+        run = run_checkpointed(df, [R.unique("id")], "part_id", ckpt_dir)
+        verdicts = {r["partition_id"]: r for r in run.verdicts.collect()}
+        assert "__global__" in verdicts
+        assert verdicts["__global__"]["passed"] is False
+        assert verdicts["__global__"]["n_extra"] == 1
+        assert not run.ok
+
+    def test_global_mandatory_gates_everything(self, spark, ckpt_dir):
+        rows = [(i if i != 7 else 3, i % 4, 10) for i in range(8)]
+        df = spark.createDataFrame(rows, "id long, part_id int, v long")
+        run = run_checkpointed(
+            df,
+            [R.interval("v", 0, 5, rule_id="soft")],  # would fail everywhere
+            "part_id",
+            ckpt_dir,
+            mandatory=[R.unique("id", rule_id="hard")],
+        )
+        verdicts = {r["partition_id"]: r for r in run.verdicts.collect()}
+        assert verdicts["__global__"]["failed_mandatory"] is True
+        # fail-fast: the soft rule never ran, so no interval deviations
+        assert all(v["n_deviation"] == 0 for v in verdicts.values())
+        assert not run.ok
+
     def test_mandatory_gating(self, spark, ckpt_dir):
         df = part_df(spark)
         run = run_checkpointed(

@@ -89,6 +89,41 @@ class TestCodegen:
         assert "BatchEvalPython" not in plan
 
 
+class TestPythonFragmentPruning:
+    """The difflib stages may only ever see exact-mismatch rows: Spark
+    evaluates ArrowEvalPython for every input row (boolean ``|`` does
+    not short-circuit across the Python boundary), so the UDF stage
+    must sit ABOVE a JVM Filter that removed exact matches."""
+
+    def _assert_udf_above_exact_filter(self, plan: str):
+        lines = plan.splitlines()
+        arrow = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+        # Catalyst may keep the exact check as a Filter or push it into
+        # the join condition — either way it must sit below the UDF stage
+        exact_filter = next(
+            i for i, l in enumerate(lines)
+            if "<=>" in l and "ArrowEvalPython" not in l
+        )
+        # tree prints parent above child: the exact-match Filter must be
+        # a descendant (below) of the Python stage
+        assert arrow < exact_filter, plan
+
+    def test_fuzzy_rule_prunes_udf_input(self, spark):
+        df = spark.createDataFrame(
+            [("abcd", "abcd"), ("abcd", "abXd")], "a string, b string"
+        )
+        v = Engine(spark).compile(df, [R.fuzzy("a", expected_col="b", cutoff=0.9)])
+        self._assert_udf_above_exact_filter(explain_str(v, "simple"))
+
+    def test_ref_match_fuzzy_prunes_udf_input(self, spark):
+        df = spark.createDataFrame([(1, "abcd")], "k long, a string")
+        ref = spark.createDataFrame([(1, "abXd")], "k long, r string")
+        v = Engine(spark).compile(
+            df, [R.ref_match("a", ref, on="k", ref_column="r", fuzzy_cutoff=0.5)]
+        )
+        self._assert_udf_above_exact_filter(explain_str(v, "simple"))
+
+
 class TestAggregation:
     def test_profile_single_scan(self, spark, lineitem):
         from datatest_spark.stats import profile

@@ -73,6 +73,20 @@ class TestSubsetSuperset:
         res = validate.superset(df, {1, 2, 3}, column="value")
         assert res.ok
 
+    def test_grouped_superset(self, spark):
+        # every key group must contain every required element
+        df = df_from(spark, {"a": [1, 2, 3], "b": [1, 3], "c": [4]})
+        with pytest.raises(ValidationError) as exc:
+            validate.superset(df, {1, 2}, column="value", key="key")
+        diffs = get_differences(exc)
+        assert diffs == {"b": Missing(2), "c": [Missing(1), Missing(2)]}
+
+    def test_grouped_superset_pass(self, spark):
+        df = df_from(spark, {"a": [1, 2, 9], "b": [2, 1]})
+        res = validate.superset(df, {1, 2}, column="value", key="key",
+                                raise_on_failure=False)
+        assert res.ok
+
 
 class TestUnique:
     """reference test_validation.py:679-686"""
@@ -93,6 +107,29 @@ class TestUnique:
     def test_unique_pass(self, spark):
         df = df_from(spark, [1, 2, 3])
         assert validate.unique(df, columns=["value"], raise_on_failure=False).ok
+
+    def test_composite_null_components_stay_distinct(self, spark):
+        # ('x', NULL) and (NULL, 'x') are DIFFERENT composite keys — a
+        # null-dropping rendered group key would collapse them into
+        # false duplicates (ADVICE r1)
+        rows = [("x", None), (None, "x"), ("a", "b"), ("a", "b")]
+        df = spark.createDataFrame(rows, "c1 string, c2 string")
+        res = validate.unique(df, columns=["c1", "c2"], raise_on_failure=False)
+        diffs = res.differences()
+        assert diffs == [Extra("(a, b)")]
+
+    def test_composite_null_duplicates_render_none(self, spark):
+        rows = [("x", None), ("x", None)]
+        df = spark.createDataFrame(rows, "c1 string, c2 string")
+        res = validate.unique(df, columns=["c1", "c2"], raise_on_failure=False)
+        assert res.differences() == [Extra("(x, None)")]
+
+    def test_separator_values_do_not_collide(self, spark):
+        # values containing ', ' must not merge with genuine 2-tuples
+        rows = [("a, b", "c"), ("a", "b, c")]
+        df = spark.createDataFrame(rows, "c1 string, c2 string")
+        assert validate.unique(df, columns=["c1", "c2"],
+                               raise_on_failure=False).ok
 
 
 class TestInterval:
@@ -267,6 +304,18 @@ class TestPredicate:
         with pytest.raises(ValidationError) as exc:
             validate(df, {"A": {1, 2}, "B": {1, 2}}, key="key")
         assert get_differences(exc) == {"A": Extra(3)}
+
+
+class TestEmptyRuleList:
+    def test_empty_rules_yield_empty_violations(self, spark):
+        # regression: _compile_ctx referenced an undefined name when no
+        # rules were given (ADVICE r1)
+        from datatest_spark.validation import Engine
+
+        df = df_from(spark, [1, 2, 3])
+        res = Engine(spark).validate(df, [])
+        assert res.ok
+        assert res.violations.count() == 0
 
 
 class TestValidFunction:
