@@ -98,12 +98,23 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
     """IVF-style ANN: train a coarse quantizer on a seeded sample,
     assign vectors to cells JVM-side, search only the ``nprobe`` cells
     nearest the query.  Returns (id, cosine) — approximate top-k."""
+    # quantizer training sample: Bernoulli sample (NOT limit() alone —
+    # that takes the first partitions and biases centroids on sorted
+    # data), capped at sample_rows.  The collect is bounded (≤10k rows
+    # of the pruned embedding column) — standard driver-side IVF training.
+    total = df.count()
+    frac = min(1.0, (3.0 * sample_rows) / max(total, 1))
     sample = np.array(
         [
             [float(v) for v in r[0]]
-            for r in df.select(column).limit(sample_rows).collect()
+            for r in df.select(column)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_rows)
+            .collect()
         ]
     )
+    if len(sample) == 0:
+        raise ValueError("ivf_topk: empty input")
     centroids = _train_centroids(sample, n_cells, seed=seed)
 
     # cell assignment as a JVM-side argmax over centroid dot products

@@ -2,17 +2,26 @@
 
 Scale shapes:
 
-* **exact**: one hash-groupBy (map-side partial agg) — the cheapest
-  possible full-table dedup; group key is ``xxhash64(column)`` so the
-  shuffle carries 8-byte keys, not document bodies.
+* **exact**: one hash-groupBy (map-side partial agg) — the group key is
+  ``(xxhash64(column), length(column))``, 16 bytes, so the shuffle
+  never carries document bodies (one sample body per group survives the
+  partial aggregate for the output row).
 * **MinHash+LSH**: shingle → per-seed min-hash (JVM-side
   ``transform``+``xxhash64`` — no UDF) → band buckets → self-join per
   bucket.  The self-join is on (band, bucket-hash): only candidate
-  pairs shuffle, never the full cross product.
-* **SimHash**: 64-bit bit-vote signature via one vectorized pandas UDF
-  (numpy bit ops per Arrow batch), then Hamming-band bucketing.
+  pairs shuffle, never the full cross product.  Oversized buckets
+  (empty/boilerplate documents — the quadratic skew hazard) are dropped
+  by ``max_bucket_size`` before the self-join.  ``exact=True`` adds a
+  verification join that scores candidates by TRUE shingle Jaccard
+  (``array_intersect``/``array_union``, JVM-side) — candidates are a
+  tiny fraction of the corpus, so only they pay the shingle-array
+  shuffle.
+* **SimHash**: 64-bit bit-vote signature.  Per-token hashes are
+  JVM-side ``xxhash64`` (deterministic across executors/restarts —
+  Python's builtin ``hash`` is PYTHONHASHSEED-salted and MUST NOT be
+  used here); only the numpy bit-vote runs in a vectorized pandas UDF.
 * **embedding near-dup**: random-hyperplane LSH buckets JVM-side, exact
-  cosine only within buckets.
+  cosine only within (capped) buckets.
 """
 
 from __future__ import annotations
@@ -36,11 +45,27 @@ __all__ = [
 
 
 def exact_duplicates(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
-    """Duplicate groups by exact content equality."""
+    """Duplicate groups by exact content equality.
+
+    Shuffle key is ``(xxhash64(column), length(column))`` — 16 bytes
+    per row instead of the document body.  ``min(column)`` keeps one
+    sample body per group (map-side partial aggregation means at most
+    one body per group *per input partition* crosses the wire).
+    A 64-bit-hash + length collision merging two distinct texts needs
+    ~2^64 same-length docs — negligible at any target corpus size.
+    """
     return (
-        df.groupBy(column)
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        df.groupBy(
+            F.xxhash64(F.col(column)).alias("_h"),
+            F.length(F.col(column)).alias("_len"),
+        )
+        .agg(
+            F.min(F.col(column)).alias(column),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
         .filter(F.col("dup_count") > 1)
+        .select(column, "dup_count", "keep_id")
     )
 
 
@@ -53,6 +78,15 @@ def _word_shingles(col: Column, k: int) -> Column:
     )
 
 
+def _seeded_hash(seed: int):
+    # NOTE: must be a factory returning a ONE-argument lambda.  A
+    # two-parameter lambda (`lambda s, seed=seed: ...`) is interpreted
+    # by F.transform as an (element, index) lambda — the "seed" default
+    # silently becomes the array index and every hash family collapses
+    # to the same function.
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
 def minhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id",
                        num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
     """MinHash signature per document: k-word shingles hashed with
@@ -61,30 +95,33 @@ def minhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id",
     shingles = _word_shingles(F.col(column), shingle_k)
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, seed=seed: F.xxhash64(s, F.lit(seed)))
-            )
+            F.array_min(F.transform(shingles, _seeded_hash(seed)))
             for seed in range(num_hashes)
         ]
     )
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
-def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
-                          num_hashes: int = 32, bands: int = 8,
-                          shingle_k: int = 3,
-                          min_jaccard: Optional[float] = 0.5) -> DataFrame:
-    """LSH candidate pairs: band the signature, bucket-join, then verify
-    estimated Jaccard (fraction of agreeing minhash components).
+def _drop_oversized_buckets(banded: DataFrame, max_bucket_size: Optional[int]) -> DataFrame:
+    """Remove LSH buckets above ``max_bucket_size`` before the
+    self-join: one hot bucket (empty/boilerplate docs) otherwise makes
+    the join quadratic.  The oversized list is tiny → broadcast
+    anti-join.  Dropped buckets mean those (pathological) documents are
+    not paired by the affected band — the standard LSH skew guard."""
+    if max_bucket_size is None:
+        return banded
+    oversized = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
-    """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, column, id_col, num_hashes, shingle_k)
 
-    banded = sigs.select(
+def _banded(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.array(
                 *[
@@ -101,21 +138,76 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+        F.col("minhash"),
+    ).select(id_col, "bb.band", "bb.bucket", "minhash")
 
+
+def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
+                          num_hashes: int = 32, bands: int = 8,
+                          shingle_k: int = 3,
+                          min_jaccard: Optional[float] = 0.5,
+                          max_bucket_size: Optional[int] = 10_000,
+                          exact: bool = False) -> DataFrame:
+    """LSH near-duplicate pairs.
+
+    ``exact=False`` (default): estimate Jaccard as the fraction of
+    agreeing minhash components → (id_a, id_b, est_jaccard).
+    ``exact=True``: LSH only generates candidates (ids-only through the
+    pair shuffle), then a verification join computes the TRUE shingle
+    Jaccard JVM-side → (id_a, id_b, jaccard).  Candidates ≪ corpus, so
+    the shingle arrays are shuffled only for them.
+
+    Returns pairs with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, column, id_col, num_hashes, shingle_k)
+    # banded feeds the bucket-count pass and both self-join sides; the
+    # cache keeps the 32-seed shingle hashing to ONE scan (spills to
+    # disk if it outgrows memory — at cluster scale prefer a persisted
+    # intermediate table over recomputing the projection 3×)
+    banded = _banded(sigs, id_col, bands, rows_per_band)
+    if exact:
+        banded = banded.drop("minhash")  # candidates need ids only
+    banded = banded.persist()
+    banded = _drop_oversized_buckets(banded, max_bucket_size)
+
+    if exact:
+        # candidates: ids only — no signatures through the shuffle
+        a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+        b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh = df.select(
+            F.col(id_col),
+            F.array_distinct(_word_shingles(F.col(column), shingle_k)).alias("_sh"),
+        )
+        j = (
+            cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        )
+        jac = F.round(
+            F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+            / F.size(F.array_union(F.col("_sa"), F.col("_sb"))),
+            4,
+        )
+        out = j.select("id_a", "id_b", jac.alias("jaccard"))
+        if min_jaccard is not None:
+            out = out.filter(F.col("jaccard") >= min_jaccard)
+        return out
+
+    # estimated-jaccard path: score BEFORE the pair-dedup so the
+    # distinct shuffles (id_a, id_b, one double), not two signatures
     a = banded.select(
-        F.col("band"), F.col("bucket"),
+        "band", "bucket",
         F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
     )
     b = banded.select(
-        F.col("band"), F.col("bucket"),
+        "band", "bucket",
         F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
-    )
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
     est = (
         F.size(
@@ -126,48 +218,55 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
         )
         / F.lit(float(num_hashes))
     )
-    out = pairs.select(
-        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    out = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .distinct()
     )
     if min_jaccard is not None:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
     return out
 
 
-SIMHASH_SCHEMA = T.LongType()
-
-
 def simhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (vectorized numpy bit-vote per Arrow
-    batch — the only Python stage in the dedup family)."""
+    """64-bit SimHash per document.
+
+    Per-token hashes are computed JVM-side with ``xxhash64`` so the
+    signature is deterministic across Python workers, executors, and
+    restarts (builtin ``hash()`` is PYTHONHASHSEED-salted — using it
+    silently breaks pair recall on a real cluster).  Only the numpy
+    bit-vote over the hash array runs in a vectorized pandas UDF."""
+    token_hashes = F.transform(
+        F.split(F.col(column), " "), lambda w: F.xxhash64(w)
+    )
 
     @F.pandas_udf(T.LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
+    def bitvote(hashes_col: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            if not t:
+        shifts = np.arange(64, dtype=np.uint64)
+        for arr in hashes_col:
+            if arr is None or len(arr) == 0:
                 out.append(0)
                 continue
-            hashes = np.array(
-                [hash(w) & 0xFFFFFFFFFFFFFFFF for w in t.split(" ")],
-                dtype=np.uint64,
-            )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
+            hashes = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = ((hashes[:, None] >> shifts) & 1).astype(np.int64)
             votes = bits.sum(axis=0) * 2 - len(hashes)
-            sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            sig = int(((votes > 0).astype(np.uint64) << shifts).sum())
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(id_col), simhash(F.col(column)).alias("simhash"))
+    return df.select(F.col(id_col), bitvote(token_hashes).alias("simhash"))
 
 
 def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          max_bucket_size: Optional[int] = 10_000) -> DataFrame:
     """Near-dup pairs by SimHash: 4-band Hamming LSH (any 16-bit band
-    equal → candidate), then exact Hamming distance filter JVM-side."""
-    sigs = simhash_signatures(df, column, id_col).cache()
+    equal → candidate), exact Hamming distance filter JVM-side.  The
+    Hamming distance is scored BEFORE the pair-dedup so the distinct
+    shuffles one small int per pair, not two signatures."""
+    sigs = simhash_signatures(df, column, id_col)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -185,30 +284,34 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    # cache: the banded frame feeds the bucket-count pass and both join
+    # sides — without it the signature UDF re-runs per subtree
+    banded = banded.cache()
+    banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("sig_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
                       F.col("simhash").alias("sig_b"))
-    pairs = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_neardup_pairs(df: DataFrame, column: str = "embedding",
                             id_col: str = "vec_id", planes: int = 16,
                             min_cosine: float = 0.9,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            max_bucket_size: Optional[int] = 10_000) -> DataFrame:
     """Embedding near-duplicates: random-hyperplane LSH bucket (sign
     bits of ``planes`` seeded projections) then exact cosine within
-    buckets.  Hyperplanes are deterministic from ``seed``."""
+    buckets.  Hyperplanes are deterministic from ``seed``; oversized
+    buckets (degenerate/zero vectors) are dropped before the self-join."""
     dim_row = df.select(F.size(F.col(column)).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.RandomState(seed)
@@ -227,6 +330,13 @@ def embedding_neardup_pairs(df: DataFrame, column: str = "embedding",
     bucket = sum(proj_bits[1:], proj_bits[0])
 
     withb = df.select(F.col(id_col), F.col(column), bucket.alias("bucket"))
+    if max_bucket_size is not None:
+        oversized = (
+            withb.groupBy("bucket").count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("bucket")
+        )
+        withb = withb.join(F.broadcast(oversized), ["bucket"], "left_anti")
     a = withb.select("bucket", F.col(id_col).alias("id_a"),
                      F.col(column).alias("va"))
     b = withb.select("bucket", F.col(id_col).alias("id_b"),

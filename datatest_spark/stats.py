@@ -38,8 +38,11 @@ __all__ = [
     "quantile_sketch",
     "psi",
     "ks_statistic",
+    "binned_ks",
     "DriftPSIRule",
+    "DriftKSRule",
     "drift_psi",
+    "drift_ks",
 ]
 
 _Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
@@ -184,25 +187,45 @@ def ks_statistic(q_a: Sequence[float], q_b: Sequence[float]) -> float:
     return max(abs(cdf(q_a, x) - cdf(q_b, x)) for x in points)
 
 
-class DriftPSIRule(Rule):
-    """Distribution drift vs a baseline quantile sketch.
+def binned_ks(current_props: Sequence[float], baseline_props: Sequence[float]) -> float:
+    """Two-sample KS statistic over aligned bucket proportions: the max
+    absolute gap between the two binned CDFs (the standard discrete KS
+    on histogram data — exact given the shared bucket edges)."""
+    cum_p = 0.0
+    cum_q = 0.0
+    gap = 0.0
+    for p, q in zip(current_props, baseline_props):
+        cum_p += p
+        cum_q += q
+        gap = max(gap, abs(cum_p - cum_q))
+    return gap
 
-    Buckets the column by the baseline's quantile edges (distributed:
-    ``width_bucket`` + one groupBy — partial aggregation map-side),
-    computes PSI against the uniform baseline proportions, and emits one
-    DEVIATION violation if PSI exceeds ``threshold``.
+
+class _BucketDriftRule(Rule):
+    """Shared machinery for bucket-proportion drift statistics.
+
+    Buckets the column by the baseline's quantile edges (a codegen'd
+    comparison chain — no UDF, no second scan), aggregates bucket
+    counts with one groupBy (partial aggregation map-side), then
+    computes the drift statistic driver-side over the tiny bucket
+    vector and emits one DEVIATION violation if it exceeds
+    ``threshold``.
 
     At 10^12 rows this is one shuffle of ~n_buckets rows per partition.
     """
 
     kind = "plan"
+    stat_name = "stat"
 
     def __init__(self, column: str, baseline_quantiles: Sequence[float],
                  threshold: float = 0.2, rule_id: Optional[str] = None):
-        super().__init__(rule_id or f"drift_psi:{column}")
+        super().__init__(rule_id or f"drift_{self.stat_name}:{column}")
         self.column = column
         self.baseline_q = list(baseline_quantiles)
         self.threshold = threshold
+
+    def statistic(self, current: Sequence[float], props: Sequence[float]) -> float:
+        raise NotImplementedError  # pragma: no cover
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
         # dedupe edges (flat regions in the baseline collapse buckets)
@@ -239,13 +262,13 @@ class DriftPSIRule(Rule):
             .groupBy("_b")
             .count()
         )
-        # PSI itself runs driver-side over the tiny bucket vector
+        # the statistic runs driver-side over the tiny bucket vector
         # (n_buckets values) — the heavy lifting was the one groupBy
         row = counts.collect()
         got = {r["_b"]: r["count"] for r in row}
         n = sum(got.values()) or 1
         current = [got.get(b, 0) / n for b in range(n_buckets)]
-        value = psi(current, props)
+        value = self.statistic(current, props)
 
         if value <= self.threshold:
             from .schema import empty_violations
@@ -259,7 +282,7 @@ class DriftPSIRule(Rule):
                     self.column,
                     DEVIATION,
                     f"{value:.6f}",
-                    f"psi<={self.threshold}",
+                    f"{self.stat_name}<={self.threshold}",
                     float(value - self.threshold),
                     float(self.threshold),
                     None,
@@ -271,5 +294,29 @@ class DriftPSIRule(Rule):
         )
 
 
+class DriftPSIRule(_BucketDriftRule):
+    """Population-Stability-Index drift vs a baseline quantile sketch."""
+
+    stat_name = "psi"
+
+    def statistic(self, current, props):
+        return psi(current, props)
+
+
+class DriftKSRule(_BucketDriftRule):
+    """Binned two-sample KS drift vs a baseline quantile sketch —
+    shares the single bucket-count pass with DriftPSIRule (SURVEY §2B
+    outliers/drift row: both KS and PSI as first-class rules)."""
+
+    stat_name = "ks"
+
+    def statistic(self, current, props):
+        return binned_ks(current, props)
+
+
 def drift_psi(column, baseline_quantiles, threshold=0.2, rule_id=None):
     return DriftPSIRule(column, baseline_quantiles, threshold, rule_id)
+
+
+def drift_ks(column, baseline_quantiles, threshold=0.2, rule_id=None):
+    return DriftKSRule(column, baseline_quantiles, threshold, rule_id)

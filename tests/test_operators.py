@@ -51,6 +51,19 @@ class TestExactDedup:
         assert len(rows) == 1
         assert rows[0]["dup_count"] == 2
         assert rows[0]["keep_id"] == 0
+        assert rows[0]["text"] == "the quick brown fox jumps over the lazy dog"
+
+    def test_shuffle_key_is_hash_not_body(self, spark, docs):
+        """The aggregate must group on xxhash64(text), never the text
+        itself (a full-body shuffle is a 100 TB scale-killer)."""
+        from datatest_spark.plans.inspect import explain_str
+
+        plan = explain_str(exact_duplicates(docs, "text"), "formatted")
+        assert "xxhash64" in plan, plan
+        # the aggregate keys are the hash/length grouping expressions —
+        # the raw text column must never be a shuffle key
+        agg_keys = [l for l in plan.splitlines() if l.strip().startswith("Keys")]
+        assert agg_keys and all("text#" not in l for l in agg_keys), plan
 
 
 class TestMinHash:
@@ -73,11 +86,47 @@ class TestMinHash:
         assert (2, 4) not in found
 
 
+class TestMinHashExactVerify:
+    def test_exact_jaccard_pairs(self, spark, docs):
+        """exact=True verifies LSH candidates by TRUE shingle Jaccard."""
+        pairs = minhash_neardup_pairs(
+            docs, "text", num_hashes=32, bands=16, min_jaccard=0.4, exact=True
+        ).collect()
+        found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert found.get((0, 3)) == 1.0  # exact dup
+        # 0 vs 1: 9 tokens → 7 shingles each, 6 shared distinct
+        # jaccard = 6 / 8 = 0.75
+        assert found.get((0, 1)) == 0.75
+        assert (2, 4) not in found
+
+    def test_bucket_cap_bounds_skew(self, spark):
+        """1k identical docs: without the cap the self-join is ~500k
+        pairs per band; the cap drops the hot bucket entirely."""
+        rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = minhash_neardup_pairs(
+            df, "text", min_jaccard=None, max_bucket_size=100
+        )
+        assert capped.count() == 0  # hot bucket dropped, no quadratic join
+
+
 class TestSimHash:
     def test_exact_dups_hamming_zero(self, spark, docs):
         pairs = simhash_neardup_pairs(docs, "text", max_hamming=3).collect()
         found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
         assert found.get((0, 3)) == 0
+
+    def test_signatures_deterministic_across_sessions(self, spark, docs):
+        """xxhash64 token hashes → the signature is a pure function of
+        the text (builtin hash() would vary with PYTHONHASHSEED)."""
+        from datatest_spark.operators import simhash_signatures
+
+        a = {r["doc_id"]: r["simhash"]
+             for r in simhash_signatures(docs, "text").collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in simhash_signatures(docs.repartition(7), "text").collect()}
+        assert a == b
+        assert a[0] == a[3]  # exact dups share signatures
 
 
 class TestEmbeddingDedup:

@@ -5,7 +5,9 @@ import math
 import pytest
 
 from datatest_spark.stats import (
+    DriftKSRule,
     DriftPSIRule,
+    binned_ks,
     ks_statistic,
     profile,
     psi,
@@ -60,6 +62,13 @@ class TestDriftStats:
         b = [float(i) + 10.0 for i in range(21)]
         assert ks_statistic(a, b) > 0.4
 
+    def test_binned_ks_identical(self):
+        assert binned_ks([0.25, 0.25, 0.5], [0.25, 0.25, 0.5]) == pytest.approx(0.0)
+
+    def test_binned_ks_shift(self):
+        # all mass one bucket to the right → CDF gap of the moved mass
+        assert binned_ks([0.0, 0.5, 0.5], [0.5, 0.5, 0.0]) == pytest.approx(0.5)
+
 
 class TestDriftRule:
     def test_no_drift_passes(self, spark):
@@ -81,3 +90,19 @@ class TestDriftRule:
         assert len(rows) == 1
         assert rows[0]["diff_type"] == "DEVIATION"
         assert rows[0]["deviation"] > 0
+
+    def test_ks_rule_shares_semantics(self, spark):
+        df = df_from(spark, list(range(1000)))
+        baseline = quantile_sketch(df, "value")
+        engine = Engine(spark)
+        assert engine.validate(
+            df, [DriftKSRule("value", baseline, threshold=0.1)]
+        ).ok
+        shifted = df_from(spark, [v + 800 for v in range(1000)])
+        rows = engine.validate(
+            shifted, [DriftKSRule("value", baseline, threshold=0.1)]
+        ).violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["rule_id"].startswith("drift_ks")
+        assert rows[0]["expected"] == "ks<=0.1"
+        assert rows[0]["deviation"] > 0.5  # 80% of mass moved out of range
