@@ -11,11 +11,18 @@ without ``.0``) via the same rule in Spark and SQL.
 
 from __future__ import annotations
 
+import os
 import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# oracles.py (sibling module): pure-Python independent recomputation of
+# the non-SQL-expressible expected results, rendered as VALUES selects
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import oracles as _oracles
 
 # violation columns every violation-shaped oracle emits
 _VCOLS = (
@@ -288,8 +295,10 @@ def q_audio_suite(spark, sf_dir):
 
 
 def q_fuzzy_docs(spark, sf_dir):
-    """RequiredFuzzy (difflib ratio ≥ 0.95) of text vs its 10%-truncated
-    self — Python-side Ratcliff-Obershelp, not SQL-expressible."""
+    """RequiredFuzzy (difflib ratio ≥ 0.946) of text vs its
+    10%-truncated self — Python-side Ratcliff-Obershelp.  The cutoff
+    splits the truncated docs (ratios 0.9425..0.9474), so the oracle
+    must reproduce per-doc difflib ratios, not just the filter."""
     from datatest_spark import requirements as R
     from datatest_spark.validation import Engine
 
@@ -302,7 +311,7 @@ def q_fuzzy_docs(spark, sf_dir):
     )
     return Engine(spark).compile(
         df,
-        [R.fuzzy("truncated", expected_col="text", cutoff=0.95,
+        [R.fuzzy("truncated", expected_col="text", cutoff=0.946,
                  rule_id="fuzzy:truncated")],
     )
 
@@ -322,12 +331,68 @@ def q_drift_psi(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs over documents."""
+    """MinHash+LSH candidate generation + TRUE shingle-Jaccard
+    verification (exact=True): the oracle is an all-pairs brute-force
+    Jaccard in SQL, so this checks the LSH recall AND the verification
+    math end to end."""
     from datatest_spark.operators import minhash_neardup_pairs
 
     return minhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), "text", id_col="doc_id"
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        num_hashes=32, bands=16, min_jaccard=0.5, exact=True,
     )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 token hashes → deterministic
+    signatures).  Oracle: independent pure-Python XXH64 + bit-vote +
+    band/Hamming brute force (oracles.py)."""
+    from datatest_spark.operators import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        max_hamming=3,
+    )
+
+
+def q_drift_ks(spark, sf_dir):
+    """Binned two-sample KS drift: l_quantity vs a shifted baseline
+    sketch (shares the single bucket pass with PSI)."""
+    from datatest_spark.stats import DriftKSRule
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    shifted_baseline = [float(5 * i) + 30.0 for i in range(21)]
+    return Engine(spark).compile(
+        df,
+        [DriftKSRule("l_quantity", shifted_baseline, threshold=0.1,
+                     rule_id="drift_ks:l_quantity")],
+    )
+
+
+def q_superset_grouped(spark, sf_dir):
+    """Grouped RequiredSuperset: every region's nation set must contain
+    three required nations → per-key Missing rows."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return Engine(spark).compile(
+        df,
+        [R.superset("n_name", {"ALGERIA", "ARGENTINA", "CHINA"},
+                    rule_id="superset:n_name")],
+        key=["n_regionkey"],
+    )
+
+
+def q_acceptance_tolerance(spark, sf_dir):
+    """Acceptance layer over the violation stream (SURVEY §2C):
+    ref_approx deviations filtered by accepted.tolerance(±50) — the
+    remainder (|deviation| > 50) is what re-raises."""
+    from datatest_spark.acceptances import accepted
+
+    viol = q_ref_approx_totalprice(spark, sf_dir)
+    return accepted.tolerance(50).filter_df(viol)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -366,11 +431,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ann_cosine": q_ann_cosine,
         "set_doc_lang": q_set_doc_lang,
+        "superset_grouped": q_superset_grouped,
+        "acceptance_tolerance": q_acceptance_tolerance,
         "audio_suite": q_audio_suite,
         "fuzzy_docs": q_fuzzy_docs,
         "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
         "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
     }
+
+
+def _drift_sql(stat: str, threshold: float, rule_id: str) -> str:
+    """Closed-form SQL twin of DriftPSIRule/DriftKSRule on l_quantity
+    vs the shifted baseline [30, 35, ..., 130].
+
+    Reproduces the engine's float arithmetic exactly: per-bucket counts
+    via SUM(CASE) in one aggregate, then the statistic as an explicit
+    left-to-right expression chain (matching Python's sequential
+    accumulation — an unordered SQL SUM could differ in the last bit).
+    """
+    baseline = [float(5 * i) + 30.0 for i in range(21)]
+    edges = sorted(set(baseline[1:-1]))  # 35..125 → 20 buckets
+    n_buckets = len(edges) + 1
+    props = [1.0 / (len(baseline) - 1)] * n_buckets  # uniform grid
+
+    bucket = " + ".join(
+        f"(CASE WHEN l_quantity > {e!r} THEN 1 ELSE 0 END)" for e in edges
+    )
+    counts = ", ".join(
+        f"sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS c{k}"
+        for k in range(n_buckets)
+    )
+    agg = (
+        f"WITH buck AS (SELECT ({bucket}) AS b FROM lineitem "
+        f"WHERE l_quantity IS NOT NULL), "
+        f"agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, {counts} FROM buck)"
+    )
+    ps = [f"greatest(c{k} / n, 1e-06)" for k in range(n_buckets)]
+
+    if stat == "psi":
+        qs = [max(q, 1e-06) for q in props]
+        terms = [
+            f"(({p}) - {q!r}) * ln(({p}) / {q!r})"
+            for p, q in zip(ps, qs)
+        ]
+        value = " + ".join(f"({t})" for t in terms)
+    else:  # binned KS: max |cum_p - cum_q|, Python-accumulation order
+        cq = []
+        acc = 0.0
+        for q in props:
+            acc += q
+            cq.append(acc)
+        gaps = []
+        for k in range(n_buckets):
+            cp = " + ".join(f"(c{i} / n)" for i in range(k + 1))
+            gaps.append(f"abs(({cp}) - {cq[k]!r})")
+        value = "greatest(" + ", ".join(gaps) + ")"
+
+    return f"""
+        {agg},
+        s AS (SELECT ({value}) AS v FROM agg)
+        SELECT '{rule_id}' AS rule_id, CAST(NULL AS VARCHAR) AS key,
+               'l_quantity' AS "column", 'DEVIATION' AS diff_type,
+               printf('%.6f', v) AS invalid,
+               '{stat}<={threshold!r}' AS expected,
+               v - {threshold!r} AS deviation,
+               CAST({threshold!r} AS DOUBLE) AS expected_num,
+               CAST(NULL AS VARCHAR) AS partition_id
+        FROM s WHERE v > {threshold!r}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -540,7 +670,60 @@ def oracle_sql() -> dict[str, str]:
                           invalid="actual.v")}
             FROM actual LEFT JOIN req ON req.v = actual.v WHERE req.v IS NULL
         """,
-        # audio_suite / fuzzy_docs / drift_psi / minhash_neardup:
-        # non-SQL-expressible (binary decode, difflib ratio, sketch
-        # comparison, minhash) — rows-only checks by design.
+        "superset_grouped": f"""
+            WITH keys AS (SELECT DISTINCT CAST(n_regionkey AS VARCHAR) AS k
+                          FROM nation),
+            req AS (SELECT * FROM (VALUES ('ALGERIA'), ('ARGENTINA'),
+                                          ('CHINA')) t(v)),
+            actual AS (SELECT DISTINCT CAST(n_regionkey AS VARCHAR) AS k,
+                              n_name AS v FROM nation)
+            {_viol_select("superset:n_name", "MISSING", key="keys.k",
+                          column="'n_name'", expected="req.v")}
+            FROM keys CROSS JOIN req
+            LEFT JOIN actual ON actual.k = keys.k AND actual.v = req.v
+            WHERE actual.v IS NULL
+        """,
+        "acceptance_tolerance": f"""
+            WITH li AS (SELECT l_orderkey,
+                        sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS computed
+                        FROM lineitem GROUP BY 1)
+            SELECT * FROM (
+            {_viol_select("ref_approx:o_totalprice", "DEVIATION",
+                          key="o.o_orderkey",
+                          column="'o_totalprice'",
+                          invalid=_repr_sql("o.o_totalprice"),
+                          expected=_repr_sql("round(li.computed, 2)"),
+                          deviation="round(o.o_totalprice - li.computed, 2)",
+                          expected_num="round(li.computed, 2)")}
+            FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+            WHERE abs(o.o_totalprice - li.computed) > 0.01
+            ) WHERE NOT (deviation BETWEEN -50.0 AND 50.0)
+        """,
+        # drift: closed-form SQL twins sharing the engine's exact float
+        # accumulation order
+        "drift_psi": _drift_sql("psi", 0.05, "drift:l_quantity"),
+        "drift_ks": _drift_sql("ks", 0.1, "drift_ks:l_quantity"),
+        # minhash: all-pairs brute-force TRUE shingle Jaccard — checks
+        # LSH recall and the verification join end to end
+        "minhash_neardup": """
+            WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, greatest(len(toks)-2, 1)+1)])
+                       AS shingles FROM docs)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                        / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                        4) >= 0.5
+        """,
+        # pure-Python independent recomputation (oracles.py), rendered
+        # as typed VALUES: difflib ratios, XXH64 simhash, audio decode
+        "fuzzy_docs": _oracles.fuzzy_docs_sql(cutoff=0.946),
+        "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
+        "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
     }

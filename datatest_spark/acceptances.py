@@ -15,8 +15,11 @@ Re-expresses the reference's acceptance managers
 2. **DataFrame masks** (``.filter_df(violations)``) — the scale path:
    the same semantics compiled to Column expressions and windows so the
    violation stream never leaves the cluster.  Consumption scopes use
-   ``row_number`` over a deterministic violation ordering partitioned
-   by (key, fingerprint); count scopes use the same window machinery.
+   gated running counts over a deterministic violation ordering
+   partitioned by (key, fingerprint); composed acceptances order their
+   operands by scope precedence and gate the stateful operand's
+   consumption on the other's mask — the exact DF twin of the driver
+   protocol's short-circuit (reference acceptances.py:269-303).
 """
 
 from __future__ import annotations
@@ -206,7 +209,18 @@ class BaseAcceptance:
             "_accepted"
         )
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
+        """Add a boolean *out_col* marking accepted rows.
+
+        ``gate`` (a boolean Column over *violations*) restricts which
+        rows this acceptance is "called" on — the DF twin of the
+        driver protocol's short-circuit: in ``a & b`` the stateful
+        second operand must not consume allowances for rows the first
+        already rejected, and in ``a | b`` not for rows the first
+        already accepted.  Stateless acceptances may ignore it (their
+        mask is combined with the gate by the caller anyway).
+        """
         raise NotImplementedError(
             f"{type(self).__name__} has no DataFrame compilation yet; "
             "use filter_differences for driver-side semantics"
@@ -340,38 +354,52 @@ class AcceptedDifferences(BaseAcceptance):
         return False
 
     # DataFrame compilation ---------------------------------------------
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         obj = self._obj
         if isinstance(obj, type) and issubclass(obj, BaseDifference):
             mask = F.col("diff_type") == _CLASS_TO_TYPE[obj]
-            return violations.withColumn(out_col, mask)
+            return violations.withColumn(out_col, mask)  # stateless
 
         if isinstance(obj, BaseDifference) and self._scope in (None, "element"):
             mask = _fingerprint() == F.lit(_diff_fingerprint(obj))
-            return violations.withColumn(out_col, mask)
+            return violations.withColumn(out_col, mask)  # stateless
 
         # collection / mapping / consumption scopes: broadcast allowance
-        # multiplicities + row_number window per (key?, fingerprint)
+        # multiplicities + gated running-count window per (key?, fp).
+        # Element-scope entries (single-instance mapping values, or
+        # difference CLASSES as mapping values) accept every match —
+        # encoded as an unlimited allowance.
         spark = violations.sparkSession
-        rows = []
+        rows = []  # (key, fingerprint, unlimited)
+        class_rows = []  # (key, diff_type) — class-valued mapping entries
         if isinstance(obj, Mapping):
             for k, v in obj.items():
-                diffs = v if isinstance(v, (list, tuple)) else [v]
-                for d in diffs:
-                    rows.append((str(k), _diff_fingerprint(d)))
+                if isinstance(v, type) and issubclass(v, BaseDifference):
+                    class_rows.append((str(k), _CLASS_TO_TYPE[v]))
+                elif isinstance(v, (list, tuple)):
+                    for d in v:
+                        rows.append((str(k), _diff_fingerprint(d), False))
+                else:
+                    # single instance → element scope: every match accepted
+                    rows.append((str(k), _diff_fingerprint(v), True))
             group_by_key = True
         else:
             diffs = obj if isinstance(obj, (list, tuple)) else [obj]
             for d in diffs:
-                rows.append((None, _diff_fingerprint(d)))
+                rows.append((None, _diff_fingerprint(d), False))
             group_by_key = self._scope != "whole"
 
         import collections
 
-        counts = collections.Counter(rows)
+        counts = collections.Counter((k, fp) for k, fp, _ in rows)
+        unlimited = {(k, fp) for k, fp, u in rows if u}
         allow = spark.createDataFrame(
-            [(k, fp, n) for (k, fp), n in counts.items()],
-            "allow_key string, fp string, allowance long",
+            [
+                (k, fp, n, (k, fp) in unlimited)
+                for (k, fp), n in counts.items()
+            ],
+            "allow_key string, fp string, allowance long, unlimited boolean",
         )
 
         v = violations.withColumn("_fp", _fingerprint())
@@ -387,11 +415,40 @@ class AcceptedDifferences(BaseAcceptance):
             w = Window.partitionBy("key", "_fp").orderBy(*_CANONICAL_ORDER)
         else:
             w = Window.partitionBy("_fp").orderBy(*_CANONICAL_ORDER)
-        v = v.withColumn("_rn", F.row_number().over(w))
-        mask = F.col("allowance").isNotNull() & (
-            F.col("_rn") <= F.col("allowance")
+        # consumption = running count of GATED rows (gate=None → all):
+        # with a gate this reproduces the driver protocol's short-circuit
+        # where rows the other operand settled never consume allowances
+        gate_col = gate if gate is not None else F.lit(True)
+        gate_col = F.coalesce(gate_col, F.lit(False))
+        cnt = F.sum(F.when(gate_col, F.lit(1)).otherwise(F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return v.withColumn(out_col, mask).drop("_fp", "fp", "allow_key", "allowance", "_rn")
+        v = v.withColumn("_rn", cnt)
+        mask = (
+            gate_col
+            & F.col("allowance").isNotNull()
+            & (
+                F.coalesce(F.col("unlimited"), F.lit(False))
+                | (F.col("_rn") <= F.col("allowance"))
+            )
+        )
+        if class_rows:
+            cls = F.broadcast(
+                spark.createDataFrame(
+                    class_rows, "cls_key string, cls_type string"
+                )
+            )
+            v = v.join(
+                cls,
+                v["key"].eqNullSafe(F.col("cls_key"))
+                & (v["diff_type"] == F.col("cls_type")),
+                "left_outer",
+            )
+            mask = mask | (gate_col & F.col("cls_type").isNotNull())
+            v = v.withColumn(out_col, mask).drop("cls_key", "cls_type")
+        else:
+            v = v.withColumn(out_col, mask)
+        return v.drop("_fp", "fp", "allow_key", "allowance", "unlimited", "_rn")
 
 
 class AcceptedKeys(BaseAcceptance):
@@ -406,7 +463,8 @@ class AcceptedKeys(BaseAcceptance):
         key, _ = item
         return self._match(key)
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         from .predicates import compile_predicate
         from .validation import _parse_literal
 
@@ -439,6 +497,52 @@ class AcceptedArgs(BaseAcceptance):
         if len(args) == 1:
             args = args[0]
         return self._match(args)
+
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
+        """DF path: reconstruct each violation's args tuple from the
+        (diff_type, invalid, expected, deviation, expected_num) columns
+        — the exact inverse of the violation builder — and run the SAME
+        driver predicate per Arrow batch.  The violation stream is a
+        tiny fraction of input rows, so one vectorized Python stage
+        here is cheap and guarantees reference parity for every
+        predicate shape (tuples, callables, regexes, sets)."""
+        from pyspark.sql import types as T
+
+        from .validation import _int_if_integral, _parse_literal
+
+        match = self._match
+
+        @F.pandas_udf(T.BooleanType())
+        def _m(dt: pd.Series, inv: pd.Series, exp: pd.Series,
+               dev: pd.Series, expn: pd.Series) -> pd.Series:
+            out = []
+            for d, i, e, v, en in zip(dt, inv, exp, dev, expn):
+                if d == MISSING:
+                    args = (_parse_literal(e),)
+                elif d == EXTRA:
+                    args = (_parse_literal(i),)
+                elif d == DEVIATION:
+                    args = (
+                        _int_if_integral(v) if v == v else v,
+                        _int_if_integral(en) if en == en else en,
+                    )
+                else:  # INVALID
+                    if e is not None:
+                        args = (_parse_literal(i), _parse_literal(e))
+                    else:
+                        args = (_parse_literal(i),)
+                if len(args) == 1:
+                    args = args[0]
+                out.append(bool(match(args)))
+            return pd.Series(out, dtype="boolean")
+
+        mask = F.coalesce(
+            _m(F.col("diff_type"), F.col("invalid"), F.col("expected"),
+               F.col("deviation"), F.col("expected_num")),
+            F.lit(False),
+        )
+        return violations.withColumn(out_col, mask)  # stateless
 
 
 def _derived_deviation_expected():
@@ -539,7 +643,8 @@ class AcceptedTolerance(BaseAcceptance):
         except TypeError:
             return False
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         deviation, _ = _derived_deviation_expected()
         derivable = (
             (F.col("diff_type") == DEVIATION)
@@ -568,7 +673,8 @@ class AcceptedPercent(AcceptedTolerance):
         except TypeError:
             return False
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         deviation, expected = _derived_deviation_expected()
         derivable = (
             (F.col("diff_type") == DEVIATION)
@@ -601,7 +707,8 @@ class AcceptedFuzzy(BaseAcceptance):
         except TypeError:
             return False
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         from pyspark.sql import types as T
 
         cutoff = self.cutoff
@@ -653,7 +760,8 @@ class AcceptedCount(BaseAcceptance):
         self._count += 1
         return self._count <= self.number
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
         if self._scope == "group":
             w = Window.partitionBy("key").orderBy(*_CANONICAL_ORDER)
         else:
@@ -661,8 +769,12 @@ class AcceptedCount(BaseAcceptance):
             # fraction of input rows; if they are not, the data failed
             # long before the count matters.
             w = Window.orderBy(*_CANONICAL_ORDER)
+        gate_col = F.coalesce(gate if gate is not None else F.lit(True), F.lit(False))
+        cnt = F.sum(F.when(gate_col, F.lit(1)).otherwise(F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         return violations.withColumn(
-            out_col, F.row_number().over(w) <= F.lit(self.number)
+            out_col, gate_col & (cnt <= F.lit(self.number))
         )
 
 
@@ -705,13 +817,20 @@ class IntersectedAcceptance(CombinedAcceptance):
         # short-circuit: stateful second must not consume on first-reject
         return first.call_predicate(item) and second.call_predicate(item)
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
-        v = self.left.mark_df(violations, "_l")
-        v = self.right.mark_df(v, "_r")
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
+        # mirror the driver's precedence ordering + short-circuit: the
+        # second (more stateful) operand is only "called" on rows the
+        # first accepted, so its consumption windows count exactly the
+        # rows the sequential protocol would feed it
+        first, second = self._ordered()
+        outer = gate if gate is not None else F.lit(True)
+        v = first.mark_df(violations, "_l", gate=outer)
+        lmask = F.coalesce(F.col("_l"), F.lit(False))
+        v = second.mark_df(v, "_r", gate=outer & lmask)
         return v.withColumn(
             out_col,
-            F.coalesce(F.col("_l"), F.lit(False))
-            & F.coalesce(F.col("_r"), F.lit(False)),
+            lmask & F.coalesce(F.col("_r"), F.lit(False)),
         ).drop("_l", "_r")
 
 
@@ -720,13 +839,18 @@ class UnionedAcceptance(CombinedAcceptance):
         first, second = self._ordered()
         return first.call_predicate(item) or second.call_predicate(item)
 
-    def mark_df(self, violations: DataFrame, out_col: str) -> DataFrame:
-        v = self.left.mark_df(violations, "_l")
-        v = self.right.mark_df(v, "_r")
+    def mark_df(self, violations: DataFrame, out_col: str,
+                gate: Optional[Column] = None) -> DataFrame:
+        # `or` short-circuit: second is only "called" (consumes) on rows
+        # the first rejected
+        first, second = self._ordered()
+        outer = gate if gate is not None else F.lit(True)
+        v = first.mark_df(violations, "_l", gate=outer)
+        lmask = F.coalesce(F.col("_l"), F.lit(False))
+        v = second.mark_df(v, "_r", gate=outer & ~lmask)
         return v.withColumn(
             out_col,
-            F.coalesce(F.col("_l"), F.lit(False))
-            | F.coalesce(F.col("_r"), F.lit(False)),
+            lmask | F.coalesce(F.col("_r"), F.lit(False)),
         ).drop("_l", "_r")
 
 

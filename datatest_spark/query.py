@@ -86,16 +86,108 @@ class Query:
         return Query(self._df.filter(pred_expr), self._value_cols,
                      self._key_cols, self._scalar)
 
-    def map(self, function: Callable[[Any], Any]) -> "Query":
+    def _infer_return_type(self, samples):
+        """Spark type for the mapped values, inferred from a small
+        driver-side sample application (squint preserves Python value
+        types — reference query.py:296-324 — so ``.map(x*2).sum()``
+        must stay numeric, not string-coerced)."""
         from pyspark.sql import types as T
 
-        @F.pandas_udf(T.StringType())
-        def apply_fn(s: pd.Series) -> pd.Series:
-            return s.map(lambda v: None if v is None else str(function(v)))
+        vals = [v for v in samples if v is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return T.BooleanType(), lambda v: v
+        if vals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            return T.LongType(), lambda v: v
+        if vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        ):
+            return T.DoubleType(), float
+        return T.StringType(), str
 
-        out = self._df.withColumn(self._value_cols[0],
-                                  apply_fn(F.col(self._value_cols[0])))
+    def map(self, function: Callable[[Any], Any], return_type=None) -> "Query":
+        """Element-wise map (reference query.py:725-733,296-324).
+
+        The return type is inferred by applying *function* to a small
+        sample (one bounded collect) unless ``return_type`` is given —
+        type fidelity over laziness, matching squint's behavior where
+        mapped ints stay ints.
+        """
+        col_name = self._value_cols[0]
+        coerce = None
+        if return_type is None:
+            sample = [
+                r[col_name]
+                for r in self._df.select(col_name)
+                .filter(F.col(col_name).isNotNull())
+                .limit(20)
+                .collect()
+            ]
+            try:
+                return_type, coerce = self._infer_return_type(
+                    [function(v) for v in sample]
+                )
+            except Exception:
+                from pyspark.sql import types as T
+
+                return_type, coerce = T.StringType(), str
+
+        def apply_fn(s: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                out = function(v)
+                if out is None or coerce is None:
+                    return out
+                return coerce(out)
+
+            return s.map(one)
+
+        udf = F.pandas_udf(apply_fn, return_type)
+        out = self._df.withColumn(col_name, udf(F.col(col_name)))
         return Query(out, self._value_cols, self._key_cols, self._scalar)
+
+    def starmap(self, function: Callable[..., Any], return_type=None) -> "Query":
+        """Tuple-unpacking map over multi-column selections
+        (reference query.py:725-733): ``function(*row)`` per element."""
+        cols = [F.col(c) for c in self._value_cols]
+        coerce = None
+        if return_type is None:
+            sample = (
+                self._df.select(*self._value_cols)
+                .limit(20)
+                .collect()
+            )
+            try:
+                return_type, coerce = self._infer_return_type(
+                    [function(*tuple(r)) for r in sample]
+                )
+            except Exception:
+                from pyspark.sql import types as T
+
+                return_type, coerce = T.StringType(), str
+
+        value_cols = list(self._value_cols)
+
+        # a struct input arrives as one pd.DataFrame per Arrow batch
+        # (pandas_udf rejects *args signatures)
+        def apply_fn(batch: pd.DataFrame) -> pd.Series:
+            out = []
+            for vals in batch.itertuples(index=False):
+                r = function(*vals)
+                out.append(
+                    r if (r is None or coerce is None) else coerce(r)
+                )
+            return pd.Series(out, dtype="object")
+
+        udf = F.pandas_udf(apply_fn, return_type)
+        out = self._df.select(
+            *self._key_cols,
+            udf(F.struct(*cols)).alias("_starmapped"),
+        )
+        return Query(out, ["_starmapped"], self._key_cols, self._scalar)
 
     def distinct(self) -> "Query":
         cols = self._key_cols + self._value_cols

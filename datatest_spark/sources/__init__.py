@@ -2,7 +2,9 @@ from .readers import (  # noqa: F401
     align_by_fieldname,
     from_pandas,
     from_records,
+    iceberg_available,
     read_csv,
     read_parquet,
+    read_table,
     working_dir_glob,
 )

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_csv",
     "read_parquet",
+    "read_table",
+    "iceberg_available",
     "from_pandas",
     "from_records",
     "align_by_fieldname",
@@ -71,6 +73,53 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
 
 def read_parquet(spark: SparkSession, path: str, columns=None) -> DataFrame:
     df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, source: str, fmt: Optional[str] = None,
+               columns=None) -> DataFrame:
+    """Table-format-agnostic scan — the engine's entry for the north
+    rule's Iceberg input (BASELINE.json input_hint: an Iceberg table of
+    audio clip + transcript pairs).
+
+    * catalog identifiers (``cat.db.audio_clips``) resolve via
+      ``spark.table`` — with an Iceberg catalog configured this IS the
+      Iceberg scan, with snapshot isolation, partition pruning, and
+      filter pushdown handled by the Iceberg source;
+    * ``fmt="iceberg"`` + a path uses ``spark.read.format("iceberg")``
+      and raises if the runtime jars are absent (capability-checked by
+      :func:`iceberg_available`);
+    * plain paths fall back to parquet — the sandbox stand-in (this
+      environment ships no Iceberg jars; the rest of the engine is
+      source-agnostic, everything downstream sees only a DataFrame).
+    """
+    looks_like_path = "/" in source or source.endswith(".parquet")
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg requested but no Iceberg runtime on the "
+                "classpath (add iceberg-spark-runtime to spark.jars)"
+            )
+        df = (
+            spark.read.format("iceberg").load(source)
+            if looks_like_path
+            else spark.table(source)
+        )
+    elif not looks_like_path:
+        df = spark.table(source)  # catalog table / view (Iceberg or not)
+    else:
+        df = spark.read.parquet(source)
     return df.select(*columns) if columns else df
 
 

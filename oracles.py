@@ -1,0 +1,420 @@
+"""Independent pure-Python oracle generators for the non-SQL queries.
+
+The driver's correctness gate runs each ``queries()`` entry on Spark
+and its ``oracle_sql()`` twin on DuckDB.  Four query families are not
+expressible in plain SQL (difflib ratios, xxhash64-based sketches,
+binary audio decoding).  For those, this module *recomputes the
+expected result rows from first principles* — standalone Python with
+no engine imports (only ``datatest_spark.fixtures`` for synthetic
+*input* generation, which is data, not logic) — and renders them as a
+DuckDB ``VALUES`` select, so the driver still gets a full
+rows/schema/value-hash comparison.
+
+Everything here is deterministic: fixtures are pure functions of the
+row index, documents come from the read-only sf0.01 parquet, and
+xxhash64 is the public XXH64 algorithm (re-implemented below; Spark's
+``F.xxhash64`` is XXH64 with seed 42 over the UTF-8 bytes).
+"""
+
+from __future__ import annotations
+
+import difflib
+import struct
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+SF001_DIR = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------------------
+# XXH64 (public algorithm, Cyan4973/xxHash spec) — the twin of Spark's
+# F.xxhash64 for string inputs (seed 42, UTF-8 bytes)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of *data* (unsigned)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            for _ in range(1):
+                k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+                v1 = (_rotl((v1 + k1 * _P2) & _M, 31) * _P1) & _M
+                v2 = (_rotl((v2 + k2 * _P2) & _M, 31) * _P1) & _M
+                v3 = (_rotl((v3 + k3 * _P2) & _M, 31) * _P1) & _M
+                v4 = (_rotl((v4 + k4 * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(data: bytes, seed: int = 42) -> int:
+    h = xxh64(data, seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# VALUES rendering
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_sql(rows: Sequence[tuple], columns: Sequence[str],
+               casts: Sequence[str]) -> str:
+    """Render rows as a typed DuckDB VALUES select (empty-safe)."""
+    quoted = [f'"{c}"' for c in columns]
+    sel = ", ".join(
+        f"CAST({q} AS {t}) AS {q}" for q, t in zip(quoted, casts)
+    )
+    if not rows:
+        nulls = ", ".join("NULL" for _ in columns)
+        return (
+            f"SELECT {sel} FROM (VALUES ({nulls})) AS t({', '.join(quoted)}) "
+            f"WHERE 1 = 0"
+        )
+    vals = ",\n".join(
+        "(" + ", ".join(_sql_lit(x) for x in r) + ")" for r in rows
+    )
+    return (
+        f"SELECT {sel} FROM (VALUES\n{vals}\n) AS t({', '.join(quoted)})"
+    )
+
+
+_VIOL_COLS = [
+    "rule_id", "key", "column", "diff_type", "invalid", "expected",
+    "deviation", "expected_num", "partition_id",
+]
+_VIOL_CASTS = [
+    "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR",
+    "DOUBLE", "DOUBLE", "VARCHAR",
+]
+
+
+def violations_values_sql(rows: Sequence[tuple]) -> str:
+    return values_sql(rows, _VIOL_COLS, _VIOL_CASTS)
+
+
+def _read_docs(sf_dir: str) -> List[Tuple[int, str]]:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_docs — per-doc Ratcliff–Obershelp ratios (difflib IS the
+# reference semantics: datatest requirements.py:426-463 uses difflib)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def fuzzy_docs_rows(sf_dir: str = SF001_DIR, cutoff: float = 0.946) -> tuple:
+    rows = []
+    for doc_id, text in _read_docs(sf_dir):
+        if doc_id % 3 == 0:
+            # Spark: substring(text, 1, cast(length(text) * 0.9 as int))
+            # — cast truncates toward zero, same as Python int()
+            trunc = text[: int(len(text) * 0.9)]
+        else:
+            trunc = text
+        if trunc == text:
+            continue  # exact equality passes JVM-side
+        ratio = difflib.SequenceMatcher(a=text, b=trunc).ratio()
+        if ratio >= cutoff:
+            continue
+        rows.append(
+            ("fuzzy:truncated", None, "truncated", "INVALID",
+             trunc, text, None, None, None)
+        )
+    return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
+# simhash_neardup — token xxhash64 → bit-vote signature → 4-band
+# Hamming LSH candidates → exact Hamming filter, all brute-force here
+# ---------------------------------------------------------------------------
+
+
+def _simhash(text: Optional[str]) -> int:
+    if text is None:
+        return 0
+    tokens = text.split(" ")
+    if not tokens:
+        return 0
+    hashes = [xxh64(t.encode("utf-8")) for t in tokens]
+    sig = 0
+    for bit in range(64):
+        votes = sum(1 if (h >> bit) & 1 else -1 for h in hashes)
+        if votes > 0:
+            sig |= 1 << bit
+    return sig  # unsigned
+
+
+@lru_cache(maxsize=None)
+def simhash_neardup_rows(sf_dir: str = SF001_DIR, max_hamming: int = 3) -> tuple:
+    docs = _read_docs(sf_dir)
+    sigs = [(doc_id, _simhash(text)) for doc_id, text in docs]
+    out = []
+    for ai in range(len(sigs)):
+        id_a, ua = sigs[ai]
+        for bi in range(ai + 1, len(sigs)):
+            id_b, ub = sigs[bi]
+            if id_a >= id_b:  # pairs are id_a < id_b
+                continue
+            # candidate iff any 16-bit band matches
+            if not any(
+                (ua >> (16 * b)) & 0xFFFF == (ub >> (16 * b)) & 0xFFFF
+                for b in range(4)
+            ):
+                continue
+            hamming = bin(ua ^ ub).count("1")
+            if hamming <= max_hamming:
+                out.append((id_a, id_b, hamming))
+    return tuple(out)
+
+
+def simhash_neardup_sql(sf_dir: str = SF001_DIR, max_hamming: int = 3) -> str:
+    return values_sql(
+        simhash_neardup_rows(sf_dir, max_hamming),
+        ["id_a", "id_b", "hamming"],
+        ["BIGINT", "BIGINT", "INTEGER"],
+    )
+
+
+def fuzzy_docs_sql(sf_dir: str = SF001_DIR, cutoff: float = 0.946) -> str:
+    return violations_values_sql(fuzzy_docs_rows(sf_dir, cutoff))
+
+
+# ---------------------------------------------------------------------------
+# audio_suite — full first-principles simulation of every suite rule
+# over the deterministic 2000-clip fixture table
+# ---------------------------------------------------------------------------
+
+_ALLOWED_CODECS = {"pcm_s16le", "flac", "opus"}
+_ALLOWED_SRS = {8000, 16000, 22050, 44100, 48000}
+
+
+def _sim_parse_wav(buf: bytes):
+    """Standalone WAV walk mirroring the engine's documented parse
+    contract (error strings are part of the violation payload)."""
+    if len(buf) < 44 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos = 12
+    sr = None
+    bits = None
+    channels = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > len(buf):
+            raise ValueError("truncated chunk")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt_code, channels, sr, _br, _al, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_code != 1:
+                raise ValueError(f"not PCM (fmt={fmt_code})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if sr is None or data is None or bits != 16 or channels != 1:
+        raise ValueError("missing fmt/data or unsupported layout")
+    if len(data) % 2:
+        raise ValueError("truncated sample")
+    return sr, len(data) // 2
+
+
+def _sim_decode(buf: Optional[bytes]):
+    """→ (codec, sr, n_samples) or raise ValueError(reason)."""
+    if buf is None:
+        raise ValueError("null bytes")
+    if buf[:4] == b"RIFF":
+        sr, n = _sim_parse_wav(bytes(buf))
+        return "pcm_s16le", sr, n
+    if buf[:4] == b"fLaC":
+        if len(buf) < 12:
+            raise ValueError("not a synthetic flac buffer")
+        sr, n = struct.unpack("<II", buf[4:12])
+        if len(buf) - 12 != 2 * n:
+            raise ValueError("flac payload length mismatch")
+        return "flac", sr, n
+    if buf[:8] == b"OpusHead":
+        if len(buf) < 16:
+            raise ValueError("not a synthetic opus buffer")
+        sr, n = struct.unpack("<II", buf[8:16])
+        if len(buf) - 16 != 2 * n:
+            raise ValueError("opus payload length mismatch")
+        return "opus", sr, n
+    raise ValueError("unsupported codec payload")
+
+
+@lru_cache(maxsize=None)
+def audio_suite_rows(n: int = 2000, parts: int = 4,
+                     dur_tol_ms: int = 50) -> tuple:
+    """Expected violations of ``validate_audio_table(df, manifest)`` on
+    ``audio_clips_df(spark, n, parts)`` — every rule family re-derived
+    here directly from the fixture definition."""
+    import re
+
+    # fixture generation is shared input data (pure function of i)
+    from datatest_spark.fixtures import (
+        _transcript_words,
+        clip_id_for,
+        clip_params,
+        synth_clip_bytes,
+    )
+
+    data_rows = []  # (clip_id, sr, dur, codec, transcript, buf, part)
+    for i in range(n):
+        p = clip_params(i)
+        if p.dup_of is not None:
+            src = clip_params(p.dup_of)
+            data_rows.append(
+                (clip_id_for(i), src.decl_sr, src.decl_dur_ms, src.codec,
+                 src.transcript, synth_clip_bytes(p.dup_of), p.dup_of % parts)
+            )
+        else:
+            data_rows.append(
+                (clip_id_for(i), p.decl_sr, p.decl_dur_ms, p.codec,
+                 p.transcript, synth_clip_bytes(i), i % parts)
+            )
+
+    out = []
+    clip_re = re.compile(r"^clip-\d{12}$")
+
+    # --- fused row rules (key NULL, partition attributed)
+    for clip_id, sr, dur, codec, transcript, buf, part in data_rows:
+        ps = str(part)
+        if sr < 8000:
+            out.append(("interval:sr_hz", None, "sr_hz", "DEVIATION",
+                        str(sr), "8000", float(sr - 8000), 8000.0, ps))
+        elif sr > 48000:
+            out.append(("interval:sr_hz", None, "sr_hz", "DEVIATION",
+                        str(sr), "48000", float(sr - 48000), 48000.0, ps))
+        if dur < 1:
+            out.append(("interval:dur_ms", None, "dur_ms", "DEVIATION",
+                        str(dur), "1", float(dur - 1), 1.0, ps))
+        elif dur > 120_000:
+            out.append(("interval:dur_ms", None, "dur_ms", "DEVIATION",
+                        str(dur), "120000", float(dur - 120_000), 120_000.0, ps))
+        if sr not in _ALLOWED_SRS:
+            out.append(("sr_hz:allowed", None, "sr_hz", "INVALID",
+                        str(sr), None, None, None, ps))
+        if not clip_re.search(clip_id):
+            out.append(("regex:clip_id", None, "clip_id", "INVALID",
+                        clip_id, None, None, None, ps))
+
+    # --- unique:clip_id (global; one Extra per duplicate occurrence)
+    from collections import Counter
+
+    counts = Counter(r[0] for r in data_rows)
+    for clip_id, c in sorted(counts.items()):
+        for _ in range(c - 1):
+            out.append(("unique:clip_id", None, "clip_id", "EXTRA",
+                        clip_id, None, None, None, None))
+
+    # --- subset:codec (global; deduped Extras)
+    for v in sorted({r[3] for r in data_rows} - _ALLOWED_CODECS):
+        out.append(("subset:codec", None, "codec", "EXTRA",
+                    v, None, None, None, None))
+
+    # --- audio consistency (per-row, decode-derived, partition attributed)
+    for clip_id, sr, dur, codec, transcript, buf, part in data_rows:
+        ps = str(part)
+        try:
+            dec_codec, dec_sr, n_samples = _sim_decode(buf)
+        except ValueError as e:
+            out.append(("audio:decodable", clip_id, "bytes", "INVALID",
+                        str(e), "decodable audio payload", None, None, ps))
+            continue
+        dec_dur = int(round(1000.0 * n_samples / dec_sr))
+        if dec_sr != sr:
+            out.append(("audio:sr_hz", clip_id, "sr_hz", "DEVIATION",
+                        str(sr), str(dec_sr), float(sr - dec_sr),
+                        float(dec_sr), ps))
+        if abs(dec_dur - dur) > dur_tol_ms:
+            out.append(("audio:dur_ms", clip_id, "dur_ms", "DEVIATION",
+                        str(dur), str(dec_dur), float(dur - dec_dur),
+                        float(dec_dur), ps))
+        if dec_codec != codec:
+            out.append(("audio:codec", clip_id, "codec", "INVALID",
+                        codec, dec_codec, None, None, ps))
+
+    # --- subset:clip_id ⊆ manifest (manifest covers a superset of ids
+    # by construction → no Extras; simulate anyway for honesty)
+    n_manifest = n + max(1, n // 100)
+    manifest_ids = {f"clip-{i:012d}" for i in range(n_manifest)}
+    for v in sorted({r[0] for r in data_rows} - manifest_ids):
+        out.append(("subset:clip_id_manifest", None, "clip_id", "EXTRA",
+                    v, None, None, None, None))
+
+    # --- ref_match: transcript equality vs manifest (per data row,
+    # partition attributed)
+    for clip_id, sr, dur, codec, transcript, buf, part in data_rows:
+        idx = int(clip_id[5:])
+        ref = _transcript_words(idx) if idx < n_manifest else None
+        if transcript == ref:
+            continue
+        if ref is None:
+            continue  # missing_ref_ok
+        out.append(("ref_match:transcript", clip_id, "transcript", "INVALID",
+                    transcript, ref, None, None, str(part)))
+    return tuple(out)
+
+
+def audio_suite_sql(n: int = 2000, parts: int = 4) -> str:
+    return violations_values_sql(audio_suite_rows(n, parts))

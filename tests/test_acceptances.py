@@ -210,6 +210,116 @@ class TestContextManagerNesting:
             validate(df, {1, 2}, column="value")
 
 
+def _viol_df(spark, rows):
+    """Build a violation DataFrame from (key, diff) pairs the way the
+    engine would emit them — for driver-vs-DF parity checks."""
+    from datatest_spark.schema import py_repr
+
+    data = []
+    for key, d in rows:
+        if isinstance(d, Missing):
+            data.append(("r", key, None, "MISSING", None, py_repr(d.args[0]),
+                         None, None, None))
+        elif isinstance(d, Extra):
+            data.append(("r", key, None, "EXTRA", py_repr(d.args[0]), None,
+                         None, None, None))
+        elif isinstance(d, Deviation):
+            data.append(("r", key, None, "DEVIATION", py_repr(d.args[0]),
+                         py_repr(d.args[1]), float(d.args[0]),
+                         float(d.args[1]), None))
+        else:
+            exp = py_repr(d.args[1]) if len(d.args) > 1 else None
+            data.append(("r", key, None, "INVALID", py_repr(d.args[0]), exp,
+                         None, None, None))
+    return spark.createDataFrame(data, VIOLATION_SCHEMA)
+
+
+def _parity(spark, make_acceptance, rows):
+    """Assert the driver protocol and the DF mask reject the same
+    multiset of differences.  *make_acceptance* is a factory — the two
+    paths each get a fresh instance because consumption scopes mutate
+    allowance state (reference acceptances.py:398-402 does the same).
+    """
+    from datatest_spark.validation import row_to_difference
+
+    if any(k is not None for k, _ in rows):
+        diffs = {}
+        for k, d in rows:
+            diffs.setdefault(k, []).append(d)
+        remaining = make_acceptance().filter_differences(diffs)
+        driver = sorted(
+            (k, repr(d))
+            for k, v in remaining.items()
+            for d in (v if isinstance(v, list) else [v])
+        )
+    else:
+        remaining = make_acceptance().filter_differences([d for _, d in rows])
+        driver = sorted((None, repr(d)) for d in remaining)
+    got = make_acceptance().filter_df(_viol_df(spark, rows)).collect()
+    df_side = sorted((r["key"], repr(row_to_difference(r))) for r in got)
+    assert driver == df_side, (driver, df_side)
+
+
+class TestArgsDF:
+    def test_scalar_args_mask(self, spark):
+        _parity(spark, lambda: accepted.args(3),
+                [(None, Extra(3)), (None, Extra(4)), (None, Missing(3))])
+
+    def test_tuple_args_mask(self, spark):
+        _parity(spark, lambda: accepted.args((-2, 5)),
+                [(None, Deviation(-2, 5)), (None, Deviation(1, 5)),
+                 (None, Invalid("x", "y"))])
+
+    def test_callable_args_mask(self, spark):
+        _parity(spark, lambda: accepted.args(lambda v: isinstance(v, int) and v > 2),
+                [(None, Extra(1)), (None, Extra(5)), (None, Extra("x"))])
+
+    def test_filter_df_no_collect(self, spark):
+        # the args path must be a DF transformation, not a driver loop
+        out = accepted.args(3).filter_df(
+            _viol_df(spark, [(None, Extra(3)), (None, Extra(4))])
+        )
+        assert out.columns == [f.name for f in VIOLATION_SCHEMA.fields]
+
+
+class TestComposedDFParity:
+    """Stateful short-circuit parity: composed DF masks must consume
+    exactly as the sequential driver protocol does."""
+
+    def test_union_element_first_protects_count(self, spark):
+        # element acceptance takes both Extras; count consumes only the
+        # Missing → everything accepted (reference precedence semantics)
+        rows = [(None, Extra(1)), (None, Extra(2)), (None, Missing(3))]
+        _parity(spark, lambda: accepted.count(1) | accepted(Extra), rows)
+
+    def test_union_count_too_small(self, spark):
+        rows = [(None, Extra(1)), (None, Missing(3)), (None, Missing(4))]
+        _parity(spark, lambda: accepted.count(1) | accepted(Extra), rows)
+
+    def test_intersect_gated_consumption(self, spark):
+        # second (collection, consuming) operand must only consume rows
+        # the first (class) operand accepted
+        rows = [(None, Missing(3)), (None, Extra(3)), (None, Extra(3))]
+        _parity(spark, lambda: accepted(Extra) & accepted([Extra(3)]), rows)
+
+    def test_intersect_args_and_count(self, spark):
+        rows = [(None, Extra(5)), (None, Extra(6)), (None, Extra(1))]
+        _parity(spark, lambda: accepted.args(lambda v: v > 2) & accepted.count(1), rows)
+
+    def test_grouped_collection_parity(self, spark):
+        rows = [("A", Extra(3)), ("A", Extra(3)), ("B", Extra(3))]
+        _parity(spark, lambda: accepted({"A": Extra(3)}), rows)
+
+    def test_mapping_list_value_consumes(self, spark):
+        rows = [("A", Extra(3)), ("A", Extra(3)), ("A", Extra(4))]
+        _parity(spark, lambda: accepted({"A": [Extra(3)]}), rows)
+
+    def test_mapping_class_value_unlimited(self, spark):
+        rows = [("A", Extra(1)), ("A", Extra(2)), ("B", Extra(3)),
+                ("A", Missing(9))]
+        _parity(spark, lambda: accepted({"A": Extra}), rows)
+
+
 class TestAcceptedDifferencesDF:
     """DataFrame compilation of consumption scopes."""
 

@@ -122,3 +122,41 @@ class TestStreaming:
         got = spark.read.parquet(viol_path)
         assert got.count() == 9  # 41..49 out of range
         assert got.select("batch_id").distinct().count() == 1
+
+
+class TestMapTypeFidelity:
+    """squint preserves mapped value types (reference query.py:296-324)."""
+
+    def test_map_int_sum(self, spark):
+        from datatest_spark.query import Select
+
+        df = spark.createDataFrame([(1,), (2,), (3,)], "A long")
+        got = Select(df)("A").map(lambda x: x * 2).sum().fetch()
+        assert got == 12  # NOT '12' — numeric type preserved
+
+    def test_map_float(self, spark):
+        from datatest_spark.query import Select
+
+        df = spark.createDataFrame([(1,), (2,)], "A long")
+        got = Select(df)("A").map(lambda x: x / 2).fetch()
+        assert sorted(got) == [0.5, 1.0]
+
+    def test_map_string_fallback(self, spark):
+        from datatest_spark.query import Select
+
+        df = spark.createDataFrame([(1,), (2,)], "A long")
+        got = Select(df)("A").map(lambda x: f"v{x}").fetch()
+        assert sorted(got) == ["v1", "v2"]
+
+    def test_starmap(self, spark):
+        from datatest_spark.query import Select
+
+        df = spark.createDataFrame([(2, 3), (4, 5)], "A long, B long")
+        got = Select(df)(("A", "B")).starmap(lambda a, b: a * b).fetch()
+        assert sorted(got) == [6, 20]
+
+    def test_starmap_sum(self, spark):
+        from datatest_spark.query import Select
+
+        df = spark.createDataFrame([(2, 3), (4, 5)], "A long, B long")
+        assert Select(df)(("A", "B")).starmap(lambda a, b: a * b).sum().fetch() == 26

@@ -5,7 +5,9 @@ import pytest
 from datatest_spark.sources import (
     align_by_fieldname,
     from_records,
+    iceberg_available,
     read_csv,
+    read_table,
 )
 
 
@@ -63,3 +65,31 @@ class TestAlignByFieldname:
         out = align_by_fieldname([a, b])
         rows = {r["id"]: r for r in out.collect()}
         assert rows[2]["a"] is None
+
+
+class TestReadTable:
+    """Iceberg-or-parquet scan adapter (north-rule input surface)."""
+
+    def test_parquet_path_fallback(self, spark):
+        df = read_table(spark, "/root/testdata/sf0.001/region.parquet")
+        assert df.count() == 5
+
+    def test_column_pruning_param(self, spark):
+        df = read_table(spark, "/root/testdata/sf0.001/region.parquet",
+                        columns=["r_name"])
+        assert df.columns == ["r_name"]
+
+    def test_catalog_identifier(self, spark):
+        spark.createDataFrame([(1,)], "x long").createOrReplaceTempView(
+            "rt_view"
+        )
+        assert read_table(spark, "rt_view").count() == 1
+
+    def test_iceberg_capability_check(self, spark):
+        # this sandbox ships no Iceberg jars: the capability check must
+        # say so and an explicit fmt="iceberg" must fail loudly
+        assert iceberg_available(spark) is False
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="[Ii]ceberg"):
+            read_table(spark, "/tmp/nope", fmt="iceberg")
