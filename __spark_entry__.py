@@ -385,6 +385,20 @@ def q_superset_grouped(spark, sf_dir):
     )
 
 
+def q_outliers_events(spark, sf_dir):
+    """Tukey-fence outliers (reference docs/how-to/outliers.rst): exact
+    quartiles → interval projection → Deviation rows (events.value has
+    a genuine heavy tail; TPC-H price columns do not)."""
+    from datatest_spark.stats import OutlierRule
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "events")
+    return Engine(spark).compile(
+        df,
+        [OutlierRule("value", multiplier=1.5, rule_id="outliers:value")],
+    )
+
+
 def q_acceptance_tolerance(spark, sf_dir):
     """Acceptance layer over the violation stream (SURVEY §2C):
     ref_approx deviations filtered by accepted.tolerance(±50) — the
@@ -432,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "set_doc_lang": q_set_doc_lang,
         "superset_grouped": q_superset_grouped,
+        "outliers_events": q_outliers_events,
         "acceptance_tolerance": q_acceptance_tolerance,
         "audio_suite": q_audio_suite,
         "fuzzy_docs": q_fuzzy_docs,
@@ -682,6 +697,27 @@ def oracle_sql() -> dict[str, str]:
             FROM keys CROSS JOIN req
             LEFT JOIN actual ON actual.k = keys.k AND actual.v = req.v
             WHERE actual.v IS NULL
+        """,
+        "outliers_events": f"""
+            WITH q AS (SELECT
+                quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+                quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+                FROM events),
+            f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo,
+                         q3 + 1.5 * (q3 - q1) AS hi FROM q)
+            {_viol_select("outliers:value", "DEVIATION",
+                          column="'value'",
+                          invalid=_repr_sql("value"),
+                          expected=("CASE WHEN value < f.lo THEN "
+                                    + _repr_sql("f.lo") + " ELSE "
+                                    + _repr_sql("f.hi") + " END"),
+                          deviation=("CASE WHEN value < f.lo THEN "
+                                     "CAST(value AS DOUBLE) - f.lo "
+                                     "ELSE CAST(value AS DOUBLE) - f.hi END"),
+                          expected_num=("CASE WHEN value < f.lo "
+                                        "THEN f.lo ELSE f.hi END"))}
+            FROM events, f
+            WHERE value < f.lo OR value > f.hi
         """,
         "acceptance_tolerance": f"""
             WITH li AS (SELECT l_orderkey,

@@ -30,6 +30,7 @@ from .validation import (
 from . import requirements
 from . import acceptances as _acceptances_module  # noqa: F401
 from .acceptances import accepted
+from .repeating import RepeatingContainer
 
 __version__ = "0.1.0"
 
@@ -51,4 +52,5 @@ __all__ = [
     "valid",
     "requirements",
     "accepted",
+    "RepeatingContainer",
 ]

@@ -89,17 +89,28 @@ def _seeded_hash(seed: int):
 
 def minhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id",
                        num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
-    """MinHash signature per document: k-word shingles hashed with
-    ``num_hashes`` seeded xxhash64 functions, min per seed.  Entirely
-    JVM-side (transform + array_min) — one projection, no shuffle."""
-    shingles = _word_shingles(F.col(column), shingle_k)
+    """MinHash signature per document: k-word shingles, ``num_hashes``
+    seeded families, min per family.  Entirely JVM-side (transform +
+    array_min) — two chained projections, no shuffle, no UDF.
+
+    Cost shape: the shingle strings are built and string-hashed exactly
+    ONCE (first projection) — inlining the shingle expression into each
+    family's transform would rebuild/rehash the strings per family
+    (measured 30x slower at 32 families).  Each family then double-
+    hashes the 8-byte base hash with its seed (cheap long hashing)."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            _word_shingles(F.col(column), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("_h"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hash(seed)))
+            F.array_min(F.transform(F.col("_h"), _seeded_hash(seed)))
             for seed in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return base.select(F.col(id_col), sig.alias("minhash"))
 
 
 def _drop_oversized_buckets(banded: DataFrame, max_bucket_size: Optional[int]) -> DataFrame:

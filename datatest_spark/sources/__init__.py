@@ -4,6 +4,8 @@ from .readers import (  # noqa: F401
     from_records,
     iceberg_available,
     read_csv,
+    read_dbf,
+    read_excel,
     read_parquet,
     read_table,
     working_dir_glob,

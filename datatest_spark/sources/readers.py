@@ -13,9 +13,9 @@ load_csv.py:15-86, temptable.py:116-209) Spark-first:
   (temptable.py:116-129,162-209) via ``unionByName(
   allowMissingColumns=True)``.
 
-Excel/DBF (get_reader.py:332-404) are deliberately out of scope for
-v1 (no xlrd/dbfread in this environment); they would follow the same
-pandas→Arrow path.
+Excel/DBF (get_reader.py:332-404) follow the same pandas→Arrow path
+behind import guards (no xlrd/openpyxl/dbfread ships in this
+environment — the guards raise actionable errors).
 """
 
 from __future__ import annotations
@@ -32,6 +32,8 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "read_table",
+    "read_excel",
+    "read_dbf",
     "iceberg_available",
     "from_pandas",
     "from_records",
@@ -121,6 +123,44 @@ def read_table(spark: SparkSession, source: str, fmt: Optional[str] = None,
     else:
         df = spark.read.parquet(source)
     return df.select(*columns) if columns else df
+
+
+def read_excel(spark: SparkSession, path: str, sheet=0, **pandas_kwargs) -> DataFrame:
+    """Excel scan (reference get_reader.py:332-369) via pandas → Arrow.
+
+    Import-guarded: this environment ships no Excel engine
+    (openpyxl/xlrd); the guard raises a clear, actionable error instead
+    of an opaque pandas traceback.  Excel files are driver-sized by
+    nature — the pandas → ``createDataFrame`` hop is the right path.
+    """
+    import pandas as _pd
+
+    try:
+        pdf = _pd.read_excel(path, sheet_name=sheet, **pandas_kwargs)
+    except ImportError as e:
+        raise ImportError(
+            "read_excel needs an Excel engine (pip install openpyxl "
+            f"or xlrd): {e}"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def read_dbf(spark: SparkSession, path: str, encoding: str = "ascii",
+             **dbf_kwargs) -> DataFrame:
+    """DBF scan (reference get_reader.py:372-404) via dbfread → records.
+
+    Import-guarded like :func:`read_excel` (no dbfread in this
+    environment)."""
+    try:
+        from dbfread import DBF  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise ImportError(
+            f"read_dbf requires the dbfread package: {e}"
+        ) from e
+    records = [dict(r) for r in DBF(path, encoding=encoding, **dbf_kwargs)]
+    if not records:
+        raise ValueError(f"empty DBF file: {path}")
+    return spark.createDataFrame(records)
 
 
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:

@@ -41,8 +41,10 @@ __all__ = [
     "binned_ks",
     "DriftPSIRule",
     "DriftKSRule",
+    "OutlierRule",
     "drift_psi",
     "drift_ks",
+    "outliers",
 ]
 
 _Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
@@ -312,6 +314,69 @@ class DriftKSRule(_BucketDriftRule):
 
     def statistic(self, current, props):
         return binned_ks(current, props)
+
+
+class OutlierRule(Rule):
+    """Tukey-fence outlier detection — the reference's canonical
+    custom-requirement example (docs/how-to/outliers.rst:23-60:
+    subclass GroupRequirement, compute Q1/Q3 ± multiplier·IQR, then
+    interval-check).
+
+    Spark plan: two passes — one aggregate computes the quartiles
+    (``percentile`` exact by default for oracle-stable fences;
+    ``approx=True`` switches to the GK sketch for 10^12-row tables
+    where a one-pass approximate fence is the right trade), then one
+    codegen'd interval projection emits Deviation rows against the
+    violated fence.  The quartile row is a 2-value driver-side collect.
+    """
+
+    kind = "plan"
+
+    def __init__(self, column: str, multiplier: float = 1.5,
+                 approx: bool = False, rule_id: Optional[str] = None):
+        super().__init__(rule_id or f"outliers:{column}")
+        self.column = column
+        self.multiplier = multiplier
+        self.approx = approx
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        from .schema import empty_violations, repr_col
+
+        fn = "percentile_approx" if self.approx else "percentile"
+        row = ctx.df.agg(
+            F.expr(
+                f"{fn}(cast({self.column} as double), array(0.25, 0.75))"
+            ).alias("q")
+        ).first()
+        q = row["q"]
+        if not q or q[0] is None or q[1] is None:
+            return empty_violations(ctx.spark)
+        q1, q3 = float(q[0]), float(q[1])
+        iqr = q3 - q1
+        lo = q1 - self.multiplier * iqr
+        hi = q3 + self.multiplier * iqr
+
+        c = F.col(self.column).cast("double")
+        below = c < F.lit(lo)
+        above = c > F.lit(hi)
+        bound = F.when(below, F.lit(lo)).otherwise(F.lit(hi))
+        return ctx.df.filter(below | above).select(
+            finalize_cols(
+                self.rule_id,
+                DEVIATION,
+                key=ctx.key_expr(),
+                column=self.column,
+                invalid=repr_col(F.col(self.column)),
+                expected=repr_col(bound),
+                deviation=c - bound,
+                expected_num=bound,
+                partition_id=ctx.partition_expr(),
+            )
+        )
+
+
+def outliers(column, multiplier=1.5, approx=False, rule_id=None):
+    return OutlierRule(column, multiplier, approx, rule_id)
 
 
 def drift_psi(column, baseline_quantiles, threshold=0.2, rule_id=None):

@@ -51,6 +51,7 @@ __all__ = [
     "Engine",
     "ValidationResult",
     "ValidationError",
+    "install_excepthook",
 ]
 
 
@@ -86,6 +87,39 @@ class ValidationError(AssertionError):
         open_, close = ("{", "}") if isinstance(self.differences, dict) else ("[", "]")
         body = "\n".join(lines)
         return f"{self.description} ({total} difference{'s' if total != 1 else ''}): {open_}\n{body}\n{close}"
+
+
+def install_excepthook() -> None:
+    """Scrub engine-internal frames from uncaught ValidationError
+    tracebacks (reference _excepthook.py:12-54: the reference trims its
+    own module frames so the user sees their assertion, not library
+    plumbing).  Idempotent; chains to the previous hook for other
+    exception types."""
+    import os
+    import sys
+    import traceback
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    previous = sys.excepthook
+
+    def hook(exc_type, exc_value, tb):
+        if not issubclass(exc_type, ValidationError):
+            return previous(exc_type, exc_value, tb)
+        frames = [
+            f
+            for f in traceback.extract_tb(tb)
+            if not f.filename.startswith(pkg_dir)
+        ]
+        print("Traceback (most recent call last):", file=sys.stderr)
+        for line in traceback.format_list(frames):
+            sys.stderr.write(line)
+        for line in traceback.format_exception_only(exc_type, exc_value):
+            sys.stderr.write(line)
+
+    if getattr(sys.excepthook, "_datatest_spark_hook", False):
+        return
+    hook._datatest_spark_hook = True
+    sys.excepthook = hook
 
 
 def _sort_key(d: BaseDifference):
