@@ -409,6 +409,171 @@ def q_acceptance_tolerance(spark, sf_dir):
     return accepted.tolerance(50).filter_df(viol)
 
 
+def q_acceptance_percent(spark, sf_dir):
+    """accepted.percent (reference acceptances.py:640-666): relative
+    deviation |dev/expected| ≤ 0.0005 accepted; remainder re-raises."""
+    from datatest_spark.acceptances import accepted
+
+    viol = q_ref_approx_totalprice(spark, sf_dir)
+    return accepted.percent(0.0005).filter_df(viol)
+
+
+def q_acceptance_keys(spark, sf_dir):
+    """accepted.keys (reference acceptances.py:438-465): accept all
+    differences whose group key matches the predicate (set membership
+    here) — grouped superset Missings for regions 0 and 2 vanish."""
+    from datatest_spark.acceptances import accepted
+
+    viol = q_superset_grouped(spark, sf_dir)
+    return accepted.keys({"0", "2"}).filter_df(viol)
+
+
+def q_acceptance_fuzzy(spark, sf_dir):
+    """accepted.fuzzy (reference acceptances.py:669-708): fuzzy-match
+    violations re-scored by the acceptance's own difflib direction
+    (SequenceMatcher(a=invalid, b=expected) — difflib ratios are not
+    symmetric, so the oracle reproduces BOTH orders)."""
+    from datatest_spark import requirements as R
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "truncated",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.expr("substring(text, 1, cast(length(text) * 0.9 as int))"),
+        ).otherwise(F.col("text")),
+    )
+    viol = Engine(spark).compile(
+        df,
+        [R.fuzzy("truncated", expected_col="text", cutoff=0.99,
+                 rule_id="fuzzy:truncated")],
+    )
+    return accepted.fuzzy(0.945).filter_df(viol)
+
+
+def q_acceptance_composed(spark, sf_dir):
+    """Acceptance composition with a stateful operand (reference
+    acceptances.py:113-135,711-754): grouped interval deviations
+    filtered by ``tolerance(±3) | count(100, scope='group')`` — the
+    count allowance consumes ONLY rows the tolerance rejected (the
+    union short-circuit), per l_returnflag group, in canonical order."""
+    from datatest_spark import requirements as R
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.validation import Engine
+
+    viol = Engine(spark).compile(
+        _t(spark, sf_dir, "lineitem"),
+        [R.interval("l_quantity", 5, 45, rule_id="interval_g:l_quantity")],
+        key=["l_returnflag"],
+    )
+    acc = accepted.tolerance(3) | accepted.count(100, scope="group")
+    return acc.filter_df(viol)
+
+
+# required sequence for sequence_positional: the true nation order with
+# one planted mismatch (idx 5) and one trailing requirement the data
+# lacks (idx 25)
+_SEQ_REQUIRED = [f"NATION_{i}" for i in range(25)]
+_SEQ_REQUIRED[5] = "NATION_X"
+_SEQ_REQUIRED.append("NATION_25")
+
+# required order for order_lcs: region 0's nation list with idx 2
+# planted wrong (NATION_12 actually lives in region 2 → partial-LCS
+# opcodes there, full replace elsewhere)
+_ORDER_REQUIRED = ("NATION_0", "NATION_5", "NATION_12", "NATION_15",
+                   "NATION_20")
+
+
+def q_sequence_positional(spark, sf_dir):
+    """RequiredSequence (reference requirements.py:712-758): positional
+    compare of n_name (ordered by n_nationkey) vs the literal sequence
+    → per-index Invalid/Missing rows."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "nation")
+    return Engine(spark).compile(
+        df,
+        [R.sequence("n_name", _SEQ_REQUIRED, order_by="n_nationkey",
+                    rule_id="seq:n_name")],
+    )
+
+
+def q_order_lcs(spark, sf_dir):
+    """Grouped validate.order (reference requirements.py:656-709): LCS
+    diff of each region's nation list (ordered by n_nationkey) against
+    the required sequence — difflib opcode parity per group.  Oracle:
+    independent pure-Python recomputation (oracles.py)."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "nation").select(
+        "n_regionkey", "n_nationkey", "n_name"
+    )
+    return Engine(spark).compile(
+        df,
+        [R.order("n_name", list(_ORDER_REQUIRED), order_by="n_nationkey",
+                 rule_id="order:n_name")],
+        key=["n_regionkey"],
+    )
+
+
+def _mixed_part(spark, sf_dir):
+    """part with a mixed-storage-class column: numeric strings, 'N/A'
+    text, NULLs — the squint/SQLite coercion testbed."""
+    return _t(spark, sf_dir, "part").withColumn(
+        "mixed",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("N/A"))
+        .when(F.col("p_partkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("p_retailprice").cast("string")),
+    )
+
+
+def q_squint_sum(spark, sf_dir):
+    """Squint aggregate semantics (reference __past__/squint/query.py:
+    417-533): Select({'p_type': 'mixed'}).sum() — text that doesn't
+    parse coerces to 0.0 (SQLite REAL rules), NULLs are skipped."""
+    from datatest_spark.query import Select
+
+    df = _mixed_part(spark, sf_dir)
+    q = Select(df)({"p_type": "mixed"}).sum()
+    return q.to_frame().select(
+        "p_type", F.round(F.col("mixed"), 2).alias("sum_r")
+    )
+
+
+def q_squint_minmax(spark, sf_dir):
+    """Squint min/max with SQLite storage-class ordering (reference
+    __past__/squint/query.py:457-482): NULL < numeric < text — min
+    lands on the smallest number (repr-normalized), max on the largest
+    text when any non-numeric value exists."""
+    from datatest_spark.query import Select
+
+    df = _mixed_part(spark, sf_dir)
+    mn = (
+        Select(df)({"p_type": "mixed"}).min().to_frame()
+        .withColumnRenamed("mixed", "min_v")
+    )
+    mx = (
+        Select(df)({"p_type": "mixed"}).max().to_frame()
+        .withColumnRenamed("mixed", "max_v")
+    )
+    return mn.join(mx, "p_type")
+
+
+def q_minhash_estimated(spark, sf_dir):
+    """MinHash+LSH default path (exact=False): estimated Jaccard as
+    the agreeing-component fraction.  Oracle: independent pure-Python
+    XXH64 signature + banding recomputation (oracles.py)."""
+    from datatest_spark.operators import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        num_hashes=32, bands=16, min_jaccard=0.35, exact=False,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: multi-rule engine pass over the TPC-H-ish
     tables — one fused scan per table, plan-rule fragments unioned."""
@@ -448,6 +613,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "superset_grouped": q_superset_grouped,
         "outliers_events": q_outliers_events,
         "acceptance_tolerance": q_acceptance_tolerance,
+        "acceptance_percent": q_acceptance_percent,
+        "acceptance_keys": q_acceptance_keys,
+        "acceptance_fuzzy": q_acceptance_fuzzy,
+        "acceptance_composed": q_acceptance_composed,
+        "sequence_positional": q_sequence_positional,
+        "order_lcs": q_order_lcs,
+        "squint_sum": q_squint_sum,
+        "squint_minmax": q_squint_minmax,
+        "minhash_estimated": q_minhash_estimated,
         "audio_suite": q_audio_suite,
         "fuzzy_docs": q_fuzzy_docs,
         "drift_psi": q_drift_psi,
@@ -518,9 +692,42 @@ def _drift_sql(stat: str, threshold: float, rule_id: str) -> str:
     """
 
 
+# shared SQL fragments -------------------------------------------------------
+
+_MIXED_SQL = (
+    "SELECT p_type, CASE WHEN p_partkey % 7 = 0 THEN 'N/A' "
+    "WHEN p_partkey % 11 = 0 THEN NULL "
+    "ELSE CAST(p_retailprice AS VARCHAR) END AS mixed FROM part"
+)
+
+_REF_APPROX_BODY = """
+    WITH li AS (SELECT l_orderkey,
+                sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS computed
+                FROM lineitem GROUP BY 1)
+    {sel}
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE abs(o.o_totalprice - li.computed) > 0.01
+"""
+
+
+def _ref_approx_sel():
+    return _viol_select(
+        "ref_approx:o_totalprice", "DEVIATION",
+        key="o.o_orderkey",
+        column="'o_totalprice'",
+        invalid=_repr_sql("o.o_totalprice"),
+        expected=_repr_sql("round(li.computed, 2)"),
+        deviation="round(o.o_totalprice - li.computed, 2)",
+        expected_num="round(li.computed, 2)",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qty = _repr_sql("l_quantity")
     bal = _repr_sql("c_acctbal")
+    seq_vals = ", ".join(
+        f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
+    )
     return {
         "set_orderstatus": f"""
             WITH actual AS (SELECT DISTINCT o_orderstatus AS v FROM orders),
@@ -735,6 +942,107 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(o.o_totalprice - li.computed) > 0.01
             ) WHERE NOT (deviation BETWEEN -50.0 AND 50.0)
         """,
+        "acceptance_percent": f"""
+            SELECT * FROM (
+            {_REF_APPROX_BODY.format(sel=_ref_approx_sel())}
+            ) WHERE NOT (CASE WHEN expected_num = 0.0 THEN deviation = 0.0
+                         ELSE (deviation / expected_num)
+                              BETWEEN -0.0005 AND 0.0005 END)
+        """,
+        "acceptance_keys": f"""
+            SELECT * FROM (
+            WITH keys AS (SELECT DISTINCT CAST(n_regionkey AS VARCHAR) AS k
+                          FROM nation),
+            req AS (SELECT * FROM (VALUES ('ALGERIA'), ('ARGENTINA'),
+                                          ('CHINA')) t(v)),
+            actual AS (SELECT DISTINCT CAST(n_regionkey AS VARCHAR) AS k,
+                              n_name AS v FROM nation)
+            {_viol_select("superset:n_name", "MISSING", key="keys.k",
+                          column="'n_name'", expected="req.v")}
+            FROM keys CROSS JOIN req
+            LEFT JOIN actual ON actual.k = keys.k AND actual.v = req.v
+            WHERE actual.v IS NULL
+            ) WHERE key NOT IN ('0', '2')
+        """,
+        # composed acceptance: tolerance(±3) | count(100, group) — the
+        # count's consumption window (cumulative gated sum in canonical
+        # order per key) only counts rows the tolerance rejected,
+        # mirroring the engine's sequential short-circuit exactly
+        "acceptance_composed": f"""
+            WITH v AS (
+              SELECT 'interval_g:l_quantity' AS rule_id,
+                     CAST(l_returnflag AS VARCHAR) AS key,
+                     'l_quantity' AS "column", 'DEVIATION' AS diff_type,
+                     {qty} AS invalid,
+                     CASE WHEN l_quantity < 5 THEN '5' ELSE '45' END
+                         AS expected,
+                     CAST(CASE WHEN l_quantity < 5 THEN l_quantity - 5
+                          ELSE l_quantity - 45 END AS DOUBLE) AS deviation,
+                     CAST(CASE WHEN l_quantity < 5 THEN 5 ELSE 45 END
+                          AS DOUBLE) AS expected_num,
+                     CAST(NULL AS VARCHAR) AS partition_id
+              FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45),
+            m AS (SELECT *,
+                  (deviation BETWEEN -3.0 AND 3.0) AS tol,
+                  sum(CASE WHEN NOT (deviation BETWEEN -3.0 AND 3.0)
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY key
+                          ORDER BY rule_id, key, diff_type, invalid,
+                                   expected, deviation
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cnt
+                  FROM v)
+            SELECT rule_id, key, "column", diff_type, invalid, expected,
+                   deviation, expected_num, partition_id
+            FROM m WHERE NOT (tol OR ((NOT tol) AND cnt <= 100))
+        """,
+        "sequence_positional": f"""
+            WITH actual AS (SELECT row_number() OVER (ORDER BY n_nationkey)
+                                   - 1 AS idx,
+                                   n_name FROM nation),
+            req AS (SELECT * FROM (VALUES {seq_vals}) t(idx, v))
+            SELECT 'seq:n_name' AS rule_id,
+                   CAST(COALESCE(actual.idx, req.idx) AS VARCHAR) AS key,
+                   'n_name' AS "column",
+                   CASE WHEN actual.idx IS NULL THEN 'MISSING'
+                        WHEN req.idx IS NULL THEN 'EXTRA'
+                        ELSE 'INVALID' END AS diff_type,
+                   CASE WHEN actual.idx IS NOT NULL THEN actual.n_name END
+                       AS invalid,
+                   CASE WHEN req.idx IS NOT NULL THEN req.v END AS expected,
+                   CAST(NULL AS DOUBLE) AS deviation,
+                   CAST(NULL AS DOUBLE) AS expected_num,
+                   CAST(NULL AS VARCHAR) AS partition_id
+            FROM actual FULL JOIN req ON actual.idx = req.idx
+            WHERE actual.idx IS NULL OR req.idx IS NULL
+               OR actual.n_name <> req.v
+        """,
+        "squint_sum": f"""
+            WITH base AS ({_MIXED_SQL})
+            SELECT p_type,
+                   round(sum(CASE WHEN mixed IS NOT NULL THEN
+                             coalesce(TRY_CAST(mixed AS DOUBLE), 0.0) END),
+                         2) AS sum_r
+            FROM base GROUP BY p_type
+        """,
+        "squint_minmax": f"""
+            WITH base AS ({_MIXED_SQL}),
+            m AS (SELECT p_type, mixed, TRY_CAST(mixed AS DOUBLE) AS num
+                  FROM base WHERE mixed IS NOT NULL)
+            SELECT p_type,
+                   CASE WHEN count(num) > 0 THEN {_repr_sql("min(num)")}
+                        ELSE min(mixed) END AS min_v,
+                   CASE WHEN count(*) > count(num)
+                        THEN max(CASE WHEN num IS NULL THEN mixed END)
+                        ELSE {_repr_sql("max(num)")} END AS max_v
+            FROM m GROUP BY p_type
+        """,
+        # independent pure-Python recomputations (oracles.py)
+        "order_lcs": _oracles.order_lcs_sql(required=_ORDER_REQUIRED),
+        "minhash_estimated": _oracles.minhash_estimated_sql(),
+        "acceptance_fuzzy": _oracles.acceptance_fuzzy_sql(
+            require_cutoff=0.99, accept_cutoff=0.945
+        ),
         # drift: closed-form SQL twins sharing the engine's exact float
         # accumulation order
         "drift_psi": _drift_sql("psi", 0.05, "drift:l_quantity"),

@@ -25,6 +25,7 @@ Re-expresses the reference's acceptance managers
 from __future__ import annotations
 
 import difflib
+import itertools
 import math
 import re
 from numbers import Number
@@ -811,6 +812,18 @@ class CombinedAcceptance(BaseAcceptance):
         return first, second
 
 
+# Unique-per-invocation temp column names: a nested composition (e.g.
+# ``(a & b) | c``) re-enters mark_df with out_col set to the OUTER's
+# temp column — fixed "_l"/"_r" names would be clobbered by the inner
+# call and then dropped, leaving the outer's column unresolved.
+_mark_counter = itertools.count()
+
+
+def _mark_tmp_cols() -> tuple:
+    n = next(_mark_counter)
+    return f"_acc_l_{n}", f"_acc_r_{n}"
+
+
 class IntersectedAcceptance(CombinedAcceptance):
     def call_predicate(self, item) -> bool:
         first, second = self._ordered()
@@ -824,14 +837,15 @@ class IntersectedAcceptance(CombinedAcceptance):
         # first accepted, so its consumption windows count exactly the
         # rows the sequential protocol would feed it
         first, second = self._ordered()
+        lcol, rcol = _mark_tmp_cols()
         outer = gate if gate is not None else F.lit(True)
-        v = first.mark_df(violations, "_l", gate=outer)
-        lmask = F.coalesce(F.col("_l"), F.lit(False))
-        v = second.mark_df(v, "_r", gate=outer & lmask)
+        v = first.mark_df(violations, lcol, gate=outer)
+        lmask = F.coalesce(F.col(lcol), F.lit(False))
+        v = second.mark_df(v, rcol, gate=outer & lmask)
         return v.withColumn(
             out_col,
-            lmask & F.coalesce(F.col("_r"), F.lit(False)),
-        ).drop("_l", "_r")
+            lmask & F.coalesce(F.col(rcol), F.lit(False)),
+        ).drop(lcol, rcol)
 
 
 class UnionedAcceptance(CombinedAcceptance):
@@ -844,14 +858,15 @@ class UnionedAcceptance(CombinedAcceptance):
         # `or` short-circuit: second is only "called" (consumes) on rows
         # the first rejected
         first, second = self._ordered()
+        lcol, rcol = _mark_tmp_cols()
         outer = gate if gate is not None else F.lit(True)
-        v = first.mark_df(violations, "_l", gate=outer)
-        lmask = F.coalesce(F.col("_l"), F.lit(False))
-        v = second.mark_df(v, "_r", gate=outer & ~lmask)
+        v = first.mark_df(violations, lcol, gate=outer)
+        lmask = F.coalesce(F.col(lcol), F.lit(False))
+        v = second.mark_df(v, rcol, gate=outer & ~lmask)
         return v.withColumn(
             out_col,
-            lmask | F.coalesce(F.col("_r"), F.lit(False)),
-        ).drop("_l", "_r")
+            lmask | F.coalesce(F.col(rcol), F.lit(False)),
+        ).drop(lcol, rcol)
 
 
 class AcceptedFactory:

@@ -94,15 +94,24 @@ def _train_centroids(sample: np.ndarray, n_cells: int, iters: int = 5,
 def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
              column: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 16, nprobe: int = 4,
-             sample_rows: int = 10_000, seed: int = 42) -> DataFrame:
+             sample_rows: int = 10_000, seed: int = 42,
+             approx_count: Optional[int] = None) -> DataFrame:
     """IVF-style ANN: train a coarse quantizer on a seeded sample,
     assign vectors to cells JVM-side, search only the ``nprobe`` cells
-    nearest the query.  Returns (id, cosine) — approximate top-k."""
+    nearest the query.  Returns (id, cosine) — approximate top-k.
+
+    ``approx_count``: pass a (rough — ±50% is fine) row-count estimate
+    to size the Bernoulli training fraction without the counting scan.
+    At index-build scale the count is usually already known (table
+    stats, a prior pipeline stage); when omitted, a ``count()`` job
+    runs first — Catalyst prunes it to a zero-column scan, so it reads
+    no embedding data, but it is still an extra pass over the plan.
+    """
     # quantizer training sample: Bernoulli sample (NOT limit() alone —
     # that takes the first partitions and biases centroids on sorted
     # data), capped at sample_rows.  The collect is bounded (≤10k rows
     # of the pruned embedding column) — standard driver-side IVF training.
-    total = df.count()
+    total = approx_count if approx_count is not None else df.count()
     frac = min(1.0, (3.0 * sample_rows) / max(total, 1))
     sample = np.array(
         [

@@ -2,10 +2,12 @@
 
 Scale shapes:
 
-* **exact**: one hash-groupBy (map-side partial agg) — the group key is
-  ``(xxhash64(column), length(column))``, 16 bytes, so the shuffle
-  never carries document bodies (one sample body per group survives the
-  partial aggregate for the output row).
+* **exact**: one hash-groupBy (map-side partial agg) over the 16-byte
+  key ``(xxhash64(column), length(column))`` aggregating ONLY
+  ``(count, min(id))`` — no document body ever enters the aggregate
+  state or the shuffle.  The (tiny) duplicate-group keys are then
+  broadcast-joined back to the corpus to fetch one sample body per
+  group.
 * **MinHash+LSH**: shingle → per-seed min-hash (JVM-side
   ``transform``+``xxhash64`` — no UDF) → band buckets → self-join per
   bucket.  The self-join is on (band, bucket-hash): only candidate
@@ -41,30 +43,70 @@ __all__ = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "unpersist_cached",
 ]
+
+# Persisted intermediates (the LSH banded frames) registered per call.
+# The cache must stay alive until the CALLER materializes the returned
+# (lazy) pairs frame, so the operator cannot unpersist before returning.
+# Instead each new operator call first evicts the previous call's
+# frames — storage growth across repeated calls in a long-lived session
+# is bounded to one call's working set — and callers needing tighter
+# control invoke :func:`unpersist_cached` themselves after collecting.
+_CACHED: list = []
+
+
+def _register_cached(frame: DataFrame) -> DataFrame:
+    _CACHED.append(frame)
+    return frame
+
+
+def unpersist_cached(blocking: bool = False) -> int:
+    """Evict all persisted LSH intermediates registered by previous
+    dedup-operator calls.  Safe at any time: un-materialized results
+    that referenced them simply recompute.  Returns #frames evicted."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(blocking)
+        except Exception:  # session already stopped — nothing to free
+            pass
+        n += 1
+    return n
 
 
 def exact_duplicates(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups by exact content equality.
 
     Shuffle key is ``(xxhash64(column), length(column))`` — 16 bytes
-    per row instead of the document body.  ``min(column)`` keeps one
-    sample body per group (map-side partial aggregation means at most
-    one body per group *per input partition* crosses the wire).
-    A 64-bit-hash + length collision merging two distinct texts needs
-    ~2^64 same-length docs — negligible at any target corpus size.
+    per row instead of the document body — and the aggregate state is
+    ``(count, min(id))`` ONLY.  On a mostly-unique corpus carrying
+    ``min(body)`` through the aggregate would ship ≈ the whole corpus
+    as partial-agg state; instead the duplicate-group keys (tiny: only
+    groups with count > 1 survive) are broadcast back onto the corpus
+    and a second aggregate over *just the duplicate rows* picks one
+    sample body per group.  A 64-bit-hash + length collision merging
+    two distinct texts needs ~2^64 same-length docs — negligible at
+    any target corpus size.
     """
-    return (
-        df.groupBy(
-            F.xxhash64(F.col(column)).alias("_h"),
-            F.length(F.col(column)).alias("_len"),
-        )
+    keyed_cols = [
+        F.xxhash64(F.col(column)).alias("_h"),
+        F.length(F.col(column)).alias("_len"),
+    ]
+    groups = (
+        df.groupBy(*keyed_cols)
         .agg(
-            F.min(F.col(column)).alias(column),
             F.count(F.lit(1)).alias("dup_count"),
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("dup_count") > 1)
+    )
+    dup_rows = df.select(*keyed_cols, F.col(column)).join(
+        F.broadcast(groups), ["_h", "_len"]
+    )
+    return (
+        dup_rows.groupBy("_h", "_len", "dup_count", "keep_id")
+        .agg(F.min(F.col(column)).alias(column))
         .select(column, "dup_count", "keep_id")
     )
 
@@ -170,6 +212,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
 
     Returns pairs with id_a < id_b.
     """
+    unpersist_cached()  # evict the previous call's intermediates
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, column, id_col, num_hashes, shingle_k)
     # banded feeds the bucket-count pass and both self-join sides; the
@@ -179,7 +222,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     banded = _banded(sigs, id_col, bands, rows_per_band)
     if exact:
         banded = banded.drop("minhash")  # candidates need ids only
-    banded = banded.persist()
+    banded = _register_cached(banded.persist())
     banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     if exact:
@@ -277,6 +320,7 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     equal → candidate), exact Hamming distance filter JVM-side.  The
     Hamming distance is scored BEFORE the pair-dedup so the distinct
     shuffles one small int per pair, not two signatures."""
+    unpersist_cached()  # evict the previous call's intermediates
     sigs = simhash_signatures(df, column, id_col)
     banded = sigs.select(
         F.col(id_col),
@@ -297,7 +341,7 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     # cache: the banded frame feeds the bucket-count pass and both join
     # sides — without it the signature UDF re-runs per subtree
-    banded = banded.cache()
+    banded = _register_cached(banded.cache())
     banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),

@@ -197,9 +197,19 @@ def run_checkpointed(
     elapsed = time.time() - start
     now = time.strftime("%Y-%m-%dT%H:%M:%S")
     verdict_rows = []
-    verdict_parts = list(todo)
-    if GLOBAL_PARTITION in count_map:
-        verdict_parts.append(GLOBAL_PARTITION)
+    if mandatory and GLOBAL_PARTITION in mand_counts:
+        # Global mandatory failure gated ALL non-mandatory rules: data
+        # partitions without their own mandatory violations were never
+        # conclusively validated, so they must NOT get a committed
+        # verdict row (a passed=True row here would be skipped forever
+        # on resume).  Commit only the conclusively-failed partitions
+        # (own mandatory violations) and the __global__ bucket; the
+        # rest stay uncommitted and re-run on resume.
+        verdict_parts = sorted(set(mandatory_failed_parts))
+    else:
+        verdict_parts = list(todo)
+        if GLOBAL_PARTITION in count_map:
+            verdict_parts.append(GLOBAL_PARTITION)
     for p in verdict_parts:
         c = count_map.get(p)
         n_viol = c["n_violations"] if c else 0
@@ -226,4 +236,5 @@ def run_checkpointed(
     all_verdicts = spark.read.parquet(verdict_path).filter(
         F.col("ruleset_hash") == rhash
     )
-    return CheckpointedRun(checkpoint_dir, all_verdicts, skipped, todo)
+    processed = [p for p in verdict_parts if p != GLOBAL_PARTITION]
+    return CheckpointedRun(checkpoint_dir, all_verdicts, skipped, processed)

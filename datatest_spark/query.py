@@ -114,6 +114,19 @@ class Query:
         sample (one bounded collect) unless ``return_type`` is given —
         type fidelity over laziness, matching squint's behavior where
         mapped ints stay ints.
+
+        Two hazards of the inference path (both avoided by passing
+        ``return_type`` explicitly, which is recommended on any
+        non-trivial upstream plan):
+
+        * the sampling ``limit(20).collect()`` executes the upstream
+          DAG — cheap for a scan+filter, but a join/agg upstream runs
+          an extra (early-terminated) job per ``map`` call;
+        * inference sees only the first 20 non-null values: if those
+          are all ints but later rows map to floats, the LongType cast
+          fails (ANSI) or truncates at full-table execution.  When the
+          mapped type is mixed-numeric, pass
+          ``return_type=DoubleType()``.
         """
         col_name = self._value_cols[0]
         coerce = None

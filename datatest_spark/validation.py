@@ -235,7 +235,15 @@ class Engine:
     """Evaluates a rule set over a DataFrame in a minimal number of
     Spark jobs: one fused projection for every row rule + one plan
     fragment per join/agg rule, all unioned into a single violation
-    DataFrame (Catalyst sees the whole plan and shares the scan)."""
+    DataFrame (Catalyst sees the whole plan and shares the scan).
+
+    ``compile`` is lazy with three documented exceptions — rule classes
+    whose plan shape depends on a data statistic run ONE bounded job at
+    compile time to buy a strictly better plan: drift rules compute
+    their bucket counts (stats.DriftPSIRule/DriftKSRule), OutlierRule
+    computes exact quartiles, and the audio suite's hash fast path
+    probes for digest mismatches.  Each is an aggregate returning a
+    handful of driver-side scalars, never row data."""
 
     def __init__(self, spark=None):
         self.spark = spark

@@ -418,3 +418,206 @@ def audio_suite_rows(n: int = 2000, parts: int = 4,
 
 def audio_suite_sql(n: int = 2000, parts: int = 4) -> str:
     return violations_values_sql(audio_suite_rows(n, parts))
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimated — the default (exact=False) MinHash+LSH path:
+# per-seed signature families chained through Spark's multi-argument
+# xxhash64 fold, band buckets, estimated Jaccard as the fraction of
+# agreeing components.  Everything below is integer math over the
+# public XXH64 spec — no engine imports.
+# ---------------------------------------------------------------------------
+
+
+def _signed64(u: int) -> int:
+    u &= _M
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _h_long(v: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long — Spark's
+    XxHash64Function.hashLong twin (verified bit-exact)."""
+    return xxh64(struct.pack("<q", _signed64(v)), seed)
+
+
+def _h_int(v: int, seed: int) -> int:
+    """XXH64 of one 4-byte little-endian int (IntegerType literals)."""
+    return xxh64(struct.pack("<i", v), seed)
+
+
+def _word_shingles_py(text: str, k: int) -> List[str]:
+    """Twin of the engine's JVM shingler: split on single spaces,
+    ``max(len - k + 1, 1)`` windows, short tails joined as-is."""
+    toks = text.split(" ")
+    n = max(len(toks) - k + 1, 1)
+    return [" ".join(toks[i : i + k]) for i in range(n)]
+
+
+def _minhash_signature(text: str, num_hashes: int, k: int) -> List[int]:
+    base = [xxh64(s.encode("utf-8"), 42) for s in _word_shingles_py(text, k)]
+    sig = []
+    for seed in range(num_hashes):
+        # Spark: xxhash64(base_long, lit(seed:int)) — seed-42 fold of
+        # hashLong(base) then hashInt(seed); min compares SIGNED longs
+        sig.append(
+            min(_signed64(_h_int(seed, _h_long(b, 42))) for b in base)
+        )
+    return sig
+
+
+@lru_cache(maxsize=None)
+def minhash_estimated_rows(sf_dir: str = SF001_DIR, num_hashes: int = 32,
+                           bands: int = 16, shingle_k: int = 3,
+                           min_jaccard: float = 0.35) -> tuple:
+    import math
+
+    docs = [(d, t) for d, t in _read_docs(sf_dir) if t is not None]
+    rows_per_band = num_hashes // bands
+    sigs = {d: _minhash_signature(t, num_hashes, shingle_k) for d, t in docs}
+
+    buckets: dict = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            h = 42
+            for r in range(rows_per_band):
+                h = _h_long(sig[b * rows_per_band + r], h)
+            buckets.setdefault((b, _signed64(h)), []).append(d)
+
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+
+    out = []
+    for id_a, id_b in sorted(pairs):
+        agree = sum(
+            1 for x, y in zip(sigs[id_a], sigs[id_b]) if x == y
+        )
+        est = agree / float(num_hashes)
+        # Spark F.round is HALF_UP; est is dyadic (k/2^m) so exact
+        est_r = math.floor(est * 10000 + 0.5) / 10000
+        if est_r >= min_jaccard:
+            out.append((id_a, id_b, est_r))
+    return tuple(out)
+
+
+def minhash_estimated_sql(sf_dir: str = SF001_DIR, num_hashes: int = 32,
+                          bands: int = 16, shingle_k: int = 3,
+                          min_jaccard: float = 0.35) -> str:
+    return values_sql(
+        minhash_estimated_rows(sf_dir, num_hashes, bands, shingle_k,
+                               min_jaccard),
+        ["id_a", "id_b", "est_jaccard"],
+        ["BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_lcs — grouped validate.order: per-group LCS diff opcodes vs a
+# required sequence (reference requirements.py:656-709 semantics:
+# insert → Missing((i1, v)), delete → Extra((idx, v)), replace →
+# paired Missing/Extra per position with tail spill).  Recomputed here
+# over the nation parquet with its own expansion logic.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def order_lcs_rows(sf_dir: str = SF001_DIR,
+                   required: Tuple[str, ...] = (),
+                   rule_id: str = "order:n_name") -> tuple:
+    import duckdb
+
+    nation = duckdb.sql(
+        f"SELECT n_regionkey, n_nationkey, n_name "
+        f"FROM '{sf_dir}/nation.parquet' ORDER BY n_regionkey, n_nationkey"
+    ).fetchall()
+    groups: dict = {}
+    for rk, nk, name in nation:
+        groups.setdefault(rk, []).append(name)
+
+    req = list(required)
+    out = []
+    for rk in sorted(groups):
+        grp = groups[rk]
+        key = str(rk)
+        sm = difflib.SequenceMatcher(a=grp, b=req)
+        for tag, i1, i2, j1, j2 in sm.get_opcodes():
+            if tag == "insert":
+                for v in req[j1:j2]:
+                    out.append((rule_id, key, "n_name", "MISSING", None,
+                                f"({i1}, {v})", None, None, None))
+            elif tag == "delete":
+                for idx in range(i1, i2):
+                    out.append((rule_id, key, "n_name", "EXTRA",
+                                f"({idx}, {grp[idx]})", None, None, None,
+                                None))
+            elif tag == "replace":
+                ivals = grp[i1:i2]
+                jvals = req[j1:j2]
+                for off in range(min(len(ivals), len(jvals))):
+                    out.append((rule_id, key, "n_name", "MISSING", None,
+                                f"({i1 + off}, {jvals[off]})", None, None,
+                                None))
+                    out.append((rule_id, key, "n_name", "EXTRA",
+                                f"({i1 + off}, {ivals[off]})", None, None,
+                                None, None))
+                if len(ivals) < len(jvals):
+                    for v in jvals[len(ivals):]:
+                        out.append((rule_id, key, "n_name", "MISSING", None,
+                                    f"({i2}, {v})", None, None, None))
+                else:
+                    for off in range(len(jvals), len(ivals)):
+                        out.append((rule_id, key, "n_name", "EXTRA",
+                                    f"({i1 + off}, {ivals[off]})", None,
+                                    None, None, None))
+    return tuple(out)
+
+
+def order_lcs_sql(sf_dir: str = SF001_DIR,
+                  required: Tuple[str, ...] = (),
+                  rule_id: str = "order:n_name") -> str:
+    return violations_values_sql(order_lcs_rows(sf_dir, required, rule_id))
+
+
+# ---------------------------------------------------------------------------
+# acceptance_fuzzy — accepted.fuzzy over RequiredFuzzy violations.
+# NOTE difflib ratio is NOT symmetric in (a, b); the requirement scores
+# SequenceMatcher(a=text, b=trunc) while the acceptance mask scores
+# SequenceMatcher(a=invalid=trunc, b=expected=text) — both orders are
+# reproduced here exactly.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def acceptance_fuzzy_rows(sf_dir: str = SF001_DIR,
+                          require_cutoff: float = 0.99,
+                          accept_cutoff: float = 0.945) -> tuple:
+    rows = []
+    for doc_id, text in _read_docs(sf_dir):
+        if doc_id % 3 == 0:
+            trunc = text[: int(len(text) * 0.9)]
+        else:
+            trunc = text
+        if trunc == text:
+            continue  # exact equality passes JVM-side in the rule
+        req_ratio = difflib.SequenceMatcher(a=text, b=trunc).ratio()
+        if req_ratio >= require_cutoff:
+            continue  # not a violation in the first place
+        acc_ratio = difflib.SequenceMatcher(a=trunc, b=text).ratio()
+        if acc_ratio >= accept_cutoff:
+            continue  # accepted → filtered out
+        rows.append(
+            ("fuzzy:truncated", None, "truncated", "INVALID",
+             trunc, text, None, None, None)
+        )
+    return tuple(rows)
+
+
+def acceptance_fuzzy_sql(sf_dir: str = SF001_DIR,
+                         require_cutoff: float = 0.99,
+                         accept_cutoff: float = 0.945) -> str:
+    return violations_values_sql(
+        acceptance_fuzzy_rows(sf_dir, require_cutoff, accept_cutoff)
+    )

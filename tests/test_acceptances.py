@@ -319,6 +319,37 @@ class TestComposedDFParity:
                 ("A", Missing(9))]
         _parity(spark, lambda: accepted({"A": Extra}), rows)
 
+    # 3+-operand nesting: the inner mark_df is invoked with the outer's
+    # temp column as out_col — per-invocation unique temp names keep the
+    # two levels from clobbering each other (reference supports
+    # arbitrary nesting, acceptances.py:113-135)
+    def test_nested_intersection_inside_union(self, spark):
+        rows = [(None, Extra(1)), (None, Extra(2)), (None, Missing(3)),
+                (None, Missing(4))]
+        _parity(
+            spark,
+            lambda: (accepted(Extra) & accepted.count(1)) | accepted(Missing),
+            rows,
+        )
+
+    def test_nested_union_inside_intersection(self, spark):
+        rows = [(None, Extra(1)), (None, Extra(2)), (None, Missing(3))]
+        _parity(
+            spark,
+            lambda: (accepted(Missing) | accepted(Extra)) & accepted.count(2),
+            rows,
+        )
+
+    def test_four_operand_composition(self, spark):
+        rows = [(None, Extra(1)), (None, Extra(2)), (None, Missing(3)),
+                (None, Deviation(-1, 10)), (None, Deviation(7, 10))]
+        _parity(
+            spark,
+            lambda: (accepted(Missing) | accepted.tolerance(2))
+            | (accepted(Extra) & accepted.count(1)),
+            rows,
+        )
+
 
 class TestAcceptedDifferencesDF:
     """DataFrame compilation of consumption scopes."""

@@ -81,7 +81,32 @@ class TestCheckpointedRun:
         assert verdicts["__global__"]["failed_mandatory"] is True
         # fail-fast: the soft rule never ran, so no interval deviations
         assert all(v["n_deviation"] == 0 for v in verdicts.values())
+        # data partitions were NEVER validated by the soft rule — they
+        # must not be committed (a passed=True verdict here would be
+        # skipped forever on resume)
+        assert set(verdicts) == {"__global__"}
         assert not run.ok
+
+    def test_global_mandatory_failure_leaves_partitions_resumable(
+        self, spark, ckpt_dir
+    ):
+        # run 1: duplicate id → global mandatory failure gates the run
+        rows = [(i if i != 7 else 3, i % 4, 10) for i in range(8)]
+        df = spark.createDataFrame(rows, "id long, part_id int, v long")
+        rules = [R.interval("v", 0, 50, rule_id="soft")]
+        mand = [R.unique("id", rule_id="hard")]
+        first = run_checkpointed(df, rules, "part_id", ckpt_dir, mandatory=mand)
+        assert first.processed_partitions == []
+        # run 2 on FIXED data (same ruleset/checkpoint): every data
+        # partition must actually re-run, not be resume-skipped
+        fixed = spark.createDataFrame(
+            [(i, i % 4, 10) for i in range(8)], "id long, part_id int, v long"
+        )
+        second = run_checkpointed(
+            fixed, rules, "part_id", ckpt_dir, mandatory=mand
+        )
+        assert sorted(second.processed_partitions) == ["0", "1", "2", "3"]
+        assert second.skipped_partitions == []
 
     def test_mandatory_gating(self, spark, ckpt_dir):
         df = part_df(spark)

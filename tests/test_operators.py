@@ -60,10 +60,48 @@ class TestExactDedup:
 
         plan = explain_str(exact_duplicates(docs, "text"), "formatted")
         assert "xxhash64" in plan, plan
-        # the aggregate keys are the hash/length grouping expressions —
-        # the raw text column must never be a shuffle key
+        # the corpus-wide aggregate groups on hash/length; the sample-
+        # body aggregate (dup rows only) additionally carries dup_count/
+        # keep_id — but the raw text column must never be a group key
+        # that feeds the corpus-wide shuffle.  The corpus aggregate is
+        # the one whose keys are exactly the two hash columns.
         agg_keys = [l for l in plan.splitlines() if l.strip().startswith("Keys")]
-        assert agg_keys and all("text#" not in l for l in agg_keys), plan
+        corpus_keys = [l for l in agg_keys if "dup_count" not in l]
+        assert corpus_keys and all("text#" not in l for l in corpus_keys), plan
+
+    def test_aggregate_state_carries_no_body(self, spark, docs):
+        """The corpus-wide aggregate's state must be (count, min(id))
+        only: min(body) as partial-agg state ships ≈ the whole corpus
+        through the shuffle on a mostly-unique dataset.  min(text) may
+        appear only in the post-join aggregate over duplicate rows."""
+        from datatest_spark.plans.inspect import explain_str
+
+        plan = explain_str(exact_duplicates(docs, "text"), "formatted")
+        func_lines = [
+            l for l in plan.splitlines() if l.strip().startswith("Functions")
+        ]
+        corpus_aggs = [l for l in func_lines if "count(" in l]
+        assert corpus_aggs, plan
+        assert all("text#" not in l for l in corpus_aggs), plan
+        # a broadcast join brings the (tiny) dup-group keys back
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    def test_no_storage_growth_across_repeated_calls(self, spark, docs):
+        """LSH operators persist intermediates; repeated calls in a
+        long-lived session must not accumulate cached frames."""
+        from datatest_spark.operators.dedup import unpersist_cached
+
+        sc = spark.sparkContext
+        unpersist_cached(blocking=True)
+        base = sc._jsc.getPersistentRDDs().size()
+        for _ in range(3):
+            minhash_neardup_pairs(
+                docs, "text", num_hashes=16, bands=8, min_jaccard=0.2
+            ).collect()
+            simhash_neardup_pairs(docs, "text").collect()
+            assert sc._jsc.getPersistentRDDs().size() <= base + 2
+        unpersist_cached(blocking=True)
+        assert sc._jsc.getPersistentRDDs().size() <= base
 
 
 class TestMinHash:

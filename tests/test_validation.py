@@ -363,6 +363,54 @@ class TestGroupedOrder:
         assert ("MISSING", None, "(1, y)") in by_key["B"]
         assert ("EXTRA", "(1, q)", None) in by_key["B"]
 
+    def test_grouped_order_plan_uses_arrow_groups(self, spark):
+        """The grouped LCS path must compile to applyInPandas (grouped
+        Arrow batches), never a driver-side collect loop."""
+        from datatest_spark import requirements as R
+        from datatest_spark.plans.inspect import explain_str
+        from datatest_spark.validation import Engine
+
+        rows = [("A", 0, "x"), ("A", 1, "y"), ("B", 0, "x")]
+        df = spark.createDataFrame(rows, "key string, pos int, value string")
+        viol = Engine(spark).compile(
+            df, [R.order("value", ["x", "y"], order_by="pos")], key=["key"]
+        )
+        plan = explain_str(viol, "formatted")
+        assert "FlatMapGroupsInPandas" in plan, plan
+
+    def test_order_max_rows_guard_raises_cleanly(self, spark):
+        """A group above max_rows must fail with the explicit guard
+        error (LCS on an unbounded group is a modeling error at scale),
+        not attempt the quadratic diff."""
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import Engine
+
+        rows = [("A", i, "v") for i in range(21)]
+        df = spark.createDataFrame(rows, "key string, pos int, value string")
+        viol = Engine(spark).compile(
+            df,
+            [R.order("value", ["v"], order_by="pos", max_rows=20)],
+            key=["key"],
+        )
+        with pytest.raises(Exception, match="max_rows"):
+            viol.collect()
+
+    def test_order_max_rows_boundary_passes(self, spark):
+        """Exactly max_rows rows in a group is allowed (guard is
+        strictly greater-than)."""
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import Engine
+
+        rows = [("A", i, f"v{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "key string, pos int, value string")
+        viol = Engine(spark).compile(
+            df,
+            [R.order("value", [f"v{i}" for i in range(20)],
+                     order_by="pos", max_rows=20)],
+            key=["key"],
+        )
+        assert viol.count() == 0
+
 
 class TestMappingWithSequence:
     def test_mapping_order_values(self, spark):
