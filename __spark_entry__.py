@@ -562,6 +562,66 @@ def q_squint_minmax(spark, sf_dir):
     return mn.join(mx, "p_type")
 
 
+def q_ann_topk(spark, sf_dir):
+    """Exact top-k neighbors by cosine (TakeOrdered plan — per-partition
+    top-k, no global sort), query = the vec_id=0 embedding."""
+    from datatest_spark.operators import topk_neighbors
+    from datatest_spark.operators.ann import _query_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(emb, "embedding", "vec_id", 0)
+    return topk_neighbors(emb, qv, k=15, column="embedding",
+                          id_col="vec_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with an injected (reproducible) training set: coarse
+    quantizer on the first 100 vectors, probe 3 of 8 cells, exact
+    cosine within probed cells.  Oracle: full pure-Python recomputation
+    of centroids + JVM fold arithmetic (oracles.py)."""
+    from datatest_spark.operators import ivf_topk
+    from datatest_spark.operators.ann import _query_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    qv = _query_vector(emb, "embedding", "vec_id", 0)
+    return ivf_topk(emb, qv, k=15, n_cells=8, nprobe=3,
+                    train_vectors=train)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Random-hyperplane LSH over embeddings + exact cosine within
+    buckets.  Oracle: pure-Python recomputation with the engine's
+    left-fold accumulation order reproduced exactly (oracles.py)."""
+    from datatest_spark.operators import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", id_col="vec_id",
+        planes=4, min_cosine=0.25,
+    )
+
+
+def q_predicate_tuple(spark, sf_dir):
+    """Component-wise tuple predicate (reference _vendor/predicate.py:
+    36-40) over (event_type, value): set membership AND a vectorized
+    callable — violations render the reference's tuple repr."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "events")
+    rule = R.predicate(
+        "event_type",
+        ({"click", "view"}, lambda v: v >= 10),
+        columns=["event_type", "value"],
+        rule_id="predicate_tuple:events",
+    )
+    return Engine(spark).compile(df, [rule])
+
+
 def q_minhash_estimated(spark, sf_dir):
     """MinHash+LSH default path (exact=False): estimated Jaccard as
     the agreeing-component fraction.  Oracle: independent pure-Python
@@ -622,6 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squint_sum": q_squint_sum,
         "squint_minmax": q_squint_minmax,
         "minhash_estimated": q_minhash_estimated,
+        "embedding_neardup": q_embedding_neardup,
+        "predicate_tuple": q_predicate_tuple,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "audio_suite": q_audio_suite,
         "fuzzy_docs": q_fuzzy_docs,
         "drift_psi": q_drift_psi,
@@ -1043,6 +1107,32 @@ def oracle_sql() -> dict[str, str]:
         "acceptance_fuzzy": _oracles.acceptance_fuzzy_sql(
             require_cutoff=0.99, accept_cutoff=0.945
         ),
+        "embedding_neardup": _oracles.embedding_neardup_sql(
+            planes=4, min_cosine=0.25
+        ),
+        "ann_ivf": _oracles.ann_ivf_sql(n_cells=8, nprobe=3, k=15,
+                                        n_train=100),
+        "ann_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id LIMIT 15
+        """,
+        "predicate_tuple": f"""
+            {_viol_select("predicate_tuple:events", "INVALID",
+                          column="'event_type,value'",
+                          invalid="'(' || event_type || ', ' || "
+                                  + _repr_sql("value") + " || ')'")}
+            FROM events
+            WHERE NOT coalesce(
+                (event_type IN ('click', 'view')) AND (value >= 10), false)
+        """,
         # drift: closed-form SQL twins sharing the engine's exact float
         # accumulation order
         "drift_psi": _drift_sql("psi", 0.05, "drift:l_quantity"),

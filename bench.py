@@ -188,13 +188,15 @@ def main():
     hi_sec = min(hi_secs)
     hi_cps = N_SCALING / hi_sec
     lo_cps = N_SCALING / lo_sec
-    # capability ratio: minimum wall per level across the interleaved
-    # sessions (noise is one-sided — slowdowns — so each minimum
-    # estimates that level's machine capability, and interleaving puts
-    # both minima in comparable machine phases).  The per-pair
-    # estimates and their median are published alongside.
-    eff = (lo_sec / hi_sec) / (hi_cores / lo_cores)
-    eff_median_pair = sorted(pair_effs)[len(pair_effs) // 2]
+    # Efficiency estimator = MEDIAN of the per-pair estimates (the
+    # methodology BASELINE.md documents): drift cancels within an
+    # interleaved (lo, hi) pair and the median rejects a spiked pair.
+    # The cross-pair min-ratio is also published; on a drifting VM it
+    # compares minima from DIFFERENT machine phases and can swing
+    # either way (observed 0.80 vs pair-median 1.00 in the same run),
+    # so it is transparency, not the headline.
+    eff_min_ratio = (lo_sec / hi_sec) / (hi_cores / lo_cores)
+    eff = sorted(pair_effs)[len(pair_effs) // 2]
 
     result = {
         "metric": "validated clips/sec (full audio constraint-suite pass)",
@@ -212,7 +214,7 @@ def main():
         "cores_full": CPUS,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_pairs": [round(e, 3) for e in pair_effs],
-        "scaling_efficiency_median_pair": round(eff_median_pair, 3),
+        "scaling_efficiency_min_ratio": round(eff_min_ratio, 3),
     }
     print(json.dumps(result))
 

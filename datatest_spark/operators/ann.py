@@ -95,7 +95,9 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
              column: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 16, nprobe: int = 4,
              sample_rows: int = 10_000, seed: int = 42,
-             approx_count: Optional[int] = None) -> DataFrame:
+             approx_count: Optional[int] = None,
+             train_vectors: Optional[Sequence[Sequence[float]]] = None
+             ) -> DataFrame:
     """IVF-style ANN: train a coarse quantizer on a seeded sample,
     assign vectors to cells JVM-side, search only the ``nprobe`` cells
     nearest the query.  Returns (id, cosine) — approximate top-k.
@@ -106,22 +108,33 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
     stats, a prior pipeline stage); when omitted, a ``count()`` job
     runs first — Catalyst prunes it to a zero-column scan, so it reads
     no embedding data, but it is still an extra pass over the plan.
+
+    ``train_vectors``: explicit quantizer training set.  When given,
+    no sampling scan runs at all and the index is fully reproducible
+    from inputs (Spark's internal per-partition sample RNG is not) —
+    use this for production index builds that must be replayable.
     """
-    # quantizer training sample: Bernoulli sample (NOT limit() alone —
-    # that takes the first partitions and biases centroids on sorted
-    # data), capped at sample_rows.  The collect is bounded (≤10k rows
-    # of the pruned embedding column) — standard driver-side IVF training.
-    total = approx_count if approx_count is not None else df.count()
-    frac = min(1.0, (3.0 * sample_rows) / max(total, 1))
-    sample = np.array(
-        [
-            [float(v) for v in r[0]]
-            for r in df.select(column)
-            .sample(fraction=frac, seed=seed)
-            .limit(sample_rows)
-            .collect()
-        ]
-    )
+    if train_vectors is not None:
+        sample = np.array(
+            [[float(v) for v in row] for row in train_vectors], dtype=float
+        )
+    else:
+        # quantizer training sample: Bernoulli sample (NOT limit()
+        # alone — that takes the first partitions and biases centroids
+        # on sorted data), capped at sample_rows.  The collect is
+        # bounded (≤10k rows of the pruned embedding column) —
+        # standard driver-side IVF training.
+        total = approx_count if approx_count is not None else df.count()
+        frac = min(1.0, (3.0 * sample_rows) / max(total, 1))
+        sample = np.array(
+            [
+                [float(v) for v in r[0]]
+                for r in df.select(column)
+                .sample(fraction=frac, seed=seed)
+                .limit(sample_rows)
+                .collect()
+            ]
+        )
     if len(sample) == 0:
         raise ValueError("ivf_topk: empty input")
     centroids = _train_centroids(sample, n_cells, seed=seed)

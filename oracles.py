@@ -621,3 +621,183 @@ def acceptance_fuzzy_sql(sf_dir: str = SF001_DIR,
     return violations_values_sql(
         acceptance_fuzzy_rows(sf_dir, require_cutoff, accept_cutoff)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_neardup — random-hyperplane LSH buckets + exact cosine
+# within buckets.  The hyperplanes are np.random.RandomState(seed)
+# (deterministic), and every dot product below replicates the engine's
+# LEFT-FOLD accumulation order (F.aggregate over zip_with products) so
+# the float results are bit-identical, not merely close.
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _round_half_up4(x: float) -> float:
+    import math
+
+    if x >= 0:
+        return math.floor(x * 10000 + 0.5) / 10000
+    return -math.floor(-x * 10000 + 0.5) / 10000
+
+
+@lru_cache(maxsize=None)
+def embedding_neardup_rows(sf_dir: str = SF001_DIR, planes: int = 4,
+                           min_cosine: float = 0.25,
+                           seed: int = 42) -> tuple:
+    import math
+
+    import duckdb
+    import numpy as np
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    dim = len(vecs[0][1])
+    rng = np.random.RandomState(seed)
+    hyper = rng.randn(planes, dim)
+
+    buckets: dict = {}
+    data = {}
+    for vec_id, emb in vecs:
+        emb = [float(v) for v in emb]
+        data[vec_id] = emb
+        bucket = 0
+        for p in range(planes):
+            if _fold_dot(emb, [float(h) for h in hyper[p]]) > 0:
+                bucket += 2 ** p
+        buckets.setdefault(bucket, []).append(vec_id)
+
+    out = []
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            a = data[members[i]]
+            na = math.sqrt(_fold_dot(a, a))
+            for j in range(i + 1, len(members)):
+                b = data[members[j]]
+                cos = _fold_dot(a, b) / (na * math.sqrt(_fold_dot(b, b)))
+                cos_r = _round_half_up4(cos)
+                if cos_r >= min_cosine:
+                    out.append((members[i], members[j], cos_r))
+    return tuple(sorted(out))
+
+
+def embedding_neardup_sql(sf_dir: str = SF001_DIR, planes: int = 4,
+                          min_cosine: float = 0.25, seed: int = 42) -> str:
+    return values_sql(
+        embedding_neardup_rows(sf_dir, planes, min_cosine, seed),
+        ["id_a", "id_b", "cosine"],
+        ["BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf — IVF top-k with an injected (reproducible) training set.
+# The coarse-quantizer k-means below replicates the documented IVF
+# spec (seeded init choice, 5 cosine-assignment refinement passes,
+# member-mean update); cell assignment, probe selection and cosine
+# scoring re-derive the engine's JVM fold arithmetic in pure Python.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(sample, n_cells: int, seed: int = 42, iters: int = 5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)),
+                     replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sn = sample / norms
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _round_half_up6(x: float) -> float:
+    import math
+
+    if x >= 0:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+    return -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
+@lru_cache(maxsize=None)
+def ann_ivf_rows(sf_dir: str = SF001_DIR, n_cells: int = 8,
+                 nprobe: int = 3, k: int = 15, n_train: int = 100,
+                 query_id: int = 0, seed: int = 42) -> tuple:
+    import math
+
+    import duckdb
+    import numpy as np
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    data = {vid: [float(v) for v in emb] for vid, emb in vecs}
+    train = np.array(
+        [data[vid] for vid in sorted(data) if vid < n_train], dtype=float
+    )
+    qv = data[query_id]
+    centroids = _ivf_centroids(train, n_cells, seed=seed)
+
+    # engine cell assignment: per-cell normalized-centroid literals,
+    # fold-order dot / sqrt(fold self-dot), lexicographic (score, cell)
+    # max (Spark array_max over structs)
+    cn_lists = []
+    for cvec in centroids:
+        nrm = max(float(np.linalg.norm(cvec)), 1e-12)
+        cn_lists.append([float(v) / nrm for v in cvec])
+
+    def cell_of(emb):
+        self_n = math.sqrt(_fold_dot(emb, emb))
+        best = None
+        for ci, cn in enumerate(cn_lists):
+            score = _fold_dot(emb, cn) / self_n
+            if best is None or (score, ci) > best:
+                best = (score, ci)
+        return best[1]
+
+    qarr = np.asarray(qv, dtype=float)
+    qn = qarr / max(float(np.linalg.norm(qarr)), 1e-12)
+    call = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = set(np.argsort(-(call @ qn))[:nprobe].tolist())
+
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    scored = []
+    for vid, emb in data.items():
+        if cell_of(emb) not in probe:
+            continue
+        cos = _fold_dot(emb, qv) / (math.sqrt(_fold_dot(emb, emb)) * qnorm)
+        scored.append((vid, _round_half_up6(cos)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return tuple(scored[:k])
+
+
+def ann_ivf_sql(sf_dir: str = SF001_DIR, n_cells: int = 8,
+                nprobe: int = 3, k: int = 15, n_train: int = 100,
+                query_id: int = 0, seed: int = 42) -> str:
+    return values_sql(
+        ann_ivf_rows(sf_dir, n_cells, nprobe, k, n_train, query_id, seed),
+        ["vec_id", "cosine"],
+        ["BIGINT", "DOUBLE"],
+    )

@@ -192,6 +192,18 @@ class TestANN:
         ).collect()
         assert rows[0]["vec_id"] == 0
 
+    def test_ivf_injected_training_reproducible(self, spark, vectors):
+        """train_vectors makes the index a pure function of inputs —
+        no sampling scan, identical results across runs."""
+        train = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.9, 0.1, 0.0, 0.0]]
+        a = ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3, n_cells=2,
+                     nprobe=1, train_vectors=train).collect()
+        b = ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3, n_cells=2,
+                     nprobe=1, train_vectors=train).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert a[0]["vec_id"] == 0 and a[0]["cosine"] == 1.0
+
 
 class TestTextOps:
     def test_token_stats(self, spark, docs):
