@@ -634,6 +634,102 @@ def q_minhash_estimated(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (inverted posting-list
+    self-join with the max_df stop-shingle cap).  Oracle: independent
+    pure-Python XXH64 shingle-set recomputation (oracles.py)."""
+    from datatest_spark.operators import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        n=3, min_jaccard=0.3, max_df=1000,
+    )
+
+
+# language-ID stopword spec shared by the Spark query and its SQL
+# oracle (part of the query definition, like _SEQ_REQUIRED above)
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "que"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu", "nicht"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID over documents (text-analysis
+    operator; ties break to the lexicographically larger lang code —
+    Spark struct-max semantics, mirrored in the oracle's ORDER BY)."""
+    from datatest_spark.operators import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "text",
+                   id_col="doc_id", stopwords=_LANG_STOPWORDS)
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-text XXH64 + winnowed min-hash
+    over 8-char shingles.  Oracle: pure-Python XXH64 spec (oracles.py)."""
+    from datatest_spark.operators import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "text",
+                       id_col="doc_id", shingle_len=8)
+
+
+def q_acceptance_count(spark, sf_dir):
+    """accepted.count(50, scope='group') (reference acceptances.py:
+    711-754): each l_returnflag group may spend 50 interval deviations;
+    the remainder — counted in canonical violation order — re-raises."""
+    from datatest_spark import requirements as R
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.validation import Engine
+
+    viol = Engine(spark).compile(
+        _t(spark, sf_dir, "lineitem"),
+        [R.interval("l_quantity", 5, 45, rule_id="interval_g:l_quantity")],
+        key=["l_returnflag"],
+    )
+    return accepted.count(50, scope="group").filter_df(viol)
+
+
+def q_streaming_rowrules(spark, sf_dir):
+    """Structured Streaming validation (SURVEY §2D streaming): the
+    documents table split into 4 files, streamed one file per
+    micro-batch (availableNow), each batch through the SAME
+    Engine.compile row rules via foreachBatch with idempotent per-batch
+    parquet writes.  Row rules are batch-local, so the union over
+    micro-batches equals the batch-engine result — which is exactly
+    what the SQL oracle asserts (a full hash-verified row for the
+    streaming path, not a rows-only check)."""
+    import os
+    import tempfile
+
+    from datatest_spark import requirements as R
+    from datatest_spark.streaming import validate_stream
+
+    src = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="dts_stream_")
+    in_dir = os.path.join(tmp, "in")
+    viol_dir = os.path.join(tmp, "viol")
+    ckpt = os.path.join(tmp, "ckpt")
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = validate_stream(
+        stream,
+        [
+            R.interval("n_chars", 60, 500, rule_id="interval:n_chars"),
+            R.regex("source", r"^src[0-9]$", rule_id="regex:source"),
+        ],
+        violations_path=viol_dir,
+        checkpoint_path=ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(viol_dir).drop("batch_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: multi-rule engine pass over the TPC-H-ish
     tables — one fused scan per table, plan-rule fragments unioned."""
@@ -682,6 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squint_sum": q_squint_sum,
         "squint_minmax": q_squint_minmax,
         "minhash_estimated": q_minhash_estimated,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "acceptance_count": q_acceptance_count,
+        "streaming_rowrules": q_streaming_rowrules,
         "embedding_neardup": q_embedding_neardup,
         "predicate_tuple": q_predicate_tuple,
         "ann_topk": q_ann_topk,
@@ -693,6 +794,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
     }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of operators.text.lang_id over _LANG_STOPWORDS:
+    distinct lowercase tokens, stopword-intersection score per lang,
+    struct-max tie-break = (score DESC, lang DESC)."""
+    lang_vals = ", ".join(
+        "('" + lang + "', [" + ", ".join(f"'{w}'" for w in words) + "])"
+        for lang, words in _LANG_STOPWORDS.items()
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(string_split(lower(text), ' ')) AS tk
+          FROM documents),
+        langs(lang, words) AS (VALUES {lang_vals}),
+        scores AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_intersect(tk, words)) AS INT) AS score
+          FROM toks CROSS JOIN langs)
+        SELECT doc_id, lang AS lang_guess, score AS lang_score
+        FROM (SELECT *, row_number()
+                OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, lang DESC) AS rn
+              FROM scores)
+        WHERE rn = 1
+    """
 
 
 def _drift_sql(stat: str, threshold: float, rule_id: str) -> str:
@@ -1160,4 +1288,45 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_docs": _oracles.fuzzy_docs_sql(cutoff=0.946),
         "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
+        "ngram_jaccard": _oracles.ngram_jaccard_sql(
+            n=3, min_jaccard=0.3, max_df=1000),
+        "fingerprint": _oracles.fingerprint_sql(shingle_len=8),
+        "lang_id": _lang_id_sql(),
+        "acceptance_count": f"""
+            WITH v AS (
+              SELECT 'interval_g:l_quantity' AS rule_id,
+                     CAST(l_returnflag AS VARCHAR) AS key,
+                     'l_quantity' AS "column", 'DEVIATION' AS diff_type,
+                     {qty} AS invalid,
+                     CASE WHEN l_quantity < 5 THEN '5' ELSE '45' END
+                         AS expected,
+                     CAST(CASE WHEN l_quantity < 5 THEN l_quantity - 5
+                          ELSE l_quantity - 45 END AS DOUBLE) AS deviation,
+                     CAST(CASE WHEN l_quantity < 5 THEN 5 ELSE 45 END
+                          AS DOUBLE) AS expected_num,
+                     CAST(NULL AS VARCHAR) AS partition_id
+              FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45),
+            m AS (SELECT *,
+                  row_number()
+                    OVER (PARTITION BY key
+                          ORDER BY rule_id, key, diff_type, invalid,
+                                   expected, deviation) AS rn
+                  FROM v)
+            SELECT rule_id, key, "column", diff_type, invalid, expected,
+                   deviation, expected_num, partition_id
+            FROM m WHERE rn > 50
+        """,
+        "streaming_rowrules": f"""
+            {_viol_select("interval:n_chars", "DEVIATION",
+                          column="'n_chars'",
+                          invalid=_repr_sql("n_chars"),
+                          expected="CASE WHEN n_chars < 60 THEN '60' ELSE '500' END",
+                          deviation="CASE WHEN n_chars < 60 THEN n_chars - 60 ELSE n_chars - 500 END",
+                          expected_num="CASE WHEN n_chars < 60 THEN 60 ELSE 500 END")}
+            FROM documents WHERE n_chars < 60 OR n_chars > 500
+            UNION ALL
+            {_viol_select("regex:source", "INVALID",
+                          column="'source'", invalid="source")}
+            FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+        """,
     }

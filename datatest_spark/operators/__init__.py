@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     minhash_neardup_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
     simhash_signatures,
 )

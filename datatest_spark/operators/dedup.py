@@ -43,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
     "unpersist_cached",
 ]
 
@@ -413,3 +414,80 @@ def embedding_neardup_pairs(df: DataFrame, column: str = "embedding",
     return pairs.select(
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
     ).filter(F.col("cosine") >= min_cosine)
+
+
+def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
+                        n: int = 3, min_jaccard: float = 0.5,
+                        max_df: Optional[int] = 1000) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via an inverted
+    shingle index — the classic posting-list self-join, no sketching.
+
+    Where MinHash estimates Jaccard from a fixed-width signature, this
+    operator computes the true set Jaccard over word ``n``-gram shingle
+    sets, so it is the precision-first member of the dedup family
+    (use it to re-score LSH candidates, or standalone on corpora where
+    the index fits).
+
+    Plan shape (100 TB lens):
+
+    1. Per-doc DISTINCT shingle hashes (JVM ``transform``+``xxhash64``
+       — shuffles carry 8-byte longs, never shingle text).
+    2. Inverted index: explode to ``(doc, shingle_hash)`` postings.
+    3. ``max_df`` stop-shingle cap: shingles appearing in more than
+       ``max_df`` documents (boilerplate — "the terms of", markup
+       fragments) are removed from the similarity space BEFORE the
+       self-join, bounding the quadratic posting-list blowup to
+       ``max_df**2`` candidate rows per shingle.  Set sizes are
+       recomputed over the SAME filtered space, so the reported value
+       is the exact Jaccard of the filtered shingle sets —
+       self-consistent semantics, not a truncated intersection over an
+       unfiltered union.
+    4. Self-join on shingle hash → per-pair intersection counts
+       (map-side partial agg), then two narrow joins against the
+       per-doc size table for ``|A∪B| = |A|+|B|-|A∩B|``.
+
+    The doc-frequency pass reuses the same ``(shingle_hash)`` shuffle
+    partitioning as the self-join, and every shuffle row is
+    ``(long, long)``.  Reference analogue: the fuzzy/duplicate checks
+    of datatest's requirements (requirements.py:303-360) generalized
+    to corpus-scale pairwise similarity.
+    """
+    sh = F.array_distinct(
+        F.transform(_word_shingles(F.col(column), n),
+                    lambda s: F.xxhash64(s))
+    )
+    shingled = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    postings = shingled.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        freq = postings.groupBy("g").agg(F.count("*").alias("df_g"))
+        postings = (
+            postings.join(freq.filter(F.col("df_g") <= max_df), "g")
+            .select("id", "g")
+        )
+    unpersist_cached()  # evict the previous call's intermediates
+    postings = _register_cached(postings.persist())
+    sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
+    a = postings.select(F.col("id").alias("id_a"), "g")
+    b = postings.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard_r"),
+        )
+    )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard_r") >= min_jaccard)
+    return out

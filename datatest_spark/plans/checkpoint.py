@@ -92,8 +92,18 @@ def run_checkpointed(
     checkpoint_dir: str,
     mandatory: Optional[Sequence[Rule]] = None,
     run_id: Optional[str] = None,
+    salt_buckets: Optional[int] = None,
 ) -> CheckpointedRun:
-    """Validate *df* partition-aware with commit/resume semantics."""
+    """Validate *df* partition-aware with commit/resume semantics.
+
+    ``salt_buckets``: when the data partitions are skewed (one codec
+    holding most of the corpus), spread each partition's rows over up
+    to this many tasks via :func:`..skew.salted_repartition` before the
+    rule scan — row rules and per-batch decode don't need key
+    co-location, so the only cost is one balanced shuffle.  Aggregate
+    and join rules are unaffected (they re-shuffle on their own keys,
+    where AQE's skew handling applies — see :func:`..skew.enable_adaptive`).
+    """
     spark = df.sparkSession
     engine = Engine(spark)
     rhash = ruleset_hash(list(rules) + list(mandatory or []))
@@ -117,6 +127,10 @@ def run_checkpointed(
 
     start = time.time()
     work = df.filter(F.col(partition_col).cast("string").isin(todo))
+    if salt_buckets:
+        from .skew import salted_repartition
+
+        work = salted_repartition(work, [partition_col], salt_buckets)
 
     gated = work
     mandatory_failed_parts: List[str] = []

@@ -801,3 +801,88 @@ def ann_ivf_sql(sf_dir: str = SF001_DIR, n_cells: int = 8,
         ["vec_id", "cosine"],
         ["BIGINT", "DOUBLE"],
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard — exact posting-list Jaccard, pure-Python re-derivation
+# (shingle → signed XXH64 hash set per doc, optional max_df stop-shingle
+# filter, brute-force pairwise Jaccard — independent of every engine
+# codepath except the public XXH64 spec reimplemented above)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def ngram_jaccard_rows(sf_dir: str = SF001_DIR, n: int = 3,
+                       min_jaccard: float = 0.3,
+                       max_df: Optional[int] = 1000) -> tuple:
+    from collections import Counter
+
+    sets = {}
+    for doc_id, text in _read_docs(sf_dir):
+        if text is None:
+            continue
+        sets[doc_id] = {
+            _signed64(xxh64(s.encode("utf-8"), 42))
+            for s in _word_shingles_py(text, n)
+        }
+    if max_df is not None:
+        freq = Counter()
+        for hs in sets.values():
+            freq.update(hs)
+        keep = {g for g, c in freq.items() if c <= max_df}
+        sets = {i: hs & keep for i, hs in sets.items()}
+    rows = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        if not sa:
+            continue
+        for b in ids[i + 1:]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = _round_half_up4(inter / (len(sa) + len(sb) - inter))
+            if min_jaccard is None or j >= min_jaccard:
+                rows.append((a, b, j))
+    return tuple(rows)
+
+
+def ngram_jaccard_sql(sf_dir: str = SF001_DIR, n: int = 3,
+                      min_jaccard: float = 0.3,
+                      max_df: Optional[int] = 1000) -> str:
+    rows = ngram_jaccard_rows(sf_dir, n, min_jaccard, max_df)
+    return values_sql(rows, ["id_a", "id_b", "jaccard_r"],
+                      ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+# ---------------------------------------------------------------------------
+# fingerprint — full-text XXH64 + winnowed min-hash over 8-char shingles
+# (rolling-fingerprint family; pure-Python XXH64 spec, char-window twin
+# of the engine's substr shingler)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def fingerprint_rows(sf_dir: str = SF001_DIR, shingle_len: int = 8) -> tuple:
+    rows = []
+    for doc_id, text in _read_docs(sf_dir):
+        if text is None:
+            rows.append((doc_id, None, None))
+            continue
+        th = _signed64(xxh64(text.encode("utf-8"), 42))
+        nsh = max(len(text) - shingle_len + 1, 1)
+        mh = min(
+            _signed64(
+                xxh64(text[i:i + shingle_len].encode("utf-8"), 42)
+            )
+            for i in range(nsh)
+        )
+        rows.append((doc_id, th, mh))
+    return tuple(rows)
+
+
+def fingerprint_sql(sf_dir: str = SF001_DIR, shingle_len: int = 8) -> str:
+    rows = fingerprint_rows(sf_dir, shingle_len)
+    return values_sql(rows, ["doc_id", "text_hash", "shingle_min_hash"],
+                      ["BIGINT", "BIGINT", "BIGINT"])

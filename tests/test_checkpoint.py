@@ -120,3 +120,85 @@ class TestCheckpointedRun:
         verdicts = {r["partition_id"]: r for r in run.verdicts.collect()}
         assert verdicts["1"]["failed_mandatory"] is True
         assert verdicts["0"]["failed_mandatory"] is False
+
+
+class TestSkewHandling:
+    def test_enable_adaptive_sets_confs(self, spark):
+        from datatest_spark.plans import enable_adaptive
+
+        enable_adaptive(spark)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    def test_salted_repartition_spreads_hot_key(self, spark):
+        from datatest_spark.plans import salted_repartition
+        from pyspark.sql import functions as F
+
+        # one hot key (90%) + a tail: unsalted repartition puts the hot
+        # key on ONE task; salted spreads it over up to 8
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") < 900, "wav").otherwise(
+                F.concat(F.lit("c"), F.col("id") % 7)
+            ).alias("codec"),
+        )
+        # num_partitions pinned: AQE would otherwise coalesce this
+        # byte-tiny shuffle to one partition (right at scale, wrong for
+        # asserting spread on 1000 rows)
+        salted = salted_repartition(df, ["codec"], buckets=8, id_col="id",
+                                    num_partitions=16)
+        spread = (
+            salted.withColumn("p", F.spark_partition_id())
+            .filter(F.col("codec") == "wav")
+            .select("p").distinct().count()
+        )
+        assert spread >= 4  # hot key now spans multiple tasks
+        assert salted.columns == df.columns  # salt column dropped
+        assert salted.count() == 1000
+
+    def test_salted_repartition_deterministic(self, spark):
+        from datatest_spark.plans import salted_repartition
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+        )
+        a = salted_repartition(df, ["k"], buckets=4, id_col="id")
+        pa = {r["id"]: r["p"] for r in
+              a.withColumn("p", F.spark_partition_id()).collect()}
+        b = salted_repartition(df, ["k"], buckets=4, id_col="id")
+        pb = {r["id"]: r["p"] for r in
+              b.withColumn("p", F.spark_partition_id()).collect()}
+        assert pa == pb  # hash-of-id salt, not rand(): retry-stable
+
+    def test_key_skew_stats_shares(self, spark):
+        from datatest_spark.plans import key_skew_stats
+        from pyspark.sql import functions as F
+
+        df = spark.range(200).select(
+            F.when(F.col("id") < 150, "hot").otherwise("cold").alias("k")
+        )
+        rows = {r["k"]: r for r in key_skew_stats(df, ["k"], k=5).collect()}
+        assert rows["hot"]["cnt"] == 150 and rows["hot"]["share"] == 0.75
+        assert rows["cold"]["share"] == 0.25
+
+    def test_checkpoint_salted_run_matches_unsalted(self, spark, tmp_path):
+        import datatest_spark.requirements as R
+        from datatest_spark.plans import run_checkpointed
+        from pyspark.sql import functions as F
+
+        df = spark.range(400).select(
+            F.col("id"),
+            F.when(F.col("id") < 360, "wav").otherwise("flac").alias("codec"),
+            (F.col("id") % 50).alias("v"),
+        )
+        rules = [R.interval("v", 0, 44, rule_id="interval:v")]
+        plain = run_checkpointed(
+            df, rules, "codec", str(tmp_path / "a"))
+        salted = run_checkpointed(
+            df, rules, "codec", str(tmp_path / "b"), salt_buckets=8)
+        get = lambda run: sorted(
+            (r["partition_id"], r["n_violations"], r["n_rows"])
+            for r in run.verdicts.collect()
+        )
+        assert get(plain) == get(salted)

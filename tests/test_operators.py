@@ -257,3 +257,63 @@ class TestMultimodal:
         assert len(ok) >= 18
         assert all(len(r["frame_rms"]) >= 2 for r in ok)
         assert all(v >= 0 for r in ok for v in r["frame_rms"])
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_values(self, spark, docs):
+        from datatest_spark.operators import ngram_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard_r"]
+            for r in ngram_jaccard_pairs(
+                docs, "text", n=3, min_jaccard=0.1, max_df=None
+            ).collect()
+        }
+        # exact dup: identical 3-gram sets → Jaccard 1.0
+        assert pairs[(0, 3)] == 1.0
+        # near-dup 0/1: 9 words → 7 shingles each; only the final
+        # window ("the lazy dog/cat") differs → 6 / (7+7-6)
+        assert pairs[(0, 1)] == 0.75
+        assert (0, 2) not in pairs  # disjoint shingle sets
+
+    def test_min_jaccard_filters(self, spark, docs):
+        from datatest_spark.operators import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(
+            docs, "text", n=3, min_jaccard=0.9, max_df=None
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 3)}
+
+    def test_max_df_removes_common_shingles(self, spark):
+        from datatest_spark.operators import ngram_jaccard_pairs
+
+        # boilerplate shingle "common boiler plate" in every doc; the
+        # distinct tails only.  With max_df=2 the boilerplate shingles
+        # (df=3) leave the similarity space → all pairs disjoint.
+        rows = [
+            (0, "common boiler plate alpha beta gamma"),
+            (1, "common boiler plate delta epsilon zeta"),
+            (2, "common boiler plate eta theta iota"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with_cap = ngram_jaccard_pairs(
+            df, "text", n=3, min_jaccard=0.01, max_df=2
+        ).collect()
+        assert with_cap == []
+        no_cap = ngram_jaccard_pairs(
+            df, "text", n=3, min_jaccard=0.01, max_df=None
+        ).collect()
+        assert len(no_cap) == 3  # boilerplate makes every pair similar
+
+    def test_shuffle_carries_longs_not_text(self, spark, docs):
+        from datatest_spark.operators import ngram_jaccard_pairs
+
+        plan = ngram_jaccard_pairs(
+            docs, "text", n=3, min_jaccard=0.1
+        )._jdf.queryExecution().executedPlan().toString()
+        # the posting-list exchanges must partition on the hashed
+        # shingle long / ids — never on the shingle text
+        import re
+
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in m, plan
