@@ -730,6 +730,35 @@ def q_streaming_rowrules(spark, sf_dir):
     return spark.read.parquet(viol_dir).drop("batch_id")
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal image pipeline (REAL decode, no codec libs): the
+    deterministic PPM/BMP fixture table through decode + channel means
+    + integer-BT.601 dHash.  Oracle: first-principles re-derivation
+    from the fixture definition with an independent plain-Python dHash
+    (oracles.py)."""
+    from datatest_spark.fixtures import image_table_df
+    from datatest_spark.operators import image_features
+
+    imgs = image_table_df(spark, 400, parts=4)
+    return image_features(imgs, "bytes", id_col="image_id")
+
+
+def q_video_lumas(spark, sf_dir):
+    """Multimodal video pipeline (REAL Y4M decode): frame-sampled
+    (every 2nd) per-frame mean luma, exploded to rows.  Oracle:
+    fixture-definition re-derivation (oracles.py)."""
+    from datatest_spark.fixtures import video_table_df
+    from datatest_spark.operators import video_frame_features
+
+    vids = video_table_df(spark, 120, parts=4)
+    feats = video_frame_features(vids, "bytes", id_col="video_id",
+                                 every_nth=2)
+    return feats.select(
+        "id", "ok",
+        F.posexplode_outer("frame_mean_luma").alias("frame_idx", "mean_luma"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: multi-rule engine pass over the TPC-H-ish
     tables — one fused scan per table, plan-rule fragments unioned."""
@@ -783,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "acceptance_count": q_acceptance_count,
         "streaming_rowrules": q_streaming_rowrules,
+        "image_features": q_image_features,
+        "video_lumas": q_video_lumas,
         "embedding_neardup": q_embedding_neardup,
         "predicate_tuple": q_predicate_tuple,
         "ann_topk": q_ann_topk,
@@ -1291,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _oracles.ngram_jaccard_sql(
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),
+        "image_features": _oracles.image_features_sql(n=400),
+        "video_lumas": _oracles.video_lumas_sql(n=120, every_nth=2),
         "lang_id": _lang_id_sql(),
         "acceptance_count": f"""
             WITH v AS (

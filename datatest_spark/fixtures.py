@@ -38,6 +38,12 @@ __all__ = [
     "audio_clips_df",
     "reference_transcripts_df",
     "AUDIO_SCHEMA",
+    "image_table_df",
+    "video_table_df",
+    "synth_image_array",
+    "synth_video_frames",
+    "IMAGE_SCHEMA",
+    "VIDEO_SCHEMA",
 ]
 
 _SRS = [8000, 16000, 22050, 44100, 48000]
@@ -282,3 +288,125 @@ def reference_transcripts_df(spark: SparkSession, n_rows: int,
     # manifest is a strict superset: extra 1% of ids beyond the data
     n_manifest = n_rows + max(1, n_rows // 100)
     return spark.range(0, n_manifest, 1).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# F3/F4: deterministic image + video tables (same doctrine: every row
+# is a pure function of the index i, so any range partitioning yields
+# identical data).  Injection periods:
+#   images: i%97==13 corrupt payload · i%53==29 declared-width lie
+#           · i%50==7 cross-format duplicate of i-1 (same pixels,
+#             other container → same dHash, different sha256)
+#   videos: i%89==11 corrupt payload · i%31==5 declared-frames lie
+# ---------------------------------------------------------------------------
+
+
+def synth_image_array(i: int) -> np.ndarray:
+    """(h, w, 3) uint8 gradient pattern, h/w in [16, 63]."""
+    h = 16 + _mix(i, 41) % 48
+    w = 16 + _mix(i, 43) % 48
+    ph = _mix(i, 47) % 256
+    ys, xs = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [(xs * 3 + ys * 5 + ph + 17 * c) % 256 for c in range(3)], axis=-1
+    )
+    return arr.astype(np.uint8)
+
+
+def synth_image_bytes(i: int) -> bytes:
+    from .operators.image import encode_bmp, encode_ppm
+
+    if i % 97 == 13:
+        return b"BM\x00trunc"  # sniffs as BMP, fails the parse
+    src = i - 1 if (i % 50 == 7 and i > 0) else i
+    arr = synth_image_array(src)
+    # the duplicate row flips container so only pixel-level identity
+    # (dHash) can link the pair
+    use_bmp = (_mix(src, 53) % 2 == 0) ^ (src != i)
+    return encode_bmp(arr) if use_bmp else encode_ppm(arr)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("decl_width", T.IntegerType(), True),
+        T.StructField("decl_height", T.IntegerType(), True),
+        T.StructField("part_id", T.IntegerType(), False),
+    ]
+)
+
+
+def image_table_df(spark: SparkSession, n_rows: int, parts: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                src = i - 1 if (i % 50 == 7 and i > 0) else i
+                arr = synth_image_array(src)
+                decl_w = arr.shape[1] + (7 if i % 53 == 29 else 0)
+                rows.append(
+                    (
+                        f"img-{i:012d}",
+                        synth_image_bytes(i),
+                        decl_w,
+                        arr.shape[0],
+                        i % parts,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields]
+            )
+
+    return spark.range(0, n_rows, 1).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def synth_video_frames(i: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 YUV frames; n in [2, 9], dims in [16, 31]."""
+    n = 2 + _mix(i, 61) % 8
+    h = 16 + _mix(i, 67) % 16
+    w = 16 + _mix(i, 71) % 16
+    ph = _mix(i, 73) % 256
+    fs, ys, xs = np.mgrid[0:n, 0:h, 0:w]
+    frames = np.stack(
+        [(xs * 2 + ys * 3 + fs * 11 + ph + 29 * c) % 256 for c in range(3)],
+        axis=-1,
+    )
+    return frames.astype(np.uint8)
+
+
+def synth_video_bytes(i: int) -> bytes:
+    from .operators.video import encode_y4m
+
+    if i % 89 == 11:
+        return b"YUV4MPEG2 W0"  # sniffs as y4m, fails the parse
+    return encode_y4m(synth_video_frames(i), fps=(30, 1), chroma="444")
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("decl_frames", T.IntegerType(), True),
+        T.StructField("part_id", T.IntegerType(), False),
+    ]
+)
+
+
+def video_table_df(spark: SparkSession, n_rows: int, parts: int = 4) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_frames = synth_video_frames(i).shape[0]
+                decl = n_frames + (2 if i % 31 == 5 else 0)
+                rows.append(
+                    (f"vid-{i:012d}", synth_video_bytes(i), decl, i % parts)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
+            )
+
+    return spark.range(0, n_rows, 1).mapInPandas(gen, VIDEO_SCHEMA)

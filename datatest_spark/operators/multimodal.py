@@ -8,9 +8,15 @@ transfer) is real and tested; the *decoders themselves* are stubbed
 because image/video libraries are not available in this container:
 
 * audio → fully real (datatest_spark.audio decodes WAV from scratch)
-* image/video → :func:`decode_stub` raises ``NotImplementedError``
-  unless ``fake=True``, in which case a deterministic fake decoder
-  (payload-hash-derived dimensions) exercises the full pipeline shape.
+* image → REAL for uncompressed formats (operators/image.py parses
+  PPM P6 and 24-bit BMP from their public specs, plus dHash/resize/
+  channel-mean features, all numpy)
+* video → REAL for YUV4MPEG2 (operators/video.py parses Y4M headers
+  and frame-samples raw YUV planes)
+* compressed codecs (JPEG/PNG/mp4/webm) → :func:`decode_stub` raises
+  ``NotImplementedError`` unless ``fake=True``, in which case a
+  deterministic fake decoder (payload-hash-derived dimensions)
+  exercises the full pipeline shape.
 """
 
 from __future__ import annotations

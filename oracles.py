@@ -886,3 +886,100 @@ def fingerprint_sql(sf_dir: str = SF001_DIR, shingle_len: int = 8) -> str:
     rows = fingerprint_rows(sf_dir, shingle_len)
     return values_sql(rows, ["doc_id", "text_hash", "shingle_min_hash"],
                       ["BIGINT", "BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# image_features / video_lumas — first-principles re-derivation from the
+# fixture DEFINITION (no byte parsing: the fixture is a pure function of
+# the row index, so expected features follow from the spec).  Shared
+# code with the engine is limited to fixture *generation*
+# (datatest_spark.fixtures synth arrays + injection periods); the
+# feature math below (integer BT.601 dHash, pixel-center resize,
+# channel means, frame sampling) is plain-Python reimplemented.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_py(arr) -> int:
+    """Independent dHash: integer grayscale, 9x8 pixel-center nearest
+    resize, horizontal gradient sign — loops, no numpy."""
+    h, w = len(arr), len(arr[0])
+    gray = [
+        [299 * p[0] + 587 * p[1] + 114 * p[2] for p in row] for row in arr
+    ]
+    ys = [min((2 * i + 1) * h // 16, h - 1) for i in range(8)]
+    xs = [min((2 * j + 1) * w // 18, w - 1) for j in range(9)]
+    out = 0
+    for y in ys:
+        row = gray[y]
+        for c in range(8):
+            out = (out << 1) | (1 if row[xs[c + 1]] > row[xs[c]] else 0)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@lru_cache(maxsize=None)
+def image_features_rows(n: int = 400) -> tuple:
+    from datatest_spark.fixtures import _mix, synth_image_array
+
+    rows = []
+    for i in range(n):
+        rid = f"img-{i:012d}"
+        if i % 97 == 13:
+            rows.append((rid, False, None, None, None, None, None, None,
+                         None))
+            continue
+        src = i - 1 if (i % 50 == 7 and i > 0) else i
+        arr = synth_image_array(src).tolist()
+        h, w = len(arr), len(arr[0])
+        sums = [0, 0, 0]
+        for row in arr:
+            for p in row:
+                sums[0] += p[0]
+                sums[1] += p[1]
+                sums[2] += p[2]
+        npx = h * w
+        codec = "bmp" if (_mix(src, 53) % 2 == 0) ^ (src != i) else "ppm"
+        rows.append(
+            (rid, True, codec, w, h,
+             sums[0] / npx, sums[1] / npx, sums[2] / npx, _dhash_py(arr))
+        )
+    return tuple(rows)
+
+
+def image_features_sql(n: int = 400) -> str:
+    return values_sql(
+        image_features_rows(n),
+        ["id", "ok", "codec", "width", "height",
+         "mean_r", "mean_g", "mean_b", "dhash"],
+        ["VARCHAR", "BOOLEAN", "VARCHAR", "INT", "INT",
+         "DOUBLE", "DOUBLE", "DOUBLE", "BIGINT"],
+    )
+
+
+@lru_cache(maxsize=None)
+def video_lumas_rows(n: int = 120, every_nth: int = 2) -> tuple:
+    from datatest_spark.fixtures import synth_video_frames
+
+    rows = []
+    for i in range(n):
+        rid = f"vid-{i:012d}"
+        if i % 89 == 11:
+            rows.append((rid, False, None, None))
+            continue
+        frames = synth_video_frames(i).tolist()
+        sampled = frames[::every_nth]
+        for idx, frame in enumerate(sampled):
+            tot = cnt = 0
+            for row in frame:
+                for p in row:
+                    tot += p[0]
+                    cnt += 1
+            rows.append((rid, True, idx, tot / cnt))
+    return tuple(rows)
+
+
+def video_lumas_sql(n: int = 120, every_nth: int = 2) -> str:
+    return values_sql(
+        video_lumas_rows(n, every_nth),
+        ["id", "ok", "frame_idx", "mean_luma"],
+        ["VARCHAR", "BOOLEAN", "INT", "DOUBLE"],
+    )

@@ -317,3 +317,85 @@ class TestNgramJaccard:
 
         for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "text" not in m, plan
+
+
+class TestImageOps:
+    def test_decode_images_mixed_formats(self, spark):
+        from datatest_spark.fixtures import image_table_df
+        from datatest_spark.operators import decode_images
+
+        imgs = image_table_df(spark, 200, parts=4)
+        out = {r["id"]: r for r in
+               decode_images(imgs, "bytes", id_col="image_id").collect()}
+        assert len(out) == 200
+        # corrupt rows (i%97==13) fail decode, everything else succeeds
+        bad = {f"img-{i:012d}" for i in range(200) if i % 97 == 13}
+        assert {k for k, r in out.items() if not r["ok"]} == bad
+        codecs = {r["codec"] for r in out.values() if r["ok"]}
+        assert codecs == {"ppm", "bmp"}
+
+    def test_dhash_links_cross_format_duplicates(self, spark):
+        from datatest_spark.fixtures import image_table_df
+        from datatest_spark.operators import image_features
+        from pyspark.sql import functions as F
+
+        imgs = image_table_df(spark, 120, parts=4)
+        feats = image_features(imgs, "bytes", id_col="image_id")
+        by_id = {r["id"]: r for r in feats.collect()}
+        # i=57, 107 duplicate pixels of i-1 in the OTHER container:
+        # same dHash + same dims, different codec + different sha-bytes
+        for i in (57, 107):
+            a, b = by_id[f"img-{i-1:012d}"], by_id[f"img-{i:012d}"]
+            assert a["dhash"] == b["dhash"]
+            assert (a["width"], a["height"]) == (b["width"], b["height"])
+            assert a["codec"] != b["codec"]
+
+    def test_declared_width_lie_detectable(self, spark):
+        from datatest_spark.fixtures import image_table_df
+        from datatest_spark.operators import decode_images
+        from pyspark.sql import functions as F
+
+        imgs = image_table_df(spark, 200, parts=4)
+        dec = decode_images(imgs, "bytes", id_col="image_id")
+        joined = dec.filter("ok").join(
+            imgs.select("image_id", "decl_width"),
+            dec["id"] == F.col("image_id"),
+        )
+        liars = sorted(
+            r["id"] for r in
+            joined.filter(F.col("decl_width") != F.col("width")).collect()
+        )
+        expect = sorted(
+            f"img-{i:012d}" for i in range(200)
+            if i % 53 == 29 and i % 97 != 13
+        )
+        assert liars == expect
+
+
+class TestVideoOps:
+    def test_frame_features_and_sampling(self, spark):
+        from datatest_spark.fixtures import (
+            synth_video_frames, video_table_df,
+        )
+        from datatest_spark.operators import video_frame_features
+
+        vids = video_table_df(spark, 60, parts=2)
+        full = {r["id"]: r for r in
+                video_frame_features(vids, "bytes", id_col="video_id",
+                                     every_nth=1).collect()}
+        bad = {f"vid-{i:012d}" for i in range(60) if i % 89 == 11}
+        assert {k for k, r in full.items() if not r["ok"]} == bad
+        # frame counts and per-frame luma match the synth definition
+        for i in (0, 7, 23):
+            frames = synth_video_frames(i)
+            row = full[f"vid-{i:012d}"]
+            assert row["n_frames_sampled"] == frames.shape[0]
+            expect = [float(frames[k, :, :, 0].mean())
+                      for k in range(frames.shape[0])]
+            assert row["frame_mean_luma"] == pytest.approx(expect)
+        sampled = {r["id"]: r for r in
+                   video_frame_features(vids, "bytes", id_col="video_id",
+                                        every_nth=2).collect()}
+        for i in (0, 7, 23):
+            n = synth_video_frames(i).shape[0]
+            assert sampled[f"vid-{i:012d}"]["n_frames_sampled"] == (n + 1) // 2
