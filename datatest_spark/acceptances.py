@@ -247,6 +247,34 @@ _CANONICAL_ORDER = [
     "deviation",
 ]
 
+# Persisted intermediates (the range-partitioned violation frames of
+# whole-scope counting): same lifecycle contract as operators/dedup.py
+# — each new marking evicts the previous one's cache; callers needing
+# tighter control call :func:`unpersist_cached` after materializing.
+_CACHED: list = []
+
+
+def _register_cached(frame: DataFrame) -> DataFrame:
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(False)
+        except Exception:  # session already stopped
+            pass
+    _CACHED.append(frame)
+    return frame
+
+
+def unpersist_cached(blocking: bool = False) -> int:
+    """Evict persisted acceptance intermediates (safe at any time)."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(blocking)
+        except Exception:
+            pass
+        n += 1
+    return n
+
 
 def _diff_fingerprint(d: BaseDifference) -> str:
     """Driver-side fingerprint matching :func:`_fingerprint`'s layout."""
@@ -763,20 +791,75 @@ class AcceptedCount(BaseAcceptance):
 
     def mark_df(self, violations: DataFrame, out_col: str,
                 gate: Optional[Column] = None) -> DataFrame:
+        gate_col = F.coalesce(gate if gate is not None else F.lit(True), F.lit(False))
         if self._scope == "group":
             w = Window.partitionBy("key").orderBy(*_CANONICAL_ORDER)
+            cnt = F.sum(F.when(gate_col, F.lit(1)).otherwise(F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return violations.withColumn(
+                out_col, gate_col & (cnt <= F.lit(self.number))
+            )
+        return self._mark_whole(violations, out_col, gate_col)
+
+    def _mark_whole(self, violations: DataFrame, out_col: str,
+                    gate_col: Column) -> DataFrame:
+        """Whole-error scope WITHOUT a global window.
+
+        ``Window.orderBy(canonical)`` with no partition key sorts the
+        entire violation stream on one task — fine at thousands of
+        rows, a guaranteed straggler/OOM at the 10^10-violation tail of
+        a 10^12-row run.  Scalable equivalent:
+
+        1. ``repartitionByRange(canonical)`` — global canonical order
+           is preserved ACROSS partitions (partition i's rows all sort
+           before partition i+1's), so a per-partition running count
+           plus a per-partition starting offset is the exact global
+           running count;
+        2. the ranged frame is persisted so the offset job and the
+           output plan see the SAME partitioning (range sampling is
+           deterministic only over identical input);
+        3. per-partition gated totals → driver prefix-sum (ONE row per
+           partition crosses to the driver) → literal offset map.
+
+        Ties spanning a partition boundary are interchangeable rows
+        (identical on every canonical column), so any split yields the
+        same accepted multiset.
+        """
+        pid_col, g_col = _mark_tmp_cols()
+        ranged = _register_cached(
+            violations.repartitionByRange(*[F.col(c) for c in _CANONICAL_ORDER])
+            .withColumn(pid_col, F.spark_partition_id())
+            .withColumn(g_col, F.when(gate_col, F.lit(1)).otherwise(F.lit(0)))
+            .persist()
+        )
+        totals = {
+            r[pid_col]: r["t"]
+            for r in ranged.groupBy(pid_col).agg(F.sum(g_col).alias("t")).collect()
+        }
+        acc = 0
+        offsets = {}
+        for p in sorted(totals):
+            offsets[p] = acc
+            acc += totals[p] or 0
+        if offsets:
+            off_expr = F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                )[F.col(pid_col)],
+                F.lit(0),
+            )
         else:
-            # whole-error scope: a global window. Violations are a tiny
-            # fraction of input rows; if they are not, the data failed
-            # long before the count matters.
-            w = Window.orderBy(*_CANONICAL_ORDER)
-        gate_col = F.coalesce(gate if gate is not None else F.lit(True), F.lit(False))
-        cnt = F.sum(F.when(gate_col, F.lit(1)).otherwise(F.lit(0))).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            off_expr = F.lit(0)
+        w = (
+            Window.partitionBy(pid_col)
+            .orderBy(*_CANONICAL_ORDER)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return violations.withColumn(
-            out_col, gate_col & (cnt <= F.lit(self.number))
-        )
+        cnt = F.sum(F.col(g_col)).over(w) + off_expr
+        return ranged.withColumn(
+            out_col, (F.col(g_col) == 1) & (cnt <= F.lit(self.number))
+        ).drop(pid_col, g_col)
 
 
 class CombinedAcceptance(BaseAcceptance):

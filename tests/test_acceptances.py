@@ -374,3 +374,57 @@ class TestAcceptedDifferencesDF:
         # 2 Extra(3) violations; allowance covers one
         rem = accepted([Extra(3)]).filter_df(res.violations)
         assert rem.count() == 1
+
+
+class TestWholeScopeCountScale:
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        """Whole-scope count must NOT compile to a global (empty
+        partition-spec) window — that sorts every violation on one
+        task.  The scalable form is pid-partitioned windows + a
+        driver prefix-sum of per-partition totals."""
+        from datatest_spark.acceptances import accepted
+        from pyspark.sql import functions as F
+
+        viol = spark.range(500).select(
+            F.lit("r").alias("rule_id"), F.lit(None).cast("string").alias("key"),
+            F.lit("c").alias("column"), F.lit("DEVIATION").alias("diff_type"),
+            F.col("id").cast("string").alias("invalid"),
+            F.lit("0").alias("expected"),
+            F.col("id").cast("double").alias("deviation"),
+            F.lit(0.0).alias("expected_num"),
+            F.lit(None).cast("string").alias("partition_id"),
+        ).repartition(8)
+        marked = accepted.count(100).filter_df(viol)
+        plan = marked._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # every Window operator must carry a non-empty partition spec
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            pass  # physical plan text varies; assert via the logical check below
+        assert "windowspecdefinition()" not in plan.replace(" ", ""), plan
+
+    def test_whole_scope_counts_across_partitions(self, spark):
+        """First-N semantics must hold globally (canonical order), not
+        per physical partition: with N=7 over 20 violations spread over
+        8 input partitions, exactly the 7 canonically-first survive as
+        accepted, the other 13 re-raise."""
+        from datatest_spark.acceptances import accepted
+        from pyspark.sql import functions as F
+
+        viol = spark.range(20).select(
+            F.lit("r").alias("rule_id"), F.lit(None).cast("string").alias("key"),
+            F.lit("c").alias("column"), F.lit("DEVIATION").alias("diff_type"),
+            F.format_string("%03d", F.col("id")).alias("invalid"),
+            F.lit("0").alias("expected"),
+            (F.col("id") + 1).cast("double").alias("deviation"),
+            F.lit(0.0).alias("expected_num"),
+            F.lit(None).cast("string").alias("partition_id"),
+        ).repartition(8)
+        remainder = accepted.count(7).filter_df(viol).collect()
+        got = sorted(r["invalid"] for r in remainder)
+        # canonical order sorts by ... invalid ("000" < "001" < ...):
+        # the first 7 are consumed, 013..019 remain? no — 007..019 remain
+        assert got == [f"{i:03d}" for i in range(7, 20)]
+        from datatest_spark.acceptances import unpersist_cached
+
+        unpersist_cached(blocking=True)
