@@ -743,6 +743,18 @@ def q_image_features(spark, sf_dir):
     return image_features(imgs, "bytes", id_col="image_id")
 
 
+def q_image_suite(spark, sf_dir):
+    """Image constraint suite (suite.validate_image_table): regex +
+    uniqueness + the one-decode-pass consistency rule over the
+    deterministic PPM/BMP table.  Oracle: expected violation rows from
+    the fixture definition (oracles.py)."""
+    from datatest_spark.fixtures import image_table_df
+    from datatest_spark.suite import validate_image_table
+
+    imgs = image_table_df(spark, 400, parts=4)
+    return validate_image_table(imgs).violations
+
+
 def q_video_lumas(spark, sf_dir):
     """Multimodal video pipeline (REAL Y4M decode): frame-sampled
     (every 2nd) per-frame mean luma, exploded to rows.  Oracle:
@@ -813,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_count": q_acceptance_count,
         "streaming_rowrules": q_streaming_rowrules,
         "image_features": q_image_features,
+        "image_suite": q_image_suite,
         "video_lumas": q_video_lumas,
         "embedding_neardup": q_embedding_neardup,
         "predicate_tuple": q_predicate_tuple,
@@ -1323,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),
         "image_features": _oracles.image_features_sql(n=400),
+        "image_suite": _oracles.image_suite_sql(n=400, parts=4),
         "video_lumas": _oracles.video_lumas_sql(n=120, every_nth=2),
         "lang_id": _lang_id_sql(),
         "acceptance_count": f"""

@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_cosine",
     "minhash_neardup",
     "simhash_neardup",
+    "ngram_jaccard",
     "drift_psi",
 ]
 

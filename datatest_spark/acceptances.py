@@ -205,6 +205,10 @@ class BaseAcceptance:
     # DataFrame path -----------------------------------------------------
     def filter_df(self, violations: DataFrame) -> DataFrame:
         """Return the violations NOT accepted (the re-raised remainder)."""
+        # evict the PREVIOUS filtering's persisted intermediates (see
+        # _register_cached): storage growth across repeated filterings
+        # in a long-lived session stays bounded to one call's set
+        unpersist_cached()
         marked = self.mark_df(violations, "_accepted")
         return marked.filter(~F.coalesce(F.col("_accepted"), F.lit(False))).drop(
             "_accepted"
@@ -255,11 +259,9 @@ _CACHED: list = []
 
 
 def _register_cached(frame: DataFrame) -> DataFrame:
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist(False)
-        except Exception:  # session already stopped
-            pass
+    # append-only: a composed acceptance (count & count) may register
+    # TWO live frames inside one output plan — eviction happens at the
+    # next top-level filter_df entry, never mid-composition
     _CACHED.append(frame)
     return frame
 

@@ -47,6 +47,7 @@ __all__ = [
     "image_features",
     "dhash64",
     "resize_nearest",
+    "ImageConsistencyRule",
 ]
 
 
@@ -296,3 +297,125 @@ def image_features(df: DataFrame, binary_col: str,
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         gen, schema
     )
+
+
+# ---------------------------------------------------------------------------
+# engine integration: the image analogue of AudioConsistencyRule
+# ---------------------------------------------------------------------------
+
+
+from ..requirements import Rule as _Rule
+
+
+class ImageConsistencyRule(_Rule):
+    """All per-row image invariants in ONE decode pass (the image twin
+    of audio.AudioConsistencyRule — reference analogue: datatest's
+    per-element predicate checks lifted to a payload decode):
+
+    * undecodable bytes → INVALID (``image:decodable``)
+    * decoded width  != decl_width  → DEVIATION (``image:width``)
+    * decoded height != decl_height → DEVIATION (``image:height``)
+
+    Plan shape: column-pruned Arrow decode (payload never shuffles),
+    checks assembled as one nullable-struct array over the decode
+    output, filtered + exploded JVM-side.
+    """
+
+    kind = "plan"
+
+    def __init__(self, binary_col: str = "bytes", id_col: str = "image_id",
+                 decl_width_col: str = "decl_width",
+                 decl_height_col: str = "decl_height",
+                 rule_id: str = "image"):
+        super().__init__(rule_id)
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.decl_width_col = decl_width_col
+        self.decl_height_col = decl_height_col
+
+    def plan(self, ctx) -> DataFrame:
+        from ..requirements import finalize_cols
+        from ..schema import DEVIATION, INVALID
+
+        df = ctx.df
+        part_src = (
+            F.col(ctx.partition_col).cast("string")
+            if ctx.partition_col and ctx.partition_col in df.columns
+            else F.lit(None).cast("string")
+        )
+        pruned = df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.binary_col),
+            F.col(self.decl_width_col).alias("_dw"),
+            F.col(self.decl_height_col).alias("_dh"),
+            part_src.alias("_part"),
+        )
+
+        info_schema = T.StructType(
+            [
+                T.StructField("id", df.schema[self.id_col].dataType, True),
+                T.StructField("ok", T.BooleanType(), False),
+                T.StructField("width", T.IntegerType(), True),
+                T.StructField("height", T.IntegerType(), True),
+                T.StructField("_dw", T.IntegerType(), True),
+                T.StructField("_dh", T.IntegerType(), True),
+                T.StructField("_part", T.StringType(), True),
+            ]
+        )
+        bcol = self.binary_col
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for rid, buf, dw, dh, part in zip(
+                    pdf["id"], pdf[bcol], pdf["_dw"], pdf["_dh"], pdf["_part"]
+                ):
+                    try:
+                        _codec, arr = decode_image_bytes(buf)
+                        rows.append((rid, True, arr.shape[1], arr.shape[0],
+                                     dw, dh, part))
+                    except ValueError:
+                        rows.append((rid, False, None, None, dw, dh, part))
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in info_schema.fields]
+                )
+
+        info = pruned.mapInPandas(gen, info_schema)
+        rid = self.rule_id
+
+        def v(rule, diff_type, column, invalid, expected,
+              deviation=None, expected_num=None):
+            return F.struct(
+                *finalize_cols(
+                    rule, diff_type,
+                    key=F.col("id"), column=column,
+                    invalid=invalid, expected=expected,
+                    deviation=deviation, expected_num=expected_num,
+                    partition_id=F.col("_part"),
+                )
+            )
+
+        checks = [
+            F.when(
+                ~F.col("ok"),
+                v(f"{rid}:decodable", INVALID, self.binary_col,
+                  F.lit("undecodable image payload"),
+                  F.lit("decodable ppm/bmp payload")),
+            ),
+            F.when(
+                F.col("ok") & (F.col("_dw") != F.col("width")),
+                v(f"{rid}:width", DEVIATION, self.decl_width_col,
+                  F.col("_dw"), F.col("width"),
+                  deviation=(F.col("_dw") - F.col("width")).cast("double"),
+                  expected_num=F.col("width").cast("double")),
+            ),
+            F.when(
+                F.col("ok") & (F.col("_dh") != F.col("height")),
+                v(f"{rid}:height", DEVIATION, self.decl_height_col,
+                  F.col("_dh"), F.col("height"),
+                  deviation=(F.col("_dh") - F.col("height")).cast("double"),
+                  expected_num=F.col("height").cast("double")),
+            ),
+        ]
+        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+        return info.select(F.explode(arr).alias("_v")).select("_v.*")

@@ -29,7 +29,8 @@ from .audio import AudioConsistencyRule
 from .requirements import Rule
 from .validation import Engine, ValidationResult
 
-__all__ = ["audio_rules", "validate_audio_table", "verdicts"]
+__all__ = ["audio_rules", "validate_audio_table", "image_rules",
+           "validate_image_table", "verdicts"]
 
 ALLOWED_CODECS = {"pcm_s16le", "flac", "opus"}
 ALLOWED_SRS = {8000, 16000, 22050, 44100, 48000}
@@ -127,4 +128,29 @@ def verdicts(violations: DataFrame) -> DataFrame:
             F.countDistinct("rule_id").alias("n_rules_failed"),
         )
         .withColumn("passed", F.lit(False))
+    )
+
+
+def image_rules() -> List[Rule]:
+    """Constraint suite for the image fixture table (the multimodal
+    twin of :func:`audio_rules`): id shape + uniqueness + the one-pass
+    decode/dims consistency rule."""
+    from .operators.image import ImageConsistencyRule
+
+    return [
+        R.regex("image_id", r"^img-\d{12}$", rule_id="regex:image_id"),
+        R.unique("image_id", rule_id="unique:image_id"),
+        ImageConsistencyRule(),
+    ]
+
+
+def validate_image_table(
+    df: DataFrame,
+    partition_col: Optional[str] = "part_id",
+) -> ValidationResult:
+    part = partition_col if partition_col in df.columns else None
+    engine = Engine(df.sparkSession)
+    return engine.validate(
+        df, image_rules(), partition_col=part,
+        description="image constraint suite",
     )

@@ -983,3 +983,36 @@ def video_lumas_sql(n: int = 120, every_nth: int = 2) -> str:
         ["id", "ok", "frame_idx", "mean_luma"],
         ["VARCHAR", "BOOLEAN", "INT", "DOUBLE"],
     )
+
+
+@lru_cache(maxsize=None)
+def image_suite_rows(n: int = 400, parts: int = 4) -> tuple:
+    """Expected image-suite violations from the fixture definition:
+    corrupt payloads (i%97==13) → decodable INVALID; declared-width
+    lies (i%53==29) → width DEVIATION of exactly +7.  Regex/unique
+    rules never fire (ids are well-formed and unique by construction)."""
+    from datatest_spark.fixtures import synth_image_array
+
+    rows = []
+    for i in range(n):
+        rid = f"img-{i:012d}"
+        part = str(i % parts)
+        if i % 97 == 13:
+            rows.append(
+                ("image:decodable", rid, "bytes", "INVALID",
+                 "undecodable image payload", "decodable ppm/bmp payload",
+                 None, None, part)
+            )
+            continue
+        if i % 53 == 29:
+            src = i - 1 if (i % 50 == 7 and i > 0) else i
+            w = len(synth_image_array(src)[0])
+            rows.append(
+                ("image:width", rid, "decl_width", "DEVIATION",
+                 str(w + 7), str(w), 7.0, float(w), part)
+            )
+    return tuple(rows)
+
+
+def image_suite_sql(n: int = 400, parts: int = 4) -> str:
+    return violations_values_sql(image_suite_rows(n, parts))

@@ -428,3 +428,28 @@ class TestWholeScopeCountScale:
         from datatest_spark.acceptances import unpersist_cached
 
         unpersist_cached(blocking=True)
+
+    def test_composed_whole_scope_counts(self, spark):
+        """count(5) & count(10): two whole-scope stateful operands in
+        ONE composition — both range-partitioned frames stay alive for
+        the duration of the plan (append-only cache registry).  The
+        short-circuit means the second consumes only rows the first
+        accepted: intersection = the canonically-first 5."""
+        from datatest_spark.acceptances import accepted
+        from pyspark.sql import functions as F
+
+        viol = spark.range(20).select(
+            F.lit("r").alias("rule_id"), F.lit(None).cast("string").alias("key"),
+            F.lit("c").alias("column"), F.lit("DEVIATION").alias("diff_type"),
+            F.format_string("%03d", F.col("id")).alias("invalid"),
+            F.lit("0").alias("expected"),
+            (F.col("id") + 1).cast("double").alias("deviation"),
+            F.lit(0.0).alias("expected_num"),
+            F.lit(None).cast("string").alias("partition_id"),
+        ).repartition(8)
+        acc = accepted.count(5) & accepted.count(10)
+        got = sorted(r["invalid"] for r in acc.filter_df(viol).collect())
+        assert got == [f"{i:03d}" for i in range(5, 20)]
+        from datatest_spark.acceptances import unpersist_cached
+
+        unpersist_cached(blocking=True)

@@ -399,3 +399,31 @@ class TestVideoOps:
         for i in (0, 7, 23):
             n = synth_video_frames(i).shape[0]
             assert sampled[f"vid-{i:012d}"]["n_frames_sampled"] == (n + 1) // 2
+
+
+class TestImageSuite:
+    def test_violations_match_fixture_injections(self, spark):
+        from datatest_spark.fixtures import image_table_df
+        from datatest_spark.suite import validate_image_table
+        from pyspark.sql import functions as F
+
+        imgs = image_table_df(spark, 300, parts=4)
+        res = validate_image_table(imgs)
+        by_rule = {
+            r["rule_id"]: r["cnt"]
+            for r in res.violations.groupBy("rule_id")
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+        n_corrupt = len([i for i in range(300) if i % 97 == 13])
+        n_lie = len([i for i in range(300) if i % 53 == 29 and i % 97 != 13])
+        assert by_rule.get("image:decodable") == n_corrupt
+        assert by_rule.get("image:width") == n_lie
+        assert "image:height" not in by_rule
+        assert "regex:image_id" not in by_rule
+        # width lies are exactly +7 with the decoded width as expected
+        dev = res.violations.filter(F.col("rule_id") == "image:width")
+        assert all(r["deviation"] == 7.0 for r in dev.collect())
+        # per-partition verdicts carry the violations
+        assert res.violations.filter(
+            F.col("partition_id").isNull()
+        ).count() == 0
