@@ -543,6 +543,22 @@ def q_squint_sum(spark, sf_dir):
     )
 
 
+def q_squint_avg_count(spark, sf_dir):
+    """Squint avg + count semantics (reference __past__/squint/query.py:
+    417-533): avg coerces non-numeric text to 0.0 but KEEPS it in the
+    denominator (SQLite REAL rules); count counts non-NULL values."""
+    from datatest_spark.query import Select
+
+    df = _mixed_part(spark, sf_dir)
+    avg_q = Select(df)({"p_type": "mixed"}).avg().to_frame().select(
+        "p_type", F.round(F.col("mixed"), 2).alias("avg_r")
+    )
+    cnt_q = Select(df)({"p_type": "mixed"}).count().to_frame().select(
+        "p_type", F.col("mixed").cast("long").alias("cnt")
+    )
+    return avg_q.join(cnt_q, "p_type")
+
+
 def q_squint_minmax(spark, sf_dir):
     """Squint min/max with SQLite storage-class ordering (reference
     __past__/squint/query.py:457-482): NULL < numeric < text — min
@@ -755,6 +771,18 @@ def q_image_suite(spark, sf_dir):
     return validate_image_table(imgs).violations
 
 
+def q_video_suite(spark, sf_dir):
+    """Video constraint suite (suite.validate_video_table): regex +
+    uniqueness + the header-seek frame-count rule over the
+    deterministic Y4M table.  Oracle: expected violation rows from the
+    fixture definition (oracles.py)."""
+    from datatest_spark.fixtures import video_table_df
+    from datatest_spark.suite import validate_video_table
+
+    vids = video_table_df(spark, 400, parts=4)
+    return validate_video_table(vids).violations
+
+
 def q_video_lumas(spark, sf_dir):
     """Multimodal video pipeline (REAL Y4M decode): frame-sampled
     (every 2nd) per-frame mean luma, exploded to rows.  Oracle:
@@ -818,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lcs": q_order_lcs,
         "squint_sum": q_squint_sum,
         "squint_minmax": q_squint_minmax,
+        "squint_avg_count": q_squint_avg_count,
         "minhash_estimated": q_minhash_estimated,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -826,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rowrules": q_streaming_rowrules,
         "image_features": q_image_features,
         "image_suite": q_image_suite,
+        "video_suite": q_video_suite,
         "video_lumas": q_video_lumas,
         "embedding_neardup": q_embedding_neardup,
         "predicate_tuple": q_predicate_tuple,
@@ -1261,6 +1291,15 @@ def oracle_sql() -> dict[str, str]:
                          2) AS sum_r
             FROM base GROUP BY p_type
         """,
+        "squint_avg_count": f"""
+            WITH base AS ({_MIXED_SQL})
+            SELECT p_type,
+                   round(avg(CASE WHEN mixed IS NOT NULL THEN
+                             coalesce(TRY_CAST(mixed AS DOUBLE), 0.0) END),
+                         2) AS avg_r,
+                   count(mixed) AS cnt
+            FROM base GROUP BY p_type
+        """,
         "squint_minmax": f"""
             WITH base AS ({_MIXED_SQL}),
             m AS (SELECT p_type, mixed, TRY_CAST(mixed AS DOUBLE) AS num
@@ -1337,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),
         "image_features": _oracles.image_features_sql(n=400),
         "image_suite": _oracles.image_suite_sql(n=400, parts=4),
+        "video_suite": _oracles.video_suite_sql(n=400, parts=4),
         "video_lumas": _oracles.video_lumas_sql(n=120, every_nth=2),
         "lang_id": _lang_id_sql(),
         "acceptance_count": f"""

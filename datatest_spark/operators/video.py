@@ -33,6 +33,8 @@ __all__ = [
     "decode_y4m_header",
     "iter_y4m_frames",
     "video_frame_features",
+    "count_y4m_frames",
+    "VideoConsistencyRule",
 ]
 
 _CHROMA_DIV = {
@@ -173,3 +175,125 @@ def video_frame_features(df: DataFrame, binary_col: str,
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         gen, schema
     )
+
+
+def count_y4m_frames(buf: bytes) -> Tuple[int, int, int]:
+    """(width, height, n_frames) by seeking frame markers only — no
+    pixel data is touched, so counting a 10-minute clip costs header
+    scans, not decodes."""
+    w, h, _fps, chroma, pos = decode_y4m_header(bytes(buf))
+    dx, dy = _CHROMA_DIV[chroma]
+    frame_bytes = w * h + 2 * (w // dx) * (h // dy)
+    buf = bytes(buf)
+    n = 0
+    while pos < len(buf):
+        nl = buf.find(b"\n", pos)
+        if nl < 0 or not buf[pos : pos + 5] == b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        if nl + 1 + frame_bytes > len(buf):
+            raise ValueError("truncated Y4M frame")
+        pos = nl + 1 + frame_bytes
+        n += 1
+    return w, h, n
+
+
+from ..requirements import Rule as _Rule
+
+
+class VideoConsistencyRule(_Rule):
+    """Per-row video invariants in one header-seek pass (the video twin
+    of Image/AudioConsistencyRule):
+
+    * undecodable bytes → INVALID (``video:decodable``)
+    * counted frames != decl_frames → DEVIATION (``video:frames``)
+
+    The pass seeks over frame payloads (count_y4m_frames) — no pixel
+    decode, so the Arrow stage is header-bound even for long clips.
+    """
+
+    kind = "plan"
+
+    def __init__(self, binary_col: str = "bytes", id_col: str = "video_id",
+                 decl_frames_col: str = "decl_frames",
+                 rule_id: str = "video"):
+        super().__init__(rule_id)
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self.decl_frames_col = decl_frames_col
+
+    def plan(self, ctx) -> DataFrame:
+        from ..requirements import finalize_cols
+        from ..schema import DEVIATION, INVALID
+
+        df = ctx.df
+        part_src = (
+            F.col(ctx.partition_col).cast("string")
+            if ctx.partition_col and ctx.partition_col in df.columns
+            else F.lit(None).cast("string")
+        )
+        pruned = df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.binary_col),
+            F.col(self.decl_frames_col).alias("_df"),
+            part_src.alias("_part"),
+        )
+        info_schema = T.StructType(
+            [
+                T.StructField("id", df.schema[self.id_col].dataType, True),
+                T.StructField("ok", T.BooleanType(), False),
+                T.StructField("n_frames", T.IntegerType(), True),
+                T.StructField("_df", T.IntegerType(), True),
+                T.StructField("_part", T.StringType(), True),
+            ]
+        )
+        bcol = self.binary_col
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for rid, buf, decl, part in zip(
+                    pdf["id"], pdf[bcol], pdf["_df"], pdf["_part"]
+                ):
+                    try:
+                        if buf is None:
+                            raise ValueError("null payload")
+                        _w, _h, n = count_y4m_frames(buf)
+                        rows.append((rid, True, n, decl, part))
+                    except ValueError:
+                        rows.append((rid, False, None, decl, part))
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in info_schema.fields]
+                )
+
+        info = pruned.mapInPandas(gen, info_schema)
+        rid = self.rule_id
+
+        def v(rule, diff_type, column, invalid, expected,
+              deviation=None, expected_num=None):
+            return F.struct(
+                *finalize_cols(
+                    rule, diff_type,
+                    key=F.col("id"), column=column,
+                    invalid=invalid, expected=expected,
+                    deviation=deviation, expected_num=expected_num,
+                    partition_id=F.col("_part"),
+                )
+            )
+
+        checks = [
+            F.when(
+                ~F.col("ok"),
+                v(f"{rid}:decodable", INVALID, self.binary_col,
+                  F.lit("undecodable video payload"),
+                  F.lit("decodable y4m payload")),
+            ),
+            F.when(
+                F.col("ok") & (F.col("_df") != F.col("n_frames")),
+                v(f"{rid}:frames", DEVIATION, self.decl_frames_col,
+                  F.col("_df"), F.col("n_frames"),
+                  deviation=(F.col("_df") - F.col("n_frames")).cast("double"),
+                  expected_num=F.col("n_frames").cast("double")),
+            ),
+        ]
+        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+        return info.select(F.explode(arr).alias("_v")).select("_v.*")

@@ -30,7 +30,8 @@ from .requirements import Rule
 from .validation import Engine, ValidationResult
 
 __all__ = ["audio_rules", "validate_audio_table", "image_rules",
-           "validate_image_table", "verdicts"]
+           "validate_image_table", "video_rules",
+           "validate_video_table", "verdicts"]
 
 ALLOWED_CODECS = {"pcm_s16le", "flac", "opus"}
 ALLOWED_SRS = {8000, 16000, 22050, 44100, 48000}
@@ -153,4 +154,28 @@ def validate_image_table(
     return engine.validate(
         df, image_rules(), partition_col=part,
         description="image constraint suite",
+    )
+
+
+def video_rules() -> List[Rule]:
+    """Constraint suite for the video fixture table: id shape +
+    uniqueness + the header-seek frame-count consistency rule."""
+    from .operators.video import VideoConsistencyRule
+
+    return [
+        R.regex("video_id", r"^vid-\d{12}$", rule_id="regex:video_id"),
+        R.unique("video_id", rule_id="unique:video_id"),
+        VideoConsistencyRule(),
+    ]
+
+
+def validate_video_table(
+    df: DataFrame,
+    partition_col: Optional[str] = "part_id",
+) -> ValidationResult:
+    part = partition_col if partition_col in df.columns else None
+    engine = Engine(df.sparkSession)
+    return engine.validate(
+        df, video_rules(), partition_col=part,
+        description="video constraint suite",
     )

@@ -1016,3 +1016,34 @@ def image_suite_rows(n: int = 400, parts: int = 4) -> tuple:
 
 def image_suite_sql(n: int = 400, parts: int = 4) -> str:
     return violations_values_sql(image_suite_rows(n, parts))
+
+
+@lru_cache(maxsize=None)
+def video_suite_rows(n: int = 400, parts: int = 4) -> tuple:
+    """Expected video-suite violations from the fixture definition:
+    corrupt payloads (i%89==11) → decodable INVALID; declared-frames
+    lies (i%31==5) → frames DEVIATION of exactly +2."""
+    from datatest_spark.fixtures import synth_video_frames
+
+    rows = []
+    for i in range(n):
+        rid = f"vid-{i:012d}"
+        part = str(i % parts)
+        if i % 89 == 11:
+            rows.append(
+                ("video:decodable", rid, "bytes", "INVALID",
+                 "undecodable video payload", "decodable y4m payload",
+                 None, None, part)
+            )
+            continue
+        if i % 31 == 5:
+            nf = len(synth_video_frames(i))
+            rows.append(
+                ("video:frames", rid, "decl_frames", "DEVIATION",
+                 str(nf + 2), str(nf), 2.0, float(nf), part)
+            )
+    return tuple(rows)
+
+
+def video_suite_sql(n: int = 400, parts: int = 4) -> str:
+    return violations_values_sql(video_suite_rows(n, parts))

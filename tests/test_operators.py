@@ -427,3 +427,24 @@ class TestImageSuite:
         assert res.violations.filter(
             F.col("partition_id").isNull()
         ).count() == 0
+
+
+class TestVideoSuite:
+    def test_violations_match_fixture_injections(self, spark):
+        from datatest_spark.fixtures import video_table_df
+        from datatest_spark.suite import validate_video_table
+        from pyspark.sql import functions as F
+
+        vids = video_table_df(spark, 250, parts=4)
+        res = validate_video_table(vids)
+        by_rule = {
+            r["rule_id"]: r["cnt"]
+            for r in res.violations.groupBy("rule_id")
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+        n_corrupt = len([i for i in range(250) if i % 89 == 11])
+        n_lie = len([i for i in range(250) if i % 31 == 5 and i % 89 != 11])
+        assert by_rule.get("video:decodable") == n_corrupt
+        assert by_rule.get("video:frames") == n_lie
+        dev = res.violations.filter(F.col("rule_id") == "video:frames")
+        assert all(r["deviation"] == 2.0 for r in dev.collect())
