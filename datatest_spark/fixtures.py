@@ -291,7 +291,7 @@ def reference_transcripts_df(spark: SparkSession, n_rows: int,
 
 
 # ---------------------------------------------------------------------------
-# F3/F4: deterministic image + video tables (same doctrine: every row
+# F5/F6: deterministic image + video tables (FIXTURES.md) (same doctrine: every row
 # is a pure function of the index i, so any range partitioning yields
 # identical data).  Injection periods:
 #   images: i%97==13 corrupt payload · i%53==29 declared-width lie

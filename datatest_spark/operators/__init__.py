@@ -14,8 +14,13 @@ from .dedup import (  # noqa: F401
 from .text import fingerprint, lang_id, text_quality, token_stats  # noqa: F401
 from .multimodal import decode_stub, extract_clip_features  # noqa: F401
 from .image import (  # noqa: F401
+    ImageConsistencyRule,
     decode_images,
     dhash64,
     image_features,
 )
-from .video import video_frame_features  # noqa: F401
+from .video import (  # noqa: F401
+    VideoConsistencyRule,
+    count_y4m_frames,
+    video_frame_features,
+)
