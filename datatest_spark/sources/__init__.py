@@ -10,3 +10,4 @@ from .readers import (  # noqa: F401
     read_table,
     working_dir_glob,
 )
+from .bucketed import assert_no_shuffle_join, write_bucketed  # noqa: F401

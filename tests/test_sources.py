@@ -93,3 +93,47 @@ class TestReadTable:
 
         with _pytest.raises(RuntimeError, match="[Ii]ceberg"):
             read_table(spark, "/tmp/nope", fmt="iceberg")
+
+
+class TestBucketedJoins:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Co-bucketed tables join WITHOUT a shuffle: the scale recipe
+        for the recurring data-vs-manifest referential join.  The plan
+        must show SortMergeJoin with no Exchange on either side."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from datatest_spark.sources.bucketed import (
+            assert_no_shuffle_join, write_bucketed,
+        )
+
+        # (warehouse dir is a static conf — managed tables land in the
+        # session default ./spark-warehouse, dropped in finally)
+        # AQE's broadcast conversion would hide the point: force SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        suffix = uuid.uuid4().hex[:8]
+        a_name, b_name = f"audio_b_{suffix}", f"manifest_b_{suffix}"
+        try:
+            a = spark.range(2000).select(
+                F.format_string("clip-%012d", F.col("id")).alias("clip_id"),
+                (F.col("id") % 97).alias("v"),
+            )
+            b = spark.range(2200).select(
+                F.format_string("clip-%012d", F.col("id")).alias("clip_id"),
+                F.concat(F.lit("t"), F.col("id")).alias("transcript_ref"),
+            )
+            write_bucketed(a, a_name, ["clip_id"], 8)
+            write_bucketed(b, b_name, ["clip_id"], 8)
+            joined = spark.table(a_name).join(spark.table(b_name), "clip_id")
+            plan = assert_no_shuffle_join(joined)
+            assert "SortMergeJoin" in plan
+            assert joined.count() == 2000
+            # control: the SAME join on unbucketed frames DOES shuffle
+            plain = a.join(b, "clip_id")
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plain_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+            spark.sql(f"DROP TABLE IF EXISTS {b_name}")
