@@ -1,7 +1,14 @@
 """Large-scale pipeline operators: dedup, text analysis, similarity
 search, multimodal plumbing."""
 
-from .ann import cosine_scores, ivf_topk, topk_neighbors  # noqa: F401
+from .ann import (  # noqa: F401
+    IvfIndex,
+    cosine_scores,
+    ivf_build,
+    ivf_query,
+    ivf_topk,
+    topk_neighbors,
+)
 from .dedup import (  # noqa: F401
     embedding_neardup_pairs,
     exact_duplicates,

@@ -22,7 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_scores", "topk_neighbors", "ivf_topk"]
+__all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
+           "IvfIndex", "ivf_build", "ivf_query"]
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -113,17 +114,77 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
     no sampling scan runs at all and the index is fully reproducible
     from inputs (Spark's internal per-partition sample RNG is not) —
     use this for production index builds that must be replayable.
+
+    Single-shot convenience over :func:`ivf_build` + :func:`ivf_query`
+    — repeated queries should build (and usually :meth:`IvfIndex.write`)
+    once instead.
     """
+    index = ivf_build(
+        df, column=column, id_col=id_col, n_cells=n_cells,
+        sample_rows=sample_rows, seed=seed, approx_count=approx_count,
+        train_vectors=train_vectors,
+    )
+    return ivf_query(index, query_vector, k=k, nprobe=nprobe)
+
+
+class IvfIndex:
+    """A built IVF index: quantizer centroids (driver-side, tiny) +
+    the cell-assigned vector table (distributed).
+
+    Build once, query many — the production shape ``ivf_topk`` (a
+    single-shot convenience) composes.  ``write``/``read`` persist the
+    assignment partitioned **by cell**, so each query's ``nprobe``
+    cells become parquet partition pruning: a 16,384-cell / nprobe=32
+    index reads ~0.2% of the table per query, no index service needed.
+    """
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame,
+                 column: str, id_col: str):
+        self.centroids = np.asarray(centroids, dtype=float)
+        self.assigned = assigned
+        self.column = column
+        self.id_col = id_col
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the assignment partitioned by cell (+ centroids as
+        a tiny JSON sidecar) — queries against the read-back index are
+        partition-pruned to the probed cells."""
+        import json
+        import os
+
+        self.assigned.write.mode(mode).partitionBy("cell").parquet(path)
+        sidecar = os.path.join(path, "_ivf_centroids.json")
+        with open(sidecar, "w") as f:
+            json.dump(self.centroids.tolist(), f)
+
+    @classmethod
+    def read(cls, spark, path: str, column: str = "embedding",
+             id_col: str = "vec_id") -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_ivf_centroids.json")) as f:
+            centroids = np.asarray(json.load(f), dtype=float)
+        assigned = spark.read.parquet(path).withColumn(
+            "cell", F.col("cell").cast("int")
+        )
+        return cls(centroids, assigned, column, id_col)
+
+
+def ivf_build(df: DataFrame, column: str = "embedding",
+              id_col: str = "vec_id", n_cells: int = 16,
+              sample_rows: int = 10_000, seed: int = 42,
+              approx_count: Optional[int] = None,
+              train_vectors: Optional[Sequence[Sequence[float]]] = None
+              ) -> IvfIndex:
+    """Train the coarse quantizer and assign every vector to its cell
+    (JVM-side argmax — one projection, no shuffle).  See
+    :func:`ivf_topk` for the sampling/`train_vectors` contract."""
     if train_vectors is not None:
         sample = np.array(
             [[float(v) for v in row] for row in train_vectors], dtype=float
         )
     else:
-        # quantizer training sample: Bernoulli sample (NOT limit()
-        # alone — that takes the first partitions and biases centroids
-        # on sorted data), capped at sample_rows.  The collect is
-        # bounded (≤10k rows of the pruned embedding column) —
-        # standard driver-side IVF training.
         total = approx_count if approx_count is not None else df.count()
         frac = min(1.0, (3.0 * sample_rows) / max(total, 1))
         sample = np.array(
@@ -136,10 +197,9 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
             ]
         )
     if len(sample) == 0:
-        raise ValueError("ivf_topk: empty input")
+        raise ValueError("ivf_build: empty input")
     centroids = _train_centroids(sample, n_cells, seed=seed)
 
-    # cell assignment as a JVM-side argmax over centroid dot products
     cells = []
     for ci, cvec in enumerate(centroids):
         cn = cvec / max(float(np.linalg.norm(cvec)), 1e-12)
@@ -155,18 +215,24 @@ def ivf_topk(df: DataFrame, query_vector: Sequence[float], k: int = 10,
         F.col(id_col), F.col(column),
         F.array_max(F.array(*cells))["cell"].alias("cell"),
     )
+    return IvfIndex(centroids, assigned, column, id_col)
 
+
+def ivf_query(index: IvfIndex, query_vector: Sequence[float], k: int = 10,
+              nprobe: int = 4) -> DataFrame:
+    """Approximate top-k against a built index: rank cells by centroid
+    similarity, scan only the ``nprobe`` best (partition-pruned when
+    the index was written partitioned by cell)."""
     q = np.asarray(list(query_vector), dtype=float)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    cn = index.centroids / np.maximum(
+        np.linalg.norm(index.centroids, axis=1, keepdims=True), 1e-12
     )
     probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
-
-    cs = _cosine_vs_literal(F.col(column), list(query_vector))
+    cs = _cosine_vs_literal(F.col(index.column), list(query_vector))
     return (
-        assigned.filter(F.col("cell").isin(probe))
-        .select(F.col(id_col), F.round(cs, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        index.assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(index.id_col), F.round(cs, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(index.id_col))
         .limit(k)
     )

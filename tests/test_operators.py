@@ -448,3 +448,121 @@ class TestVideoSuite:
         assert by_rule.get("video:frames") == n_lie
         dev = res.violations.filter(F.col("rule_id") == "video:frames")
         assert all(r["deviation"] == 2.0 for r in dev.collect())
+
+
+class TestCodecProperties:
+    """Property-based round-trips for the from-scratch codecs: any
+    uint8 image/video payload must survive encode→decode bit-exactly
+    (the invariant every other image/video result rests on)."""
+
+    def test_ppm_bmp_roundtrip_property(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.operators.image import (
+            decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 40), w=st.integers(1, 40),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def roundtrip(h, w, seed):
+            arr = np.random.RandomState(seed).randint(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+            assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+        roundtrip()
+
+    def test_y4m_roundtrip_property(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.operators.video import (
+            count_y4m_frames, encode_y4m, iter_y4m_frames,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n=st.integers(1, 6), h=st.integers(2, 24),
+            w=st.integers(2, 24), seed=st.integers(0, 2**31 - 1),
+        )
+        def roundtrip(n, h, w, seed):
+            frames = np.random.RandomState(seed).randint(
+                0, 256, (n, h, w, 3), dtype=np.uint8
+            )
+            buf = encode_y4m(frames)
+            assert count_y4m_frames(buf) == (w, h, n)
+            out = list(iter_y4m_frames(buf, 1))
+            assert len(out) == n
+            assert all(np.array_equal(f, frames[i]) for i, f in out)
+
+        roundtrip()
+
+    def test_truncated_payloads_always_raise(self):
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.fixtures import synth_image_array
+        from datatest_spark.operators.image import (
+            decode_image_bytes, encode_bmp, encode_ppm,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(i=st.integers(0, 500), cut=st.floats(0.01, 0.95),
+               bmp=st.booleans())
+        def truncation(i, cut, bmp):
+            arr = synth_image_array(i)
+            buf = (encode_bmp if bmp else encode_ppm)(arr)
+            short = buf[: max(2, int(len(buf) * cut))]
+            # either decodes to the full image (header happens to fit,
+            # impossible after pixel truncation) or raises ValueError —
+            # never crashes, never returns partial pixels
+            import pytest as _pytest
+
+            if len(short) < len(buf):
+                with _pytest.raises(ValueError):
+                    decode_image_bytes(short)
+
+        truncation()
+
+
+class TestIvfIndex:
+    def test_build_query_matches_single_shot(self, spark, vectors):
+        from datatest_spark.operators import ivf_build, ivf_query, ivf_topk
+
+        train = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0]]
+        q = [1.0, 0.05, 0.0, 0.0]
+        index = ivf_build(vectors, n_cells=3, train_vectors=train)
+        a = ivf_query(index, q, k=3, nprobe=2).collect()
+        b = ivf_topk(vectors, q, k=3, n_cells=3, nprobe=2,
+                     train_vectors=train).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # second query reuses the SAME index — no retraining
+        c = ivf_query(index, [0.0, 1.0, 0.1, 0.0], k=2, nprobe=1).collect()
+        assert len(c) >= 1
+
+    def test_written_index_prunes_partitions(self, spark, vectors, tmp_path):
+        from datatest_spark.operators import IvfIndex, ivf_build, ivf_query
+
+        train = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0]]
+        index = ivf_build(vectors, n_cells=3, train_vectors=train)
+        path = str(tmp_path / "ivf")
+        index.write(path)
+        back = IvfIndex.read(spark, path)
+        q = [1.0, 0.05, 0.0, 0.0]
+        out = ivf_query(back, q, k=3, nprobe=1)
+        # the probe filter must reach the parquet scan as a partition
+        # filter (cell is the partition column of the written index)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1][:120], plan
+        rows = out.collect()
+        # the probed cell holds the x-axis cluster: 4 ([1, .01]) edges
+        # out 0 ([1, 0]) for this slightly-off-axis query
+        assert [r["vec_id"] for r in rows] == [4, 0, 1]
