@@ -759,6 +759,56 @@ def q_image_features(spark, sf_dir):
     return image_features(imgs, "bytes", id_col="image_id")
 
 
+def q_squint_map_filter(spark, sf_dir):
+    """Squint dataflow chain (reference __past__/squint/query.py:
+    725-762,1287-1320): callable filter (Arrow-vectorized predicate) →
+    callable map (pandas UDF, inferred LongType) → SQLite-REAL sum,
+    grouped by lang."""
+    from datatest_spark.query import Select
+
+    df = _t(spark, sf_dir, "documents")
+    q = (
+        Select(df)({"lang": "n_chars"})
+        .filter(lambda v: v is not None and v > 200)
+        .map(lambda v: v * 2)
+        .sum()
+    )
+    return q.to_frame().select(
+        "lang", F.col("n_chars").alias("sum2")
+    )
+
+
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end corpus-cleaning pipeline: exact dedup (keep the
+    lowest doc_id per identical text, via the same hash-key window the
+    dedup operator uses), token-count quality gate (>= 20 tokens),
+    per-lang aggregate.  The integration showcase: dedup + quality +
+    aggregation in one lazy plan."""
+    from pyspark.sql import Window
+
+    from datatest_spark.operators import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.xxhash64("text"), F.length("text")
+    ).orderBy("doc_id")
+    kept = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = token_stats(kept, "text", id_col="doc_id").withColumnRenamed(
+        "doc_id", "_tid"
+    )
+    enriched = kept.join(toks, kept["doc_id"] == toks["_tid"]).filter(
+        F.col("n_tokens") >= 20
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def q_image_suite(spark, sf_dir):
     """Image constraint suite (suite.validate_image_table): regex +
     uniqueness + the one-decode-pass consistency rule over the
@@ -847,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squint_sum": q_squint_sum,
         "squint_minmax": q_squint_minmax,
         "squint_avg_count": q_squint_avg_count,
+        "squint_map_filter": q_squint_map_filter,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "minhash_estimated": q_minhash_estimated,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -1377,6 +1429,22 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _oracles.image_features_sql(n=400),
         "image_suite": _oracles.image_suite_sql(n=400, parts=4),
         "video_suite": _oracles.video_suite_sql(n=400, parts=4),
+        "squint_map_filter": """
+            SELECT lang, CAST(sum(n_chars * 2) AS DOUBLE) AS sum2
+            FROM documents WHERE n_chars > 200 GROUP BY lang
+        """,
+        "pipeline_clean_corpus": """
+            WITH kept AS (
+              SELECT * FROM documents
+              QUALIFY row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) = 1),
+            toks AS (SELECT doc_id, lang,
+                            len(string_split(text, ' ')) AS n_tokens
+                     FROM kept)
+            SELECT lang, count(*) AS kept_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM toks WHERE n_tokens >= 20 GROUP BY lang
+        """,
         "video_lumas": _oracles.video_lumas_sql(n=120, every_nth=2),
         "lang_id": _lang_id_sql(),
         "acceptance_count": f"""
