@@ -125,38 +125,51 @@ def read_table(spark: SparkSession, source: str, fmt: Optional[str] = None,
     return df.select(*columns) if columns else df
 
 
-def read_excel(spark: SparkSession, path: str, sheet=0, **pandas_kwargs) -> DataFrame:
-    """Excel scan (reference get_reader.py:332-369) via pandas → Arrow.
+def _rows_to_df(spark: SparkSession, header, rows) -> DataFrame:
+    if not rows:
+        raise ValueError("source has a header but no data rows")
+    import pandas as _pd
 
-    Import-guarded: this environment ships no Excel engine
-    (openpyxl/xlrd); the guard raises a clear, actionable error instead
-    of an opaque pandas traceback.  Excel files are driver-sized by
-    nature — the pandas → ``createDataFrame`` hop is the right path.
+    return spark.createDataFrame(_pd.DataFrame(rows, columns=header))
+
+
+def read_excel(spark: SparkSession, path: str, sheet=0, **pandas_kwargs) -> DataFrame:
+    """Excel scan (reference get_reader.py:332-369).
+
+    Prefers the pandas engine when one is installed (richer dialect
+    coverage: dates-as-serials, merged ranges); in engine-less
+    environments falls back to the built-in from-spec SpreadsheetML
+    parser (:mod:`.formats` — strings/numbers/booleans/inline strings,
+    first row as header).  Excel files are driver-sized by nature —
+    the pandas → ``createDataFrame`` hop is the right path.
     """
     import pandas as _pd
 
     try:
         pdf = _pd.read_excel(path, sheet_name=sheet, **pandas_kwargs)
-    except ImportError as e:
-        raise ImportError(
-            "read_excel needs an Excel engine (pip install openpyxl "
-            f"or xlrd): {e}"
-        ) from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from .formats import parse_xlsx
+
+        header, rows = parse_xlsx(path, sheet=sheet)
+        return _rows_to_df(spark, header, rows)
 
 
 def read_dbf(spark: SparkSession, path: str, encoding: str = "ascii",
              **dbf_kwargs) -> DataFrame:
-    """DBF scan (reference get_reader.py:372-404) via dbfread → records.
+    """DBF scan (reference get_reader.py:372-404).
 
-    Import-guarded like :func:`read_excel` (no dbfread in this
-    environment)."""
+    Prefers dbfread when installed (memo files, more dBase dialects);
+    otherwise the built-in from-spec dBase III parser
+    (:mod:`.formats`) handles the C/N/F/L/D field types the
+    reference's sample files use."""
     try:
         from dbfread import DBF  # type: ignore[import-not-found]
-    except ImportError as e:
-        raise ImportError(
-            f"read_dbf requires the dbfread package: {e}"
-        ) from e
+    except ImportError:
+        from .formats import parse_dbf
+
+        header, rows = parse_dbf(path, encoding=encoding)
+        return _rows_to_df(spark, header, rows)
     records = [dict(r) for r in DBF(path, encoding=encoding, **dbf_kwargs)]
     if not records:
         raise ValueError(f"empty DBF file: {path}")

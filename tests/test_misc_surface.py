@@ -57,40 +57,104 @@ class TestPandasAccessor:
         assert s.validate({1, 2}, spark=spark).ok
 
 
-class TestExcelDbfGuards:
-    def test_read_excel_guard(self, spark, tmp_path):
-        from datatest_spark.sources import read_excel
+class TestExcelDbfBuiltins:
+    """Engine-less environments use the from-spec parsers in
+    sources/formats.py (files built by hand here — no Excel/DBF
+    library exists in this container to write them either)."""
 
+    @staticmethod
+    def _make_dbf(tmp_path):
+        import struct
+
+        fields = [(b"NAME", b"C", 8), (b"QTY", b"N", 6), (b"OK", b"L", 1)]
+        desc = b"".join(
+            name.ljust(11, b"\x00") + ftype + b"\x00" * 4
+            + bytes([ln]) + b"\x00" * 15
+            for name, ftype, ln in fields
+        )
+        rec_size = 1 + sum(f[2] for f in fields)
+        recs = [
+            b" " + b"alpha   " + b"    12" + b"T",
+            b"*" + b"deleted " + b"    99" + b"F",   # deleted: skipped
+            b" " + b"beta    " + b"  3.5 " + b"F",
+        ]
+        header_size = 32 + len(desc) + 1
+        hdr = (b"\x03\x18\x08\x11"
+               + struct.pack("<I", len(recs))
+               + struct.pack("<H", header_size)
+               + struct.pack("<H", rec_size) + b"\x00" * 20)
+        p = tmp_path / "t.dbf"
+        p.write_bytes(hdr + desc + b"\x0d" + b"".join(recs) + b"\x1a")
+        return p
+
+    def test_read_dbf_builtin_parser(self, spark, tmp_path):
+        from datatest_spark.sources import read_dbf
+
+        p = self._make_dbf(tmp_path)
+        rows = sorted(
+            tuple(r) for r in read_dbf(spark, str(p)).collect()
+        )
+        assert rows == [("alpha", 12.0, True), ("beta", 3.5, False)]
+
+    @staticmethod
+    def _make_xlsx(tmp_path):
         import zipfile
 
-        # structurally-valid xlsx zip so pandas reaches the engine
-        # import (it sniffs the container before importing openpyxl)
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        rns = ("http://schemas.openxmlformats.org/officeDocument/"
+               "2006/relationships")
         p = tmp_path / "t.xlsx"
         with zipfile.ZipFile(p, "w") as z:
             z.writestr("[Content_Types].xml", "<Types/>")
-            z.writestr("xl/workbook.xml", "<workbook/>")
-        try:
-            import openpyxl  # noqa: F401
+            z.writestr(
+                "xl/workbook.xml",
+                f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+                '<sheet name="data" sheetId="1" r:id="rId1"/>'
+                "</sheets></workbook>",
+            )
+            z.writestr(
+                "xl/_rels/workbook.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships">'
+                '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+                "</Relationships>",
+            )
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<sst xmlns="{ns}"><si><t>name</t></si>'
+                "<si><t>score</t></si><si><t>ann</t></si>"
+                "<si><r><t>bo</t></r><r><t>b</t></r></si></sst>",
+            )
+            z.writestr(
+                "xl/worksheets/sheet1.xml",
+                f'<worksheet xmlns="{ns}"><sheetData>'
+                '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                '<c r="B1" t="s"><v>1</v></c></row>'
+                '<row r="2"><c r="A2" t="s"><v>2</v></c>'
+                '<c r="B2"><v>91.5</v></c></row>'
+                '<row r="3"><c r="A3" t="s"><v>3</v></c>'
+                '<c r="B3"><v>84</v></c></row>'
+                "</sheetData></worksheet>",
+            )
+        return p
 
-            has_engine = True
-        except ImportError:
-            has_engine = False
-        if has_engine:
-            pytest.skip("engine present; guard not exercised")
-        with pytest.raises(ImportError, match="Excel engine"):
-            read_excel(spark, str(p))
+    def test_read_excel_builtin_parser(self, spark, tmp_path):
+        from datatest_spark.sources import read_excel
 
-    def test_read_dbf_guard(self, spark, tmp_path):
-        from datatest_spark.sources import read_dbf
+        p = self._make_xlsx(tmp_path)
+        rows = sorted(tuple(r) for r in read_excel(spark, str(p)).collect())
+        # rich-text shared string ("bo"+"b"), float and integral numerics
+        assert rows == [("ann", 91.5), ("bob", 84.0)]
 
-        try:
-            import dbfread  # noqa: F401
+    def test_read_excel_sheet_by_name(self, spark, tmp_path):
+        from datatest_spark.sources import read_excel
 
-            pytest.skip("dbfread present; guard not exercised")
-        except ImportError:
-            pass
-        with pytest.raises(ImportError, match="dbfread"):
-            read_dbf(spark, str(tmp_path / "t.dbf"))
+        p = self._make_xlsx(tmp_path)
+        assert read_excel(spark, str(p), sheet="data").count() == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no sheet named"):
+            read_excel(spark, str(p), sheet="missing")
 
 
 class TestOutlierRule:
