@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import CacheHandle, evict_all
 from .differences import BaseDifference, Deviation, Extra, Invalid, Missing
 from .schema import DEVIATION, EXTRA, INVALID, MISSING
 
@@ -204,15 +205,29 @@ class BaseAcceptance:
 
     # DataFrame path -----------------------------------------------------
     def filter_df(self, violations: DataFrame) -> DataFrame:
-        """Return the violations NOT accepted (the re-raised remainder)."""
-        # evict the PREVIOUS filtering's persisted intermediates (see
-        # _register_cached): storage growth across repeated filterings
-        # in a long-lived session stays bounded to one call's set
-        unpersist_cached()
+        """Return the violations NOT accepted (the re-raised remainder).
+
+        Stateful operands (whole-scope counting) persist a
+        range-partitioned intermediate whose per-partition offsets are
+        baked into the returned plan as literals; the intermediates are
+        tracked on a per-call CacheHandle attached to the returned
+        frame, so a LATER filter_df call can never evict them (earlier
+        rounds' evict-on-entry made interleaved calls recompute against
+        each other's caches).  Free them with
+        ``datatest_spark.caching.unpersist_result(result)`` once the
+        result is materialized, or ``unpersist_cached()`` for all."""
+        before = len(_HANDLES)
         marked = self.mark_df(violations, "_accepted")
-        return marked.filter(~F.coalesce(F.col("_accepted"), F.lit(False))).drop(
+        out = marked.filter(~F.coalesce(F.col("_accepted"), F.lit(False))).drop(
             "_accepted"
         )
+        new = _HANDLES[before:]
+        if new:
+            parent = new[0]
+            for h in new[1:]:
+                parent.absorb(h)
+            out = parent.attach(out)
+        return out
 
     def mark_df(self, violations: DataFrame, out_col: str,
                 gate: Optional[Column] = None) -> DataFrame:
@@ -252,30 +267,18 @@ _CANONICAL_ORDER = [
 ]
 
 # Persisted intermediates (the range-partitioned violation frames of
-# whole-scope counting): same lifecycle contract as operators/dedup.py
-# — each new marking evicts the previous one's cache; callers needing
-# tighter control call :func:`unpersist_cached` after materializing.
-_CACHED: list = []
-
-
-def _register_cached(frame: DataFrame) -> DataFrame:
-    # append-only: a composed acceptance (count & count) may register
-    # TWO live frames inside one output plan — eviction happens at the
-    # next top-level filter_df entry, never mid-composition
-    _CACHED.append(frame)
-    return frame
+# whole-scope counting): per-call CacheHandles, attached by filter_df
+# to the returned remainder frame — nothing is evicted implicitly, so
+# interleaved filterings coexist; callers free a result's set with
+# caching.unpersist_result(result) or everything with unpersist_cached.
+_HANDLES: list = []
 
 
 def unpersist_cached(blocking: bool = False) -> int:
-    """Evict persisted acceptance intermediates (safe at any time)."""
-    n = 0
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist(blocking)
-        except Exception:
-            pass
-        n += 1
-    return n
+    """Evict ALL persisted acceptance intermediates (safe at any time:
+    un-materialized results recompute deterministically — the ranged
+    repartition is pinned to an explicit partition count)."""
+    return evict_all(_HANDLES, blocking)
 
 
 def _diff_fingerprint(d: BaseDifference) -> str:
@@ -813,14 +816,19 @@ class AcceptedCount(BaseAcceptance):
         rows, a guaranteed straggler/OOM at the 10^10-violation tail of
         a 10^12-row run.  Scalable equivalent:
 
-        1. ``repartitionByRange(canonical)`` — global canonical order
-           is preserved ACROSS partitions (partition i's rows all sort
-           before partition i+1's), so a per-partition running count
-           plus a per-partition starting offset is the exact global
-           running count;
-        2. the ranged frame is persisted so the offset job and the
-           output plan see the SAME partitioning (range sampling is
-           deterministic only over identical input);
+        1. ``repartitionByRange(nparts, canonical)`` — global canonical
+           order is preserved ACROSS partitions (partition i's rows all
+           sort before partition i+1's), so a per-partition running
+           count plus a per-partition starting offset is the exact
+           global running count.  ``nparts`` is pinned explicitly:
+           user-specified repartition counts are exempt from AQE
+           coalescing, so even if the persisted frame is evicted and
+           the plan recomputes, it reproduces the SAME partitioning the
+           baked offset literals describe;
+        2. the ranged frame is persisted (tracked on this call's
+           CacheHandle, attached to the result by filter_df) so the
+           offset job and the output plan normally share one
+           materialization;
         3. per-partition gated totals → driver prefix-sum (ONE row per
            partition crosses to the driver) → literal offset map.
 
@@ -829,8 +837,14 @@ class AcceptedCount(BaseAcceptance):
         same accepted multiset.
         """
         pid_col, g_col = _mark_tmp_cols()
-        ranged = _register_cached(
-            violations.repartitionByRange(*[F.col(c) for c in _CANONICAL_ORDER])
+        handle = CacheHandle(_HANDLES)
+        nparts = int(
+            violations.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ranged = handle.register(
+            violations.repartitionByRange(
+                nparts, *[F.col(c) for c in _CANONICAL_ORDER]
+            )
             .withColumn(pid_col, F.spark_partition_id())
             .withColumn(g_col, F.when(gate_col, F.lit(1)).otherwise(F.lit(0)))
             .persist()

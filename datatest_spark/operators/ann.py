@@ -26,6 +26,39 @@ __all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
            "IvfIndex", "ivf_build", "ivf_query"]
 
 
+def _hadoop_path(spark, base: str, name: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(base, name)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _hadoop_write_text(spark, base: str, name: str, text: str) -> None:
+    """Write a small text file via the JVM Hadoop filesystem so the
+    path scheme (file:/, hdfs://, s3a://...) is honored — local
+    ``open()`` would silently break index persistence on object
+    stores."""
+    fs, p = _hadoop_path(spark, base, name)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, base: str, name: str) -> str:
+    fs, p = _hadoop_path(spark, base, name)
+    stream = fs.open(p)
+    try:
+        # byte-array buffers don't round-trip through py4j (the Java
+        # side fills a copy), so drain the stream JVM-side
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def _dot(x: Column, y: Column) -> Column:
     return F.aggregate(
         F.zip_with(x.cast("array<double>"), y.cast("array<double>"),
@@ -146,29 +179,49 @@ class IvfIndex:
         self.id_col = id_col
 
     def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist the assignment partitioned by cell (+ centroids as
-        a tiny JSON sidecar) — queries against the read-back index are
-        partition-pruned to the probed cells."""
+        """Persist the assignment partitioned by cell (+ centroids and
+        column config as a tiny JSON sidecar) — queries against the
+        read-back index are partition-pruned to the probed cells.
+
+        The sidecar goes through the JVM Hadoop filesystem of *path*,
+        so the index round-trips on any supported URI (s3a://,
+        hdfs://, file:/...), not just the local disk; the leading
+        underscore keeps Spark's parquet reader from treating it as
+        data (same convention as ``_SUCCESS``)."""
         import json
-        import os
 
         self.assigned.write.mode(mode).partitionBy("cell").parquet(path)
-        sidecar = os.path.join(path, "_ivf_centroids.json")
-        with open(sidecar, "w") as f:
-            json.dump(self.centroids.tolist(), f)
+        payload = json.dumps(
+            {
+                "centroids": self.centroids.tolist(),
+                "column": self.column,
+                "id_col": self.id_col,
+            }
+        )
+        spark = self.assigned.sparkSession
+        _hadoop_write_text(spark, path, "_ivf_centroids.json", payload)
 
     @classmethod
-    def read(cls, spark, path: str, column: str = "embedding",
-             id_col: str = "vec_id") -> "IvfIndex":
+    def read(cls, spark, path: str, column: Optional[str] = None,
+             id_col: Optional[str] = None) -> "IvfIndex":
+        """Load a written index.  ``column``/``id_col`` default to the
+        values persisted at build time (overridable for indexes written
+        by the pre-sidecar format, whose sidecar is a bare list)."""
         import json
-        import os
 
-        with open(os.path.join(path, "_ivf_centroids.json")) as f:
-            centroids = np.asarray(json.load(f), dtype=float)
+        meta = json.loads(_hadoop_read_text(spark, path, "_ivf_centroids.json"))
+        if isinstance(meta, list):  # legacy sidecar: centroids only
+            meta = {"centroids": meta}
+        centroids = np.asarray(meta["centroids"], dtype=float)
         assigned = spark.read.parquet(path).withColumn(
             "cell", F.col("cell").cast("int")
         )
-        return cls(centroids, assigned, column, id_col)
+        return cls(
+            centroids,
+            assigned,
+            column or meta.get("column", "embedding"),
+            id_col or meta.get("id_col", "vec_id"),
+        )
 
 
 def ivf_build(df: DataFrame, column: str = "embedding",

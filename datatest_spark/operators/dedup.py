@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..caching import CacheHandle, evict_all
+
 __all__ = [
     "exact_duplicates",
     "minhash_signatures",
@@ -47,33 +49,21 @@ __all__ = [
     "unpersist_cached",
 ]
 
-# Persisted intermediates (the LSH banded frames) registered per call.
-# The cache must stay alive until the CALLER materializes the returned
-# (lazy) pairs frame, so the operator cannot unpersist before returning.
-# Instead each new operator call first evicts the previous call's
-# frames — storage growth across repeated calls in a long-lived session
-# is bounded to one call's working set — and callers needing tighter
-# control invoke :func:`unpersist_cached` themselves after collecting.
-_CACHED: list = []
-
-
-def _register_cached(frame: DataFrame) -> DataFrame:
-    _CACHED.append(frame)
-    return frame
+# Persisted intermediates (the LSH banded frames) are tracked with a
+# per-call CacheHandle attached to the returned pairs frame: interleaved
+# operator calls no longer evict each other's caches, and callers free
+# exactly what they are done with via caching.unpersist_result(pairs)
+# (or everything at once via unpersist_cached()).
+_HANDLES: list = []
 
 
 def unpersist_cached(blocking: bool = False) -> int:
-    """Evict all persisted LSH intermediates registered by previous
-    dedup-operator calls.  Safe at any time: un-materialized results
-    that referenced them simply recompute.  Returns #frames evicted."""
-    n = 0
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist(blocking)
-        except Exception:  # session already stopped — nothing to free
-            pass
-        n += 1
-    return n
+    """Evict ALL persisted LSH intermediates registered by dedup
+    operator calls in this session.  Safe at any time: un-materialized
+    results that referenced them simply recompute.  For per-result
+    eviction use :func:`datatest_spark.caching.unpersist_result`.
+    Returns #frames evicted."""
+    return evict_all(_HANDLES, blocking)
 
 
 def exact_duplicates(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
@@ -213,7 +203,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
 
     Returns pairs with id_a < id_b.
     """
-    unpersist_cached()  # evict the previous call's intermediates
+    handle = CacheHandle(_HANDLES)
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, column, id_col, num_hashes, shingle_k)
     # banded feeds the bucket-count pass and both self-join sides; the
@@ -223,7 +213,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     banded = _banded(sigs, id_col, bands, rows_per_band)
     if exact:
         banded = banded.drop("minhash")  # candidates need ids only
-    banded = _register_cached(banded.persist())
+    banded = handle.register(banded.persist())
     banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     if exact:
@@ -252,7 +242,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
         out = j.select("id_a", "id_b", jac.alias("jaccard"))
         if min_jaccard is not None:
             out = out.filter(F.col("jaccard") >= min_jaccard)
-        return out
+        return handle.attach(out)
 
     # estimated-jaccard path: score BEFORE the pair-dedup so the
     # distinct shuffles (id_a, id_b, one double), not two signatures
@@ -281,7 +271,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     )
     if min_jaccard is not None:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
-    return out
+    return handle.attach(out)
 
 
 def simhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
@@ -321,7 +311,7 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     equal → candidate), exact Hamming distance filter JVM-side.  The
     Hamming distance is scored BEFORE the pair-dedup so the distinct
     shuffles one small int per pair, not two signatures."""
-    unpersist_cached()  # evict the previous call's intermediates
+    handle = CacheHandle(_HANDLES)
     sigs = simhash_signatures(df, column, id_col)
     banded = sigs.select(
         F.col(id_col),
@@ -342,7 +332,7 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     # cache: the banded frame feeds the bucket-count pass and both join
     # sides — without it the signature UDF re-runs per subtree
-    banded = _register_cached(banded.cache())
+    banded = handle.register(banded.cache())
     banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
@@ -350,7 +340,7 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
                       F.col("simhash").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    return handle.attach(
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
@@ -437,7 +427,14 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
        ``max_df`` documents (boilerplate — "the terms of", markup
        fragments) are removed from the similarity space BEFORE the
        self-join, bounding the quadratic posting-list blowup to
-       ``max_df**2`` candidate rows per shingle.  Set sizes are
+       ``max_df**2`` candidate rows per shingle.  Doc frequencies come
+       from a map-side-combined ``groupBy(g).count()`` — every task
+       pre-aggregates its shingles, so only ``(g, partial_count)``
+       rows shuffle and no task ever buffers a hot shingle's full
+       posting list (a window over the postings would: the exact skew
+       this cap exists to remove).  The surviving stop-shingle list is
+       tiny (by construction: only shingles with df > max_df) →
+       broadcast left-anti join back onto the postings.  Set sizes are
        recomputed over the SAME filtered space, so the reported value
        is the exact Jaccard of the filtered shingle sets —
        self-consistent semantics, not a truncated intersection over an
@@ -446,9 +443,9 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
        (map-side partial agg), then two narrow joins against the
        per-doc size table for ``|A∪B| = |A|+|B|-|A∩B|``.
 
-    The doc-frequency pass reuses the same ``(shingle_hash)`` shuffle
-    partitioning as the self-join, and every shuffle row is
-    ``(long, long)``.  Reference analogue: the fuzzy/duplicate checks
+    Every shuffle row in the pipeline is ``(long, long)`` (or the
+    partially-aggregated ``(long, count)``).  Reference analogue: the
+    fuzzy/duplicate checks
     of datatest's requirements (requirements.py:303-360) generalized
     to corpus-scale pairwise similarity.
     """
@@ -458,22 +455,21 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     )
     shingled = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     postings = shingled.select("id", F.explode("sh").alias("g"))
+    handle = CacheHandle(_HANDLES)
     if max_df is not None:
-        # doc-frequency cap as a WINDOW over the posting shuffle —
-        # count(*) over (partition by g) reuses the same exchange the
-        # data needs anyway, where a groupBy+join spends a second
-        # aggregate plus a join over the full posting list (measured
-        # ~2x slower at sf0.1)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("g")
-        postings = (
-            postings.withColumn("_dfg", F.count(F.lit(1)).over(w))
-            .filter(F.col("_dfg") <= max_df)
-            .drop("_dfg")
+        # doc-frequency cap: partial-agg count (only (g, count) rows
+        # shuffle; a window over the postings would buffer each hot
+        # shingle's ENTIRE posting list on one task before filtering —
+        # the exact skew the cap exists to remove), then broadcast the
+        # tiny df>max_df stop list as a left-anti join
+        stop = (
+            postings.groupBy("g")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("g")
         )
-    unpersist_cached()  # evict the previous call's intermediates
-    postings = _register_cached(postings.persist())
+        postings = postings.join(F.broadcast(stop), ["g"], "left_anti")
+    postings = handle.register(postings.persist())
     sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("id").alias("id_a"), "g")
     b = postings.select(F.col("id").alias("id_b"), "g")
@@ -498,4 +494,4 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     )
     if min_jaccard is not None:
         out = out.filter(F.col("jaccard_r") >= min_jaccard)
-    return out
+    return handle.attach(out)

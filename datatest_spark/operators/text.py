@@ -95,10 +95,17 @@ def fingerprint(df: DataFrame, column: str, id_col: str = "doc_id",
     shingles = F.transform(
         F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(shingle_len))
     )
+    # xxhash64(NULL) returns the seed (42), not NULL — and greatest()
+    # ignores nulls, so the shingle path also degenerates to 42 on null
+    # text.  Guard both so a null text fingerprints as NULL like every
+    # other derived column.
+    null_long = F.lit(None).cast("long")
     return df.select(
         F.col(id_col),
-        F.xxhash64(c).alias("text_hash"),
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))).alias(
-            "shingle_min_hash"
+        F.when(c.isNull(), null_long).otherwise(F.xxhash64(c)).alias(
+            "text_hash"
         ),
+        F.when(c.isNull(), null_long)
+        .otherwise(F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))))
+        .alias("shingle_min_hash"),
     )

@@ -395,13 +395,31 @@ class TestWholeScopeCountScale:
             F.lit(None).cast("string").alias("partition_id"),
         ).repartition(8)
         marked = accepted.count(100).filter_df(viol)
-        plan = marked._jdf.queryExecution().executedPlan().toString()
-        import re
+        plan = marked._jdf.queryExecution().optimizedPlan().toString()
 
-        # every Window operator must carry a non-empty partition spec
-        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-            pass  # physical plan text varies; assert via the logical check below
-        assert "windowspecdefinition()" not in plan.replace(" ", ""), plan
+        def bracket_groups(line: str) -> int:
+            groups = depth = 0
+            for ch in line:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            return groups
+
+        window_lines = [
+            ln for ln in plan.splitlines() if ln.lstrip("+-: ").startswith("Window ")
+        ]
+        assert window_lines, plan  # the running count IS window-based
+        for ln in window_lines:
+            # logical Window prints `Window [exprs], [partitionSpec],
+            # [orderSpec]` — a GLOBAL window omits the partitionSpec
+            # group entirely (2 groups instead of 3)
+            assert bracket_groups(ln) >= 3, f"global window in plan:\n{ln}"
+        from datatest_spark.acceptances import unpersist_cached
+
+        unpersist_cached(blocking=True)
 
     def test_whole_scope_counts_across_partitions(self, spark):
         """First-N semantics must hold globally (canonical order), not

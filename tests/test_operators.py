@@ -87,8 +87,10 @@ class TestExactDedup:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
     def test_no_storage_growth_across_repeated_calls(self, spark, docs):
-        """LSH operators persist intermediates; repeated calls in a
-        long-lived session must not accumulate cached frames."""
+        """LSH operators persist intermediates; repeated IDENTICAL
+        calls in a long-lived session must not accumulate cached frames
+        (Spark's CacheManager reuses the cached plan), and
+        unpersist_cached frees everything."""
         from datatest_spark.operators.dedup import unpersist_cached
 
         sc = spark.sparkContext
@@ -102,6 +104,33 @@ class TestExactDedup:
             assert sc._jsc.getPersistentRDDs().size() <= base + 2
         unpersist_cached(blocking=True)
         assert sc._jsc.getPersistentRDDs().size() <= base
+
+    def test_interleaved_calls_keep_both_caches(self, spark, docs):
+        """Per-call CacheHandles: starting operator B before
+        materializing operator A's result must NOT evict A's persisted
+        intermediates (the old global evict-on-entry registry did,
+        forcing a silent recompute); each result frees exactly its own
+        set via unpersist_result."""
+        from datatest_spark.caching import unpersist_result
+        from datatest_spark.operators.dedup import unpersist_cached
+
+        unpersist_cached(blocking=True)
+        a = minhash_neardup_pairs(
+            docs, "text", num_hashes=16, bands=8, min_jaccard=0.2
+        )
+        b = simhash_neardup_pairs(docs, "text")  # interleaved call
+        a.collect()
+        b.collect()
+        ha = a._datatest_cache_handle
+        hb = b._datatest_cache_handle
+        assert ha._frames and all(f.is_cached for f in ha._frames)
+        assert hb._frames and all(f.is_cached for f in hb._frames)
+        assert unpersist_result(a, blocking=True) >= 1
+        assert not ha._frames  # a's set freed...
+        assert hb._frames and all(f.is_cached for f in hb._frames)  # ...b's not
+        assert unpersist_result(b, blocking=True) >= 1
+        assert not hb._frames
+        assert unpersist_result(a) == 0  # idempotent
 
 
 class TestMinHash:
@@ -229,6 +258,17 @@ class TestTextOps:
         assert a[0] == a[3]  # exact dups share fingerprints
         assert a[0] != a[2]
 
+    def test_fingerprint_null_text_is_null(self, spark):
+        """Spark xxhash64(NULL) returns the seed (42); the operator
+        must guard so null text fingerprints as NULL (oracle parity)."""
+        df = spark.createDataFrame(
+            [(0, None), (1, "some text")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in fingerprint(df, "text").collect()}
+        assert rows[0]["text_hash"] is None
+        assert rows[0]["shingle_min_hash"] is None
+        assert rows[1]["text_hash"] is not None
+
 
 class TestMultimodal:
     def test_decode_stub_raises_without_fake(self, spark):
@@ -317,6 +357,23 @@ class TestNgramJaccard:
 
         for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "text" not in m, plan
+
+    def test_df_cap_is_partial_agg_not_window(self, spark, docs):
+        """The max_df stop-shingle cap must compile to a map-side-
+        combined groupBy(g).count() + broadcast left-anti join.  A
+        count-over-window on the postings would buffer each hot
+        shingle's ENTIRE posting list on one task before filtering —
+        the exact boilerplate skew the cap exists to remove."""
+        from datatest_spark.operators import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(docs, "text", n=3, min_jaccard=0.1,
+                                  max_df=100)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "LeftAnti" in plan, plan
+        # the doc-frequency count must pre-aggregate map-side: a
+        # partial_count on the shingle key before its exchange
+        assert "partial_count" in plan, plan
 
 
 class TestImageOps:
@@ -566,3 +623,22 @@ class TestIvfIndex:
         # the probed cell holds the x-axis cluster: 4 ([1, .01]) edges
         # out 0 ([1, 0]) for this slightly-off-axis query
         assert [r["vec_id"] for r in rows] == [4, 0, 1]
+
+    def test_read_restores_column_config(self, spark, vectors, tmp_path):
+        """The sidecar persists column/id_col, so read() works on
+        indexes built over non-default column names without the caller
+        re-supplying them (and the sidecar goes through the Hadoop
+        filesystem, honoring the path's URI scheme)."""
+        from datatest_spark.operators import IvfIndex, ivf_build, ivf_query
+
+        renamed = vectors.withColumnRenamed("vec_id", "item").\
+            withColumnRenamed("embedding", "vec")
+        train = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        index = ivf_build(renamed, column="vec", id_col="item",
+                          n_cells=2, train_vectors=train)
+        path = str(tmp_path / "ivf_renamed")
+        index.write(path)
+        back = IvfIndex.read(spark, path)
+        assert back.column == "vec" and back.id_col == "item"
+        rows = ivf_query(back, [1.0, 0.05, 0.0, 0.0], k=2, nprobe=1).collect()
+        assert rows and rows[0]["item"] in (0, 4)
