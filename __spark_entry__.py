@@ -418,6 +418,23 @@ def q_acceptance_percent(spark, sf_dir):
     return accepted.percent(0.0005).filter_df(viol)
 
 
+def q_acceptance_args(spark, sf_dir):
+    """accepted.args (reference acceptances.py:492-521): accept
+    differences whose reconstructed args tuple matches a callable
+    predicate — here Deviations whose magnitude is ≤ 75 (args =
+    (deviation, expected) for DEVIATION rows).  The remainder
+    re-raises; DuckDB oracle is the same filter over the deviation
+    column."""
+    from datatest_spark.acceptances import accepted
+
+    viol = q_ref_approx_totalprice(spark, sf_dir)
+    return accepted.args(
+        lambda args: isinstance(args, tuple)
+        and len(args) == 2
+        and abs(args[0]) <= 75
+    ).filter_df(viol)
+
+
 def q_acceptance_keys(spark, sf_dir):
     """accepted.keys (reference acceptances.py:438-465): accept all
     differences whose group key matches the predicate (set membership
@@ -772,9 +789,12 @@ def q_squint_map_filter(spark, sf_dir):
         .filter(lambda v: v is not None and v > 200)
         .map(lambda v: v * 2)
         .sum()
+        .flatten()  # dict → (lang, sum) tuple rows (query.py:790-794)
     )
+    # after flatten the key has joined the value columns
+    lang_col, sum_col = q._value_cols
     return q.to_frame().select(
-        "lang", F.col("n_chars").alias("sum2")
+        F.col(lang_col).alias("lang"), F.col(sum_col).alias("sum2")
     )
 
 
@@ -867,7 +887,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered least-recently-certified FIRST: the correctness harness
+    # runs entries in registry order, so if a run is cut short the
+    # dropped tail is made of queries with multiple green rows in past
+    # rounds, never a new or un-recertified one.
     return {
+        "simhash_neardup": q_simhash_neardup,
+        "acceptance_args": q_acceptance_args,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -918,7 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
     }
 
 
@@ -1266,6 +1291,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE NOT (CASE WHEN expected_num = 0.0 THEN deviation = 0.0
                          ELSE (deviation / expected_num)
                               BETWEEN -0.0005 AND 0.0005 END)
+        """,
+        "acceptance_args": f"""
+            SELECT * FROM (
+            {_REF_APPROX_BODY.format(sel=_ref_approx_sel())}
+            ) WHERE NOT (abs(deviation) <= 75.0)
         """,
         "acceptance_keys": f"""
             SELECT * FROM (

@@ -456,12 +456,18 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
     shingled = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     postings = shingled.select("id", F.explode("sh").alias("g"))
     handle = CacheHandle(_HANDLES)
+    # persist the RAW postings: the df-count pass, the size table and
+    # both self-join sides all read this one materialization (the
+    # shingle split+hash runs once per document, period)
+    postings = handle.register(postings.persist())
     if max_df is not None:
         # doc-frequency cap: partial-agg count (only (g, count) rows
         # shuffle; a window over the postings would buffer each hot
         # shingle's ENTIRE posting list on one task before filtering —
         # the exact skew the cap exists to remove), then broadcast the
-        # tiny df>max_df stop list as a left-anti join
+        # tiny df>max_df stop list as a left-anti join.  The anti join
+        # is a cheap map-side filter re-applied per consumer of the
+        # cached raw postings — no extra shuffle anywhere.
         stop = (
             postings.groupBy("g")
             .count()
@@ -469,7 +475,6 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
             .select("g")
         )
         postings = postings.join(F.broadcast(stop), ["g"], "left_anti")
-    postings = handle.register(postings.persist())
     sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("id").alias("id_a"), "g")
     b = postings.select(F.col("id").alias("id_b"), "g")

@@ -72,6 +72,7 @@ class Query:
         self._value_cols = list(value_cols)
         self._key_cols = list(key_cols)
         self._scalar = scalar  # single bare column selection
+        self._unwrap = False  # set by unwrap(): fetch-shape modifier
 
     # --- transforms ------------------------------------------------------
 
@@ -207,6 +208,26 @@ class Query:
         return Query(self._df.dropDuplicates(cols), self._value_cols,
                      self._key_cols, self._scalar)
 
+    def flatten(self) -> "Query":
+        """Flatten a grouped (dict-shaped) query into tuple rows —
+        reference query.py:790-794,368-391: each ``key → value`` pair
+        becomes a combined ``key + value`` tuple, one per element.  On
+        a non-grouped query this is a no-op (reference parity).  The
+        DataFrame already holds one row per element, so this only
+        reshapes the fetch: the key columns join the value columns."""
+        if not self._key_cols:
+            return self
+        return Query(self._df, self._key_cols + self._value_cols, [], False)
+
+    def unwrap(self) -> "Query":
+        """Unwrap single-item sequences (reference
+        query.py:796-798,394-414): a 1-element list result becomes the
+        bare element; in a grouped result each single-item group value
+        is unwrapped.  A fetch-shape modifier — the plan is unchanged."""
+        q = Query(self._df, self._value_cols, self._key_cols, self._scalar)
+        q._unwrap = True
+        return q
+
     # --- SQLite-semantics aggregates --------------------------------------
 
     def _agg(self, agg_expr: Column) -> "Query":
@@ -277,12 +298,21 @@ class Query:
                     out[key] = val
                 else:
                     out.setdefault(key, []).append(val)
+            if self._unwrap:
+                out = {
+                    k: (v[0] if isinstance(v, list) and len(v) == 1 else v)
+                    for k, v in out.items()
+                }
             return out
         if self._scalar and len(rows) == 1 and len(self._value_cols) == 1:
             return rows[0][self._value_cols[0]]
         if len(self._value_cols) == 1:
-            return [r[self._value_cols[0]] for r in rows]
-        return [tuple(r[v] for v in self._value_cols) for r in rows]
+            result = [r[self._value_cols[0]] for r in rows]
+        else:
+            result = [tuple(r[v] for v in self._value_cols) for r in rows]
+        if self._unwrap and len(result) == 1:
+            return result[0]
+        return result
 
     def reduce(self, function, initializer_factory=None):
         """Whole-result fold (query.py:743-762) — inherently sequential
@@ -343,3 +373,44 @@ class Select:
             return Query(df.select(columns), [columns], [], False)
         value_cols = list(columns)
         return Query(df.select(*value_cols), value_cols, [], False)
+
+    # --- legacy api07 BaseSource surface ----------------------------------
+    # (reference __past__/api07_sources.py:79-129: column-level aggs
+    # with keys= grouping and **where filtering.)  The scan, filter
+    # pushdown and projection run in Spark; mapper/reducer application
+    # follows the reference's sequential left-to-right contract on the
+    # fetched values (same documented driver contract as Query.reduce)
+    # — this is the deprecated compat layer, not the scale path.
+
+    def mapreduce(self, mapper, reducer, columns, keys=None, **where):
+        """Apply *mapper* to each value of *columns* (a tuple of values
+        when *columns* is a sequence), group by *keys*, then fold each
+        group with *reducer* left-to-right.  No *keys* → single result;
+        with *keys* → dict (reference api07_sources.py:106-129)."""
+        from functools import reduce as _reduce
+
+        if keys is None:
+            values = self(columns, **where).fetch()
+            return _reduce(reducer, map(mapper, values))
+        q = self({keys if isinstance(keys, str) else tuple(keys): columns},
+                 **where)
+        grouped = q.fetch()
+        return {
+            k: _reduce(reducer, map(mapper, v if isinstance(v, list) else [v]))
+            for k, v in grouped.items()
+        }
+
+    def sum(self, column, keys=None, **where):
+        """Legacy sum: empty/falsy values count as 0, exact decimal
+        arithmetic (reference api07_sources.py:90-96)."""
+        import decimal
+
+        mapper = lambda x: decimal.Decimal(x) if x else decimal.Decimal(0)
+        reducer = lambda x, y: x + y
+        return self.mapreduce(mapper, reducer, column, keys, **where)
+
+    def count(self, column, keys=None, **where):
+        """Legacy count of truthy values (api07_sources.py:98-104)."""
+        return self.mapreduce(
+            lambda v: 1 if v else 0, lambda x, y: x + y, column, keys, **where
+        )

@@ -69,6 +69,7 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -78,10 +79,13 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"err": f"spark: {type(e).__name__}: {e}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            results[name] = {"spark_rows": len(srows), "rows_only": True,
+                             "err": None}
             continue
         try:
             res = con.sql(oracles[name])
@@ -89,14 +93,24 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
+            results[name] = {"err": f"duckdb: {e}"}
             failures += 1
             continue
         sh = frame_hash([c.lower() for c in scols], srows)
         oh = frame_hash(ocols, orows)
         cols_ok = sorted(c.lower() for c in scols) == sorted(ocols)
-        status = "OK  " if (len(srows) == len(orows) and sh == oh and cols_ok) else "FAIL"
-        if status == "FAIL":
+        ok = len(srows) == len(orows) and sh == oh and cols_ok
+        status = "OK  " if ok else "FAIL"
+        if not ok:
             failures += 1
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": cols_ok,
+            "hash_match": sh == oh,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         print(
             f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
             f"hash {'=' if sh == oh else '≠'} cols {'=' if cols_ok else '≠'}"
@@ -110,6 +124,14 @@ def main():
                 print("   spark-only:", x.replace("\x00", " | ")[:160])
             for x in sorted(oset - sset)[:3]:
                 print("   duck-only :", x.replace("\x00", " | ")[:160])
+    if not only:
+        # full run → commit a local artifact covering EVERY registry
+        # entry (the driver's per-round file may cap/truncate the list)
+        import json
+
+        with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print("wrote CORRECTNESS_LOCAL.json with", len(results), "entries")
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 

@@ -160,3 +160,75 @@ class TestMapTypeFidelity:
 
         df = spark.createDataFrame([(2, 3), (4, 5)], "A long, B long")
         assert Select(df)(("A", "B")).starmap(lambda a, b: a * b).sum().fetch() == 26
+
+
+class TestFlattenUnwrap:
+    """Reference query.py:790-798,368-414 — named chain methods."""
+
+    def test_flatten_grouped(self, sel):
+        got = sel({"A": "C"}).flatten().fetch()
+        assert sorted(got, key=repr) == sorted(
+            [("a", "10"), ("a", "20"), ("b", "5"), ("b", "oops"), ("b", None)],
+            key=repr,
+        )
+
+    def test_flatten_grouped_agg(self, sel):
+        # dict of scalars flattens to (key, value) tuples
+        got = sel({"A": "C"}).sum().flatten().fetch()
+        assert sorted(got) == [("a", 30.0), ("b", 5.0)]
+
+    def test_flatten_non_dict_noop(self, sel):
+        q = sel("A")
+        assert sorted(q.flatten().fetch()) == sorted(q.fetch())
+
+    def test_unwrap_single_item_list(self, sel):
+        got = sel("B", A="a", C="10").unwrap().fetch()
+        assert got == "x"  # 1-element list unwraps to the element
+
+    def test_unwrap_multi_item_unchanged(self, sel):
+        got = sel("B", A="a").unwrap().fetch()
+        assert sorted(got) == ["x", "y"]
+
+    def test_unwrap_grouped_values(self, sel):
+        got = sel({"A": "B"}, B={"x"}).unwrap().fetch()
+        assert got == {"a": "x", "b": "x"}  # single-item groups unwrap
+
+
+class TestLegacyApi07:
+    """Legacy BaseSource surface (reference __past__/api07_sources.py)."""
+
+    def test_mapreduce_global(self, sel):
+        got = sel.mapreduce(
+            lambda v: float(v) if v and v.isdigit() else 0.0,
+            lambda x, y: x + y,
+            "C",
+        )
+        assert got == 35.0
+
+    def test_mapreduce_keyed(self, sel):
+        got = sel.mapreduce(
+            lambda v: 1, lambda x, y: x + y, "C", keys="A"
+        )
+        assert got == {"a": 2, "b": 3}
+
+    def test_mapreduce_tuple_columns(self, sel):
+        got = sel.mapreduce(
+            lambda t: f"{t[0]}-{t[1]}",
+            lambda x, y: x + "," + y,
+            ("A", "B"),
+            B={"x"},
+        )
+        assert sorted(got.split(",")) == ["a-x", "b-x"]
+
+    def test_legacy_sum_decimal(self, sel):
+        import decimal
+
+        # 'oops' is truthy → Decimal('oops') raises in the reference
+        # too (mapper maps falsy→0 only), so sum over the digit rows
+        got = sel.sum("C", keys="A",
+                      C=lambda v: v is None or not v or v.isdigit())
+        assert got == {"a": decimal.Decimal("30"), "b": decimal.Decimal("5")}
+
+    def test_legacy_count_truthy(self, sel):
+        got = sel.count("C", keys="A")
+        assert got == {"a": 2, "b": 2}  # None is falsy → 0
