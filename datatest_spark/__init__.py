@@ -30,6 +30,7 @@ from .validation import (
 from . import requirements
 from . import acceptances as _acceptances_module  # noqa: F401
 from .acceptances import accepted
+from .caching import unpersist_result
 from .repeating import RepeatingContainer
 from .working_directory import working_directory
 
@@ -53,6 +54,7 @@ __all__ = [
     "valid",
     "requirements",
     "accepted",
+    "unpersist_result",
     "RepeatingContainer",
     "working_directory",
 ]

@@ -73,11 +73,20 @@ def scaled_documents(spark, k: int):
     return out
 
 
-def timed(fn, *args, **kw):
-    t0 = time.time()
-    df = fn(*args, **kw)
-    n = df.count()
-    return round(time.time() - t0, 2), n
+def timed(fn, *args, runs=3, **kw):
+    """Best-of-N wall seconds (host noise is one-sided scheduling
+    spikes; the min is the plan's cost)."""
+    best, n = None, None
+    for _ in range(runs):
+        t0 = time.time()
+        df = fn(*args, **kw)
+        n = df.count()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+        from datatest_spark.operators.dedup import unpersist_cached
+
+        unpersist_cached(blocking=True)
+    return round(best, 2), n
 
 
 def main():
@@ -91,32 +100,34 @@ def main():
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    results = {}
+    frames = {}
     for label, k in (("1x", 1), ("5x", SCALE)):
         path = os.path.join(CACHE, f"docs_scaled_{k}x")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             scaled_documents(spark, k).repartition(CPUS).write.mode(
                 "overwrite"
             ).parquet(path)
-        docs = spark.read.parquet(path)
-        n_docs = docs.count()
-        row = {"docs": n_docs}
-        row["minhash_sec"], row["minhash_pairs"] = timed(
-            minhash_neardup_pairs, docs, "text", id_col="doc_id",
-            num_hashes=32, bands=16, min_jaccard=0.5,
-        )
+        frames[label] = spark.read.parquet(path)
+
+    results = {label: {"docs": df.count()} for label, df in frames.items()}
+    ops = {
+        "minhash": (minhash_neardup_pairs,
+                    dict(num_hashes=32, bands=16, min_jaccard=0.5)),
+        "ngram": (ngram_jaccard_pairs,
+                  dict(n=3, min_jaccard=0.3, max_df=1000)),
+        "simhash": (simhash_neardup_pairs, dict(max_hamming=3)),
+    }
+    # per-op: untimed warm-up (python workers / codegen), then the
+    # timed 1x and 5x points back-to-back so both scales of one op
+    # sample the same host phase
+    for op, (fn, kw) in ops.items():
+        fn(frames["1x"], "text", id_col="doc_id", **kw).count()
         unpersist_cached(blocking=True)
-        row["ngram_sec"], row["ngram_pairs"] = timed(
-            ngram_jaccard_pairs, docs, "text", id_col="doc_id",
-            n=3, min_jaccard=0.3, max_df=1000,
-        )
-        unpersist_cached(blocking=True)
-        row["simhash_sec"], row["simhash_pairs"] = timed(
-            simhash_neardup_pairs, docs, "text", id_col="doc_id",
-            max_hamming=3,
-        )
-        unpersist_cached(blocking=True)
-        results[label] = row
+        for label in ("1x", "5x"):
+            sec, pairs = timed(fn, frames[label], "text",
+                               id_col="doc_id", **kw)
+            results[label][f"{op}_sec"] = sec
+            results[label][f"{op}_pairs"] = pairs
 
     # audio suite at 1x and 5x clips
     from datatest_spark.fixtures import audio_clips_df
@@ -129,13 +140,17 @@ def main():
                 "overwrite"
             ).parquet(path)
         df = spark.read.parquet(path)
-        t0 = time.time()
-        res = validate_audio_table(df, check_snr=True)
-        res.violations.count()
-        results[label]["audio_sec"] = round(time.time() - t0, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = validate_audio_table(df, check_snr=True)
+            res.violations.count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+            res.unpersist()
+            spark.catalog.clearCache()
+        results[label]["audio_sec"] = round(best, 2)
         results[label]["audio_clips"] = n
-        res.unpersist()
-        spark.catalog.clearCache()
 
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)

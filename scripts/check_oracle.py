@@ -73,6 +73,9 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        import time as _time
+
+        t0 = _time.time()
         try:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
@@ -113,7 +116,8 @@ def main():
         }
         print(
             f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
-            f"hash {'=' if sh == oh else '≠'} cols {'=' if cols_ok else '≠'}"
+            f"hash {'=' if sh == oh else '≠'} cols {'=' if cols_ok else '≠'} "
+            f"[{_time.time() - t0:.1f}s]"
         )
         if status == "FAIL" and len(srows) and len(orows):
             order_s = sorted(range(len(scols)), key=lambda i: scols[i].lower())
