@@ -355,6 +355,19 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join (operators/ann.py knn_join): every query row gets
+    its exact top-k corpus neighbors by round-6 cosine — vectorized
+    per-partition local top-k (one BLAS matmul per Arrow batch) then a
+    global per-query window.  Oracle: brute-force cross join + QUALIFY
+    in DuckDB."""
+    from datatest_spark.operators import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return knn_join(emb, queries, k=5)
+
+
 def q_drift_ks(spark, sf_dir):
     """Binned two-sample KS drift: l_quantity vs a shifted baseline
     sketch (shares the single bucket pass with PSI)."""
@@ -894,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "simhash_neardup": q_simhash_neardup,
         "acceptance_args": q_acceptance_args,
+        "knn_join": q_knn_join,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -1193,6 +1207,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+                        AS INT) AS n_bpe_tokens,
                    CAST(length(text) AS INT) AS n_chars_calc
             FROM documents
         """,
@@ -1405,6 +1422,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _oracles.ann_ivf_sql(n_cells=8, nprobe=3, k=15,
                                         n_train=100),
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         round(
+                           list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                           AS cosine
+                  FROM embeddings e CROSS JOIN q)
+            SELECT query_id, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+            WHERE rn <= 5
+        """,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

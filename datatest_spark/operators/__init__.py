@@ -7,6 +7,7 @@ from .ann import (  # noqa: F401
     ivf_build,
     ivf_query,
     ivf_topk,
+    knn_join,
     topk_neighbors,
 )
 from .dedup import (  # noqa: F401

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
-           "IvfIndex", "ivf_build", "ivf_query"]
+           "IvfIndex", "ivf_build", "ivf_query", "knn_join"]
 
 
 def _hadoop_path(spark, base: str, name: str):
@@ -269,6 +269,104 @@ def ivf_build(df: DataFrame, column: str = "embedding",
         F.array_max(F.array(*cells))["cell"].alias("cell"),
     )
     return IvfIndex(centroids, assigned, column, id_col)
+
+
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             column: str = "embedding", id_col: str = "vec_id",
+             query_id_col: Optional[str] = None,
+             query_column: Optional[str] = None,
+             max_queries: int = 10_000) -> DataFrame:
+    """Batch k-nearest-neighbors: for EVERY query row, the exact top-k
+    corpus rows by cosine → ``(query_id, neighbor_id, cosine)``.
+
+    Plan shape (the classic two-stage distributed top-k):
+
+    1. The (bounded — ``max_queries``) query set is collected once and
+       closed over as a normalized numpy matrix — the broadcast side.
+    2. ``mapInPandas`` over the corpus: per Arrow batch, ONE matrix
+       product scores every (row, query) pair — vectorized float64
+       BLAS, the fast path for dense embedding math (a per-pair
+       ``F.aggregate`` zip-fold re-walks the arrays per query) — and
+       only each query's LOCAL top-k survives the stage, so the
+       shuffle carries ≤ k·Q rows per batch, never |corpus|·Q.
+    3. A window per query_id keeps the global top-k of the local
+       winners.
+
+    Scores are rounded to 6 decimals BEFORE ranking (ties broken by
+    neighbor id) so the result is reproducible across partitionings
+    and summation orders; the division uses the textbook
+    ``dot/(|a||b|)`` association for oracle parity.
+
+    Reference analogue: datatest has no similarity search; this is the
+    scale-path generalization of `RequiredApprox` nearest-reference
+    matching to embedding space (SURVEY §2 training-data additions).
+    """
+    query_id_col = query_id_col or id_col
+    query_column = query_column or column
+
+    q_rows = queries.select(query_id_col, query_column).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join: > {max_queries} query rows; for query sets this "
+            "large build an IvfIndex and probe per partition instead"
+        )
+    if not q_rows:
+        raise ValueError("knn_join: empty query set")
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([[float(v) for v in r[1]] for r in q_rows], dtype=float)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+
+    id_field = corpus.schema[id_col]
+    q_id_field = queries.schema[query_id_col]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_field.dataType),
+            T.StructField("neighbor_id", id_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    import pandas as pd
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[column].tolist(), dtype=float)
+            mnorm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+            scores = np.round(
+                (mat @ qmat.T) / np.outer(mnorm, qnorm), 6
+            )
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -scores[:, j]))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qid] * len(order),
+                            "neighbor_id": ids[order],
+                            "cosine": scores[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    local = corpus.select(id_col, column).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def ivf_query(index: IvfIndex, query_vector: Sequence[float], k: int = 10,

@@ -25,12 +25,28 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+# BPE-ish segmentation: letter runs, digit runs, punctuation runs (each
+# with an optional leading space, the GPT-2-style pre-tokenizer shape)
+# and residual space runs.  Deliberately restricted to RE2-compatible
+# syntax (no lookahead, no \p classes) so the SQL oracle's
+# regexp_extract_all segments IDENTICALLY.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
 def token_stats(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + character count per document."""
+    """Whitespace token count, BPE-ish sub-word token estimate
+    (:data:`BPE_TOKEN_PATTERN` via JVM ``regexp_extract_all`` — no
+    Python in the row path) and character count per document."""
     c = F.col(column)
+    bpe = F.size(
+        F.expr(
+            f"regexp_extract_all({column}, '{BPE_TOKEN_PATTERN}', 0)"
+        )
+    )
     return df.select(
         F.col(id_col),
         F.size(_tokens(c)).alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
         F.length(c).cast("int").alias("n_chars_calc"),
     )
 

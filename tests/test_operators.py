@@ -234,13 +234,71 @@ class TestANN:
         assert a[0]["vec_id"] == 0 and a[0]["cosine"] == 1.0
 
 
+class TestKnnJoin:
+    def test_matches_per_query_topk(self, spark, vectors):
+        """knn_join's result per query must equal topk_neighbors run
+        separately for that query vector (same round-6 + id ordering)."""
+        from datatest_spark.operators import knn_join, topk_neighbors
+
+        queries = vectors.filter(F.col("vec_id") < 2)
+        got = knn_join(vectors, queries, k=3).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["cosine"])
+            )
+        for qid in (0, 1):
+            qv = [
+                float(v)
+                for v in vectors.filter(F.col("vec_id") == qid)
+                .select("embedding").first()[0]
+            ]
+            expect = [
+                (r["vec_id"], r["cosine"])
+                for r in topk_neighbors(vectors, qv, k=3).collect()
+            ]
+            assert by_q[qid] == expect, (qid, by_q[qid], expect)
+
+    def test_local_topk_bounds_shuffle(self, spark, vectors):
+        """The plan must be mapInPandas (vectorized local top-k) → one
+        window; no cross-join materialization of |corpus|x|queries|."""
+        from datatest_spark.operators import knn_join
+
+        out = knn_join(vectors, vectors.limit(2), k=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+    def test_query_bound_enforced(self, spark, vectors):
+        from datatest_spark.operators import knn_join
+
+        with pytest.raises(ValueError):
+            knn_join(vectors, vectors, k=2, max_queries=3)
+
+
 class TestTextOps:
     def test_token_stats(self, spark, docs):
         rows = {r["doc_id"]: r for r in token_stats(docs, "text").collect()}
         assert rows[0]["n_tokens"] == 9
+        # 9 space-prefixed letter runs = 9 BPE-ish tokens for plain prose
+        assert rows[0]["n_bpe_tokens"] == 9
         assert rows[0]["n_chars_calc"] == len(
             "the quick brown fox jumps over the lazy dog"
         )
+
+    def test_bpe_tokens_segment_mixed_text(self, spark):
+        """Digit runs, punctuation runs and residual spaces segment
+        separately (the GPT-2-style pre-tokenizer shape)."""
+        df = spark.createDataFrame(
+            [(0, "hello world, it's 2026!"), (1, "a  b"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in token_stats(df, "text").collect()}
+        # ' ?letters' x4 + ',' + "'" + ' ?digits' + '!' = 8
+        assert rows[0]["n_bpe_tokens"] == 8
+        assert rows[1]["n_bpe_tokens"] == 3  # 'a', ' ', ' b'
+        assert rows[2]["n_bpe_tokens"] == 0
 
     def test_text_quality_ttr(self, spark, docs):
         rows = {r["doc_id"]: r for r in text_quality(docs, "text").collect()}
