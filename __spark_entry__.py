@@ -368,6 +368,27 @@ def q_knn_join(spark, sf_dir):
     return knn_join(emb, queries, k=5)
 
 
+def q_ivf_knn_join(spark, sf_dir):
+    """IVF-accelerated batch kNN (operators/ann.py ivf_knn_join):
+    per-cell scoring against only the queries probing that cell.  With
+    nprobe = n_cells every cell is probed, so the result must equal
+    the brute-force kNN join EXACTLY — the oracle is the same
+    cross-join + QUALIFY, certifying the cell routing, per-cell
+    scoring and global-window machinery end to end (recall-vs-nprobe
+    is unit-tested)."""
+    from datatest_spark.operators import ivf_build, ivf_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    rng_train = [
+        [1.0 if j == (i % dim_row["d"]) else 0.1 for j in range(dim_row["d"])]
+        for i in range(4)
+    ]
+    index = ivf_build(emb, n_cells=4, train_vectors=rng_train)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_knn_join(index, queries, k=5, nprobe=4)
+
+
 def q_drift_ks(spark, sf_dir):
     """Binned two-sample KS drift: l_quantity vs a shifted baseline
     sketch (shares the single bucket pass with PSI)."""
@@ -908,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "acceptance_args": q_acceptance_args,
         "knn_join": q_knn_join,
+        "ivf_knn_join": q_ivf_knn_join,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -1422,6 +1444,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _oracles.ann_ivf_sql(n_cells=8, nprobe=3, k=15,
                                         n_train=100),
+        # ivf_knn_join probes ALL cells (nprobe=n_cells) → must equal
+        # the brute-force kNN — same oracle
+        "ivf_knn_join": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         round(
+                           list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                           AS cosine
+                  FROM embeddings e CROSS JOIN q)
+            SELECT query_id, neighbor_id, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+            WHERE rn <= 5
+        """,
         "knn_join": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),

@@ -6,6 +6,7 @@ from .ann import (  # noqa: F401
     cosine_scores,
     ivf_build,
     ivf_query,
+    ivf_knn_join,
     ivf_topk,
     knn_join,
     topk_neighbors,

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
-           "IvfIndex", "ivf_build", "ivf_query", "knn_join"]
+           "IvfIndex", "ivf_build", "ivf_query", "knn_join",
+           "ivf_knn_join"]
 
 
 def _hadoop_path(spark, base: str, name: str):
@@ -359,6 +360,117 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
 
     local = corpus.select(id_col, column).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
+                 nprobe: int = 4, query_id_col: Optional[str] = None,
+                 query_column: Optional[str] = None,
+                 max_queries: int = 10_000) -> DataFrame:
+    """IVF-accelerated batch kNN: each query scores ONLY corpus rows in
+    its ``nprobe`` nearest cells — the scale path of :func:`knn_join`.
+
+    Each corpus row is touched once (one pass over the cell-assigned
+    table); inside the vectorized stage a row is scored only against
+    the queries probing its cell, so compute drops from ``|corpus|·Q``
+    to ``~|corpus|·Q·nprobe/n_cells``.  Against an index **written**
+    partitioned by cell, pre-filtering to the union of probed cells
+    additionally prunes the parquet scan to the probed files (the
+    ``ivf_query`` PartitionFilters property, batched).
+
+    With ``nprobe >= n_cells`` every cell is probed and the result is
+    exactly :func:`knn_join`'s (the oracle certifies that equivalence);
+    smaller ``nprobe`` trades recall for the pruned scan, as usual for
+    IVF.
+    """
+    query_id_col = query_id_col or index.id_col
+    query_column = query_column or index.column
+
+    q_rows = queries.select(query_id_col, query_column).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_knn_join: > {max_queries} query rows; shard the query "
+            "set and run per shard"
+        )
+    if not q_rows:
+        raise ValueError("ivf_knn_join: empty query set")
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([[float(v) for v in r[1]] for r in q_rows], dtype=float)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+
+    cn = index.centroids / np.maximum(
+        np.linalg.norm(index.centroids, axis=1, keepdims=True), 1e-12
+    )
+    nprobe = min(nprobe, len(index.centroids))
+    # per-query probe cells (driver-side: Q x n_cells, tiny), inverted
+    # to cell -> [query indexes] for the per-batch scoring
+    probe = np.argsort(-((qmat / qnorm[:, None]) @ cn.T), axis=1)[:, :nprobe]
+    cell_queries: dict = {}
+    for qi, cells in enumerate(probe):
+        for c in cells:
+            cell_queries.setdefault(int(c), []).append(qi)
+    probed_cells = sorted(cell_queries)
+
+    id_col, column = index.id_col, index.column
+    q_id_field = queries.schema[query_id_col]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_field.dataType),
+            T.StructField("neighbor_id", index.assigned.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    import pandas as pd
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for cell, grp in pdf.groupby("cell"):
+                qidx = cell_queries.get(int(cell))
+                if not qidx:
+                    continue
+                mat = np.array(grp[column].tolist(), dtype=float)
+                mnorm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+                sub_q = qmat[qidx]
+                sub_n = qnorm[qidx]
+                scores = np.round(
+                    (mat @ sub_q.T) / np.outer(mnorm, sub_n), 6
+                )
+                ids = grp[id_col].to_numpy()
+                for j, qi in enumerate(qidx):
+                    order = np.lexsort((ids, -scores[:, j]))[:k]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": [qids[qi]] * len(order),
+                                "neighbor_id": ids[order],
+                                "cosine": scores[order, j],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    pruned = index.assigned.filter(F.col("cell").isin(probed_cells))
+    local = pruned.select(id_col, column, "cell").mapInPandas(
+        local_topk, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

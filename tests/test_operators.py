@@ -277,6 +277,50 @@ class TestKnnJoin:
             knn_join(vectors, vectors, k=2, max_queries=3)
 
 
+class TestIvfKnnJoin:
+    TRAIN = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+
+    def test_probe_all_equals_brute_force(self, spark, vectors):
+        """nprobe >= n_cells probes every cell, so the result must be
+        EXACTLY knn_join's — certifies routing + per-cell scoring."""
+        from datatest_spark.operators import ivf_build, ivf_knn_join, knn_join
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        queries = vectors.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_knn_join(index, queries, k=3,
+                                           nprobe=3).collect()))
+        b = sorted(map(tuple, knn_join(vectors, queries, k=3).collect()))
+        assert a == b
+
+    def test_single_probe_prunes_cells(self, spark, vectors):
+        """nprobe=1: each query scores only its own cell's rows — the
+        x-axis query must see only the x-cluster (ids 0, 1, 4)."""
+        from datatest_spark.operators import ivf_build, ivf_knn_join
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        queries = vectors.filter(F.col("vec_id") == 0)
+        rows = ivf_knn_join(index, queries, k=5, nprobe=1).collect()
+        assert {r["neighbor_id"] for r in rows} == {0, 1, 4}
+
+    def test_written_index_prunes_scan(self, spark, vectors, tmp_path):
+        """Against a written (cell-partitioned) index, the probed-cell
+        filter must reach the parquet scan as a PartitionFilter."""
+        from datatest_spark.operators import IvfIndex, ivf_build, ivf_knn_join
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        path = str(tmp_path / "ivf_knn")
+        index.write(path)
+        back = IvfIndex.read(spark, path)
+        queries = vectors.filter(F.col("vec_id") == 0)
+        out = ivf_knn_join(back, queries, k=2, nprobe=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1][:120], plan
+        assert out.count() >= 1
+
+
 class TestTextOps:
     def test_token_stats(self, spark, docs):
         rows = {r["doc_id"]: r for r in token_stats(docs, "text").collect()}
