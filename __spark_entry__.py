@@ -758,6 +758,47 @@ def q_acceptance_count(spark, sf_dir):
     return accepted.count(50, scope="group").filter_df(viol)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup (streaming/stateful.py,
+    applyInPandasWithState): documents + 10 injected cross-file
+    duplicates streamed file-per-batch; each distinct text is emitted
+    exactly once across the whole stream.  The emitted CONTENT set is
+    deterministic regardless of batch order, so the oracle is
+    ``SELECT DISTINCT text`` — a full hash-verified row for the
+    stateful-streaming path (which duplicate represents a cross-batch
+    group is arrival-order-dependent, so the query returns texts, not
+    ids)."""
+    import os
+    import tempfile
+
+    from datatest_spark.streaming import streaming_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="dts_sdedup_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    docs.union(dups).repartition(2).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_dedup(stream, "text", id_col="doc_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select("text")
+
+
 def q_streaming_rowrules(spark, sf_dir):
     """Structured Streaming validation (SURVEY §2D streaming): the
     documents table split into 4 files, streamed one file per
@@ -930,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_args": q_acceptance_args,
         "knn_join": q_knn_join,
         "ivf_knn_join": q_ivf_knn_join,
+        "streaming_dedup": q_streaming_dedup,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -1444,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _oracles.ann_ivf_sql(n_cells=8, nprobe=3, k=15,
                                         n_train=100),
+        # stateful streaming dedup: emitted content set == DISTINCT
+        # text regardless of micro-batch arrival order
+        "streaming_dedup": "SELECT DISTINCT text FROM documents",
         # ivf_knn_join probes ALL cells (nprobe=n_cells) → must equal
         # the brute-force kNN — same oracle
         "ivf_knn_join": """

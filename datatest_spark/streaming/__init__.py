@@ -1,1 +1,2 @@
 from .foreach_batch import validate_stream  # noqa: F401
+from .stateful import streaming_dedup  # noqa: F401

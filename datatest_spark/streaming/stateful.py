@@ -1,0 +1,85 @@
+"""Stateful streaming operators (applyInPandasWithState).
+
+The batch engine's exact-dedup (operators/dedup.py) answers "which
+rows duplicate rows in THIS table"; a streaming ingest pipeline needs
+the all-of-history version — "has this content EVER been seen" — which
+`validate_stream`'s per-batch rules cannot express (its docstring
+flags exactly this gap).  :func:`streaming_dedup` closes it with
+Spark's arbitrary-stateful API: one state cell per content hash,
+persisted in the streaming state store, so restarts resume dedup
+exactly where the checkpoint left off.
+
+Scale shape: state is keyed by ``(xxhash64(content), length)`` — 16
+bytes of key + a boolean per distinct content, never the content
+itself; within a micro-batch the rows of one content group arrive
+together (the state shuffle co-locates them), so the first-occurrence
+choice is a tiny per-group argmin, all Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+__all__ = ["streaming_dedup"]
+
+_HASH_COL = "_dts_h"
+_LEN_COL = "_dts_len"
+
+
+def streaming_dedup(stream_df: DataFrame, column: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """All-of-history exact dedup over a stream.
+
+    Emits each distinct ``column`` content exactly ONCE across the
+    whole stream: the first micro-batch that carries a given content
+    emits its minimum-``id_col`` row; every later occurrence (same
+    batch or any later batch) is dropped.  State per content hash is a
+    single boolean in the streaming state store — checkpointed, so a
+    restarted query continues deduplicating against everything already
+    emitted.
+
+    The emitted *content set* is deterministic (one row per distinct
+    content); WHICH duplicate row represents a content that spans
+    micro-batches depends on batch arrival order, as in any streaming
+    first-wins dedup.
+
+    Returns a streaming DataFrame with ``stream_df``'s columns.
+    """
+    out_schema = stream_df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def dedup_fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                 state: "GroupState") -> Iterator[pd.DataFrame]:
+        if state.exists:
+            state.update((True,))
+            return
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf[id_col].idxmin()]
+            if first is None or row[id_col] < first[id_col]:
+                first = row
+        state.update((True,))
+        if first is not None:
+            yield pd.DataFrame([first[cols]])
+
+    keyed = stream_df.withColumn(
+        _HASH_COL, F.xxhash64(F.col(column))
+    ).withColumn(_LEN_COL, F.length(F.col(column)))
+    return keyed.groupBy(_HASH_COL, _LEN_COL).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -66,3 +66,48 @@ class TestValidateStream:
         got = spark.read.parquet(out)
         assert got.count() == n1 + 3
         assert got.select("batch_id").distinct().count() == 2
+
+
+class TestStreamingDedup:
+    """All-of-history stateful dedup (streaming/stateful.py,
+    applyInPandasWithState): one state cell per content hash."""
+
+    def _run(self, spark, src, out, ckpt):
+        from datatest_spark.streaming import streaming_dedup
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming_dedup(stream, "text", id_col="doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_in_batch_dups_keep_min_id(self, spark, stream_dirs):
+        src, out, ckpt = stream_dirs
+        rows = [(0, "aaa"), (1, "bbb"), (2, "aaa"), (3, "ccc"), (4, "bbb")]
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(src))
+        self._run(spark, src, out, ckpt)
+        got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {"aaa": 0, "bbb": 1, "ccc": 3}
+
+    def test_state_survives_restart(self, spark, stream_dirs):
+        src, out, ckpt = stream_dirs
+        (spark.createDataFrame([(0, "aaa"), (1, "bbb")],
+                               "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(src))
+        self._run(spark, src, out, ckpt)
+        assert spark.read.parquet(out).count() == 2
+
+        # later batch re-sends 'aaa' and adds 'ddd'; the restarted query
+        # must drop the replay via the checkpointed state store
+        (spark.createDataFrame([(10, "aaa"), (11, "ddd")],
+                               "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(src))
+        self._run(spark, src, out, ckpt)
+        got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == {"aaa": 0, "bbb": 1, "ddd": 11}
