@@ -799,6 +799,55 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).select("text")
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Watermarked windowed streaming profile (streaming/windowed.py):
+    per-day x event_type counts + value sum/min/max over the events
+    stream, watermark 25 h.  With availableNow over fixed input the
+    emitted set is exactly the windows with end <= max(ts) - 25 h,
+    independent of micro-batch order — the SQL oracle computes the
+    same cutoff in DuckDB (full hash row for the watermark path)."""
+    import os
+    import tempfile
+
+    from datatest_spark.streaming import windowed_profile
+
+    # parquet ts reads as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    # (instant) — session tz is UTC so the cast is value-preserving
+    events = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dts_swin_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    # ONE file → one data micro-batch: the watermark is -inf while the
+    # data aggregates (nothing is late), then the no-data flush batch
+    # emits every window with end <= max(ts) - 25 h.  With multiple
+    # unordered batches the watermark would (correctly) DROP old-window
+    # rows arriving after it advanced — real late-data semantics, but
+    # dependent on file arrival order; the drop path is unit-tested
+    # with controlled batches instead (tests/test_streaming.py).
+    events.repartition(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prof = windowed_profile(
+        stream, "ts", value_col="value", window="1 day",
+        allowed_lateness="25 hours", keys=("event_type",),
+    )
+    q = (
+        prof.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
 def q_streaming_rowrules(spark, sf_dir):
     """Structured Streaming validation (SURVEY §2D streaming): the
     documents table split into 4 files, streamed one file per
@@ -972,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivf_knn_join": q_ivf_knn_join,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_windowed": q_streaming_windowed,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -1489,6 +1539,24 @@ def oracle_sql() -> dict[str, str]:
         # stateful streaming dedup: emitted content set == DISTINCT
         # text regardless of micro-batch arrival order
         "streaming_dedup": "SELECT DISTINCT text FROM documents",
+        # watermarked windowed profile: emitted = day-windows whose end
+        # <= max(ts) - 25h (watermark), any micro-batch order
+        "streaming_windowed": """
+            WITH m AS (SELECT max(ts) - INTERVAL 25 HOUR AS cutoff
+                       FROM events),
+            b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                         event_type,
+                         count(*) AS n_rows,
+                         round(sum(value), 4) AS value_sum,
+                         min(value) AS value_min,
+                         max(value) AS value_max
+                  FROM events GROUP BY 1, 2)
+            SELECT window_start,
+                   window_start + INTERVAL 1 DAY AS window_end,
+                   event_type, n_rows, value_sum, value_min, value_max
+            FROM b, m
+            WHERE window_start + INTERVAL 1 DAY <= m.cutoff
+        """,
         # ivf_knn_join probes ALL cells (nprobe=n_cells) → must equal
         # the brute-force kNN — same oracle
         "ivf_knn_join": """

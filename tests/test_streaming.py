@@ -111,3 +111,58 @@ class TestStreamingDedup:
         self._run(spark, src, out, ckpt)
         got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == {"aaa": 0, "bbb": 1, "ddd": 11}
+
+
+class TestWindowedProfile:
+    """Watermark + windowed agg (streaming/windowed.py): windows emit
+    once the watermark passes their end; data later than the watermark
+    is dropped, not retro-counted."""
+
+    def _run(self, spark, src, out, ckpt):
+        from datatest_spark.streaming import windowed_profile
+
+        stream = spark.readStream.schema(
+            "id long, ts timestamp, k string"
+        ).parquet(src)
+        prof = windowed_profile(stream, "ts", window="1 hour",
+                                allowed_lateness="30 minutes", keys=("k",))
+        q = (
+            prof.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_late_rows_dropped_after_watermark(self, spark, stream_dirs):
+        import datetime as dt
+
+        src, out, ckpt = stream_dirs
+        base = dt.datetime(2026, 1, 1)
+
+        def write(rows):
+            (spark.createDataFrame(rows, "id long, ts timestamp, k string")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        # run 1: hours 0..5, two events each; watermark ends at 5:50-30m
+        write([(h * 10 + m, base + dt.timedelta(hours=h, minutes=50 * m), "k")
+               for h in range(6) for m in range(2)])
+        self._run(spark, src, out, ckpt)
+        got1 = {r["window_start"].hour: r["n_rows"]
+                for r in spark.read.parquet(out).collect()}
+        # watermark 05:20 → windows ending <= 05:20 → hours 0..4
+        assert got1 == {h: 2 for h in range(5)}
+
+        # run 2: hours 6..9 + a LATE hour-0 event (behind the
+        # checkpointed watermark → dropped, window 0 stays count 2)
+        write([(600 + h * 10 + m,
+                base + dt.timedelta(hours=6 + h, minutes=50 * m), "k")
+               for h in range(4) for m in range(2)]
+              + [(999, base + dt.timedelta(minutes=30), "k")])
+        self._run(spark, src, out, ckpt)
+        got2 = {r["window_start"].hour: r["n_rows"]
+                for r in spark.read.parquet(out).collect()}
+        # watermark 09:20 → hours 0..8 emitted; hour 9 still open;
+        # the late id=999 row was dropped, so hour 0 is still 2
+        assert got2 == {h: 2 for h in range(9)}, got2
