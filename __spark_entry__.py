@@ -722,6 +722,12 @@ _LANG_STOPWORDS = {
     "de": ["der", "die", "das", "und", "ein", "ist", "zu", "nicht"],
 }
 
+# SQL list literal of the English stopwords (text_quality's
+# stopword_ratio twin)
+_EN_STOPWORDS_SQL = (
+    "[" + ", ".join(f"'{w}'" for w in _LANG_STOPWORDS["en"]) + "]"
+)
+
 
 def q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID over documents (text-analysis
@@ -1327,7 +1333,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_calc
             FROM documents
         """,
-        "text_quality": """
+        "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
@@ -1335,7 +1341,13 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_distinct(string_split(text, ' ')))
                          / len(string_split(text, ' ')), 4) AS ttr_r,
                    round((length(text) - len(string_split(text, ' ')) + 1.0)
-                         / len(string_split(text, ' ')), 4) AS awl_r
+                         / len(string_split(text, ' ')), 4) AS awl_r,
+                   round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS punct_ratio_r,
+                   round(len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_EN_STOPWORDS_SQL}, t)))
+                         / len(string_split(text, ' ')), 4)
+                       AS stopword_ratio_r
             FROM documents
         """,
         "ann_cosine": """

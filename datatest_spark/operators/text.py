@@ -53,12 +53,20 @@ def token_stats(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame
 
 def text_quality(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame:
     """Quality metrics: token count, distinct tokens, type-token ratio,
-    average word length — the standard corpus-quality signals, one
-    projection, no shuffle."""
+    average word length, punctuation ratio and stopword ratio — the
+    standard corpus-quality signals, one projection, no shuffle.
+
+    ``punct_ratio_r`` = non-alphanumeric-non-space chars / chars;
+    ``stopword_ratio_r`` = tokens in the English stopword list /
+    tokens (boilerplate and low-content docs sit at the extremes of
+    both — the usual quality-filter features)."""
     c = F.col(column)
     toks = _tokens(c)
     n_tokens = F.size(toks)
     n_types = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -67,6 +75,10 @@ def text_quality(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFram
         F.round(
             (F.length(c) - n_tokens + F.lit(1.0)) / n_tokens, 4
         ).alias("awl_r"),
+        F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4).alias(
+            "punct_ratio_r"
+        ),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio_r"),
     )
 
 

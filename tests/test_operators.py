@@ -349,6 +349,20 @@ class TestTextOps:
         assert rows[0]["n_types"] == 8  # 'the' twice
         assert abs(rows[0]["ttr_r"] - round(8 / 9, 4)) < 1e-9
 
+    def test_text_quality_punct_and_stopword_ratios(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat, the hat!"), (1, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in text_quality(df, "text").collect()}
+        # 2 punct chars (',' '!') of 17 chars
+        assert rows[0]["punct_ratio_r"] == round(2 / 17, 4)
+        # tokens: the, 'cat,', the, 'hat!' → 2 stopwords of 4 tokens
+        # (punctuation-attached tokens don't match the stopword list)
+        assert rows[0]["stopword_ratio_r"] == 0.5
+        assert rows[1]["punct_ratio_r"] == 0.0
+        assert rows[1]["stopword_ratio_r"] == 0.0
+
     def test_lang_id(self, spark, docs):
         rows = {r["doc_id"]: r for r in lang_id(docs, "text").collect()}
         assert rows[0]["lang_guess"] == "en"
