@@ -35,7 +35,8 @@ _LEN_COL = "_dts_len"
 
 
 def streaming_dedup(stream_df: DataFrame, column: str,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    state_ttl_ms: int = 0) -> DataFrame:
     """All-of-history exact dedup over a stream.
 
     Emits each distinct ``column`` content exactly ONCE across the
@@ -45,6 +46,15 @@ def streaming_dedup(stream_df: DataFrame, column: str,
     single boolean in the streaming state store — checkpointed, so a
     restarted query continues deduplicating against everything already
     emitted.
+
+    ``state_ttl_ms``: 0 (default) keeps state forever — exact
+    all-of-history dedup, state growing with #distinct contents.  At
+    10^12-content scale that is the known cost of exactness; bound it
+    by setting a TTL, after which an idle content's state cell expires
+    (processing-time timeout) and a LATER re-occurrence is emitted
+    again — the standard windowed-dedup tradeoff (exact within any
+    TTL-length window, at-least-once beyond it).  Each new sighting of
+    a content renews its TTL.
 
     The emitted *content set* is deterministic (one row per distinct
     content); WHICH duplicate row represents a content that spans
@@ -56,20 +66,25 @@ def streaming_dedup(stream_df: DataFrame, column: str,
     out_schema = stream_df.schema
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
     cols = [f.name for f in out_schema.fields]
+    ttl = int(state_ttl_ms)
 
     def dedup_fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
                  state: "GroupState") -> Iterator[pd.DataFrame]:
-        if state.exists:
-            state.update((True,))
+        if state.hasTimedOut:
+            state.remove()  # idle past TTL — forget the content
             return
+        seen = state.exists
         first = None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            row = pdf.loc[pdf[id_col].idxmin()]
-            if first is None or row[id_col] < first[id_col]:
-                first = row
+        if not seen:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                row = pdf.loc[pdf[id_col].idxmin()]
+                if first is None or row[id_col] < first[id_col]:
+                    first = row
         state.update((True,))
+        if ttl:
+            state.setTimeoutDuration(ttl)  # renewed on every sighting
         if first is not None:
             yield pd.DataFrame([first[cols]])
 
@@ -81,5 +96,5 @@ def streaming_dedup(stream_df: DataFrame, column: str,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl else "NoTimeout",
     )

@@ -112,6 +112,64 @@ class TestStreamingDedup:
         got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == {"aaa": 0, "bbb": 1, "ddd": 11}
 
+    def test_state_ttl_expires_and_reemits(self, spark, stream_dirs):
+        """With a TTL, an idle content's state cell expires (an
+        intermediate batch with other data processes the timeout) and
+        a later re-occurrence is emitted again — bounded-state dedup.
+
+        availableNow keeps running no-data batches while
+        processing-time timeouts are pending, so each run waits for
+        the sink rows it needs and then stops the query explicitly."""
+        import time
+
+        from datatest_spark.streaming import streaming_dedup
+
+        src, out, ckpt = stream_dirs
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            def run(expect_rows):
+                stream = spark.readStream.schema(
+                    "doc_id long, text string"
+                ).parquet(src)
+                q = (
+                    streaming_dedup(stream, "text", id_col="doc_id",
+                                    state_ttl_ms=500)
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    if q.awaitTermination(5):
+                        break
+                    try:
+                        if spark.read.parquet(out).count() >= expect_rows:
+                            break
+                    except Exception:
+                        pass
+                q.stop()
+                q.awaitTermination(60)
+
+            def write(rows):
+                (spark.createDataFrame(rows, "doc_id long, text string")
+                 .coalesce(1).write.mode("append").parquet(src))
+
+            write([(0, "aaa")])
+            run(1)
+            time.sleep(2)  # let 'aaa' state pass its TTL
+            write([(1, "other")])
+            run(2)  # batch without 'aaa' → its timeout fires → removed
+            write([(2, "aaa")])
+            run(3)  # re-occurrence after expiry → emitted again
+            got = sorted((r["doc_id"], r["text"])
+                         for r in spark.read.parquet(out).collect())
+            assert got == [(0, "aaa"), (1, "other"), (2, "aaa")], got
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 class TestWindowedProfile:
     """Watermark + windowed agg (streaming/windowed.py): windows emit
