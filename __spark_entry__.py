@@ -355,6 +355,24 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_profile_merge(spark, sf_dir):
+    """Mergeable per-partition profiles (stats.partitioned_profile →
+    merge_profiles): lineitem profiled per l_returnflag partition, then
+    folded to table level — the incremental-profiling path (HLL
+    sketches union losslessly, so appends never force a rescan).  The
+    profiled columns are low-cardinality (l_quantity: 50, l_linenumber:
+    7), where the DataSketches HLL is in exact sparse mode — so the
+    merged distinct_est equals DuckDB's exact COUNT(DISTINCT) and the
+    whole row hash-certifies, sketch merge included."""
+    from datatest_spark.stats import merge_profiles, partitioned_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = partitioned_profile(
+        li, ["l_quantity", "l_linenumber"], partition_col="l_returnflag"
+    )
+    return merge_profiles(prof)
+
+
 def q_knn_join(spark, sf_dir):
     """Batch kNN join (operators/ann.py knn_join): every query row gets
     its exact top-k corpus neighbors by round-6 cosine — vectorized
@@ -1028,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_join": q_ivf_knn_join,
         "streaming_dedup": q_streaming_dedup,
         "streaming_windowed": q_streaming_windowed,
+        "profile_merge": q_profile_merge,
         "set_orderstatus": q_set_orderstatus,
         "subset_mktsegment": q_subset_mktsegment,
         "superset_region": q_superset_region,
@@ -1551,6 +1570,23 @@ def oracle_sql() -> dict[str, str]:
         # stateful streaming dedup: emitted content set == DISTINCT
         # text regardless of micro-batch arrival order
         "streaming_dedup": "SELECT DISTINCT text FROM documents",
+        # mergeable profiles: exact stats + sparse-mode-exact HLL
+        "profile_merge": """
+            SELECT 'l_quantity' AS column_name, count(*) AS row_count,
+                   count(l_quantity) AS non_null,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                   round(sum(CAST(l_quantity AS DOUBLE)), 4) AS sum_v,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS distinct_est
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', count(*), count(l_linenumber),
+                   CAST(min(l_linenumber) AS DOUBLE),
+                   CAST(max(l_linenumber) AS DOUBLE),
+                   round(sum(CAST(l_linenumber AS DOUBLE)), 4),
+                   CAST(count(DISTINCT l_linenumber) AS BIGINT)
+            FROM lineitem
+        """,
         # watermarked windowed profile: emitted = day-windows whose end
         # <= max(ts) - 25h (watermark), any micro-batch order
         "streaming_windowed": """

@@ -45,6 +45,8 @@ __all__ = [
     "drift_psi",
     "drift_ks",
     "outliers",
+    "partitioned_profile",
+    "merge_profiles",
 ]
 
 _Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
@@ -131,6 +133,65 @@ def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
 
 def profile_long(df: DataFrame, **kw) -> DataFrame:
     return profile(df, **kw)
+
+
+def partitioned_profile(df: DataFrame, columns: Sequence[str],
+                        partition_col: str = "part_id") -> DataFrame:
+    """Per-partition MERGEABLE profile: one row per (partition, column)
+    with exact count/null/min/max/sum stats plus a binary HLL sketch
+    (``hll_sketch_agg`` — Apache DataSketches, union-mergeable).
+
+    This is the incremental-profiling shape for append-only tables:
+    profile only the NEW partitions, store the rows, and
+    :func:`merge_profiles` folds any subset into table-level stats —
+    including exact-union distinct estimates via ``hll_union_agg`` —
+    without ever rescanning old data.  (``approx_count_distinct``
+    returns only the estimate, so per-partition results could not be
+    combined; the sketch column is what makes the profile mergeable.)
+    """
+    per_col = []
+    for c in columns:
+        col = F.col(c)
+        per_col.append(
+            df.groupBy(F.col(partition_col).cast("string").alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.count(col).alias("non_null"),
+                F.min(col).cast("double").alias("min_v"),
+                F.max(col).cast("double").alias("max_v"),
+                F.sum(col.cast("double")).alias("sum_v"),
+                # sketch over the string form: hll_sketch_agg accepts
+                # only int/bigint/string/binary, and the cast is
+                # injective per column type so distinct counts carry
+                F.hll_sketch_agg(col.cast("string")).alias("distinct_sketch"),
+            )
+            .select(F.lit(c).alias("column_name"), "*")
+        )
+    out = per_col[0]
+    for nxt in per_col[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def merge_profiles(profiles: DataFrame) -> DataFrame:
+    """Fold :func:`partitioned_profile` rows (any union of partitions,
+    possibly read back from storage) into per-column table-level stats.
+    HLL union is lossless over disjoint-or-not inputs, so the merged
+    ``distinct_est`` equals what a single whole-table sketch would
+    estimate."""
+    return (
+        profiles.groupBy("column_name")
+        .agg(
+            F.sum("row_count").alias("row_count"),
+            F.sum("non_null").alias("non_null"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("distinct_sketch")
+            ).alias("distinct_est"),
+        )
+    )
 
 
 def quantile_sketch(df: DataFrame, column: str, accuracy: int = 10_000) -> List[float]:

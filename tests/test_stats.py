@@ -106,3 +106,59 @@ class TestDriftRule:
         assert rows[0]["rule_id"].startswith("drift_ks")
         assert rows[0]["expected"] == "ks<=0.1"
         assert rows[0]["deviation"] > 0.5  # 80% of mass moved out of range
+
+
+class TestMergeableProfiles:
+    """partitioned_profile + merge_profiles: incremental profiling via
+    union-mergeable HLL sketches (hll_sketch_agg/hll_union_agg)."""
+
+    @pytest.fixture()
+    def parts_df(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(1000).select(
+            (F.col("id") % 4).alias("part_id"),
+            (F.col("id") % 137).alias("v"),
+        )
+
+    def test_merged_equals_whole_table(self, spark, parts_df):
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import merge_profiles, partitioned_profile
+
+        merged = merge_profiles(
+            partitioned_profile(parts_df, ["v"], "part_id")
+        ).collect()[0]
+        direct = parts_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("v").alias("s"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("v").cast("string"))
+            ).alias("d"),  # same string-keyed sketch the profile builds
+        ).collect()[0]
+        assert merged["row_count"] == direct["n"] == 1000
+        assert merged["min_v"] == direct["mn"] == 0.0
+        assert merged["max_v"] == direct["mx"] == 136.0
+        assert merged["sum_v"] == float(direct["s"])
+        # HLL union is lossless: merging partition sketches estimates
+        # EXACTLY what one whole-table sketch estimates
+        assert merged["distinct_est"] == direct["d"]
+
+    def test_incremental_merge_without_rescan(self, spark, parts_df):
+        """Profiles computed at different times (disjoint partition
+        subsets) merge to the same answer as profiling everything at
+        once — the append-only incremental contract."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import merge_profiles, partitioned_profile
+
+        old = partitioned_profile(
+            parts_df.filter(F.col("part_id") < 2), ["v"], "part_id")
+        new = partitioned_profile(
+            parts_df.filter(F.col("part_id") >= 2), ["v"], "part_id")
+        a = merge_profiles(old.unionByName(new)).collect()[0]
+        b = merge_profiles(
+            partitioned_profile(parts_df, ["v"], "part_id")).collect()[0]
+        assert a == b
