@@ -55,6 +55,8 @@ HEADLINE = [
     "simhash_neardup",
     "ngram_jaccard",
     "drift_psi",
+    "knn_join",
+    "profile_merge",
 ]
 
 

@@ -471,3 +471,113 @@ class TestWholeScopeCountScale:
         from datatest_spark.acceptances import unpersist_cached
 
         unpersist_cached(blocking=True)
+
+
+class TestRandomizedParity:
+    """Property test: for RANDOM difference sets and RANDOM acceptance
+    compositions, the driver protocol (reference semantics) and the
+    DataFrame mask must reject the same multiset.  This is the deepest
+    guarantee for the trickiest engine semantics — scope precedence,
+    gated consumption, composition short-circuit.
+
+    Inputs are pre-sorted in the DF path's canonical violation order
+    (stateful consumption is order-dependent by design; the DF path
+    defines the order, so the driver twin must see the same one)."""
+
+    _DT_ORDER = {"Missing": "MISSING", "Extra": "EXTRA",
+                 "Invalid": "INVALID", "Deviation": "DEVIATION"}
+
+    @classmethod
+    def _canon_key(cls, kd):
+        from datatest_spark.schema import py_repr
+
+        key, d = kd
+        name = type(d).__name__
+        dt = cls._DT_ORDER[name]
+        invalid = expected = None
+        deviation = None
+        if name == "Missing":
+            expected = py_repr(d.args[0])
+        elif name == "Extra":
+            invalid = py_repr(d.args[0])
+        elif name == "Deviation":
+            invalid = py_repr(d.args[0])
+            expected = py_repr(d.args[1])
+            deviation = float(d.args[0])
+        else:
+            invalid = py_repr(d.args[0])
+            if len(d.args) > 1:
+                expected = py_repr(d.args[1])
+
+        def ns(v):  # NULLS FIRST twin
+            return (0, "") if v is None else (1, str(v))
+
+        def nf(v):
+            return (0, 0.0) if v is None else (1, float(v))
+
+        return (ns(key), ns(dt), ns(invalid), ns(expected), nf(deviation))
+
+    def test_random_compositions_match(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.differences import (
+            Deviation, Extra, Invalid, Missing,
+        )
+
+        small = st.sampled_from([1, 2, 3])
+        diff = st.one_of(
+            small.map(Missing),
+            small.map(Extra),
+            st.tuples(st.sampled_from([-3, -1, 1, 2, 6]),
+                      st.sampled_from([5, 10])).map(lambda t: Deviation(*t)),
+            small.map(Invalid),
+            st.tuples(small, st.sampled_from([7, 8])).map(
+                lambda t: Invalid(*t)),
+        )
+
+        def atom(draw_i):
+            factories = [
+                lambda: accepted(Missing),
+                lambda: accepted(Extra),
+                lambda: accepted(Deviation),
+                lambda: accepted(Invalid),
+                lambda: accepted(Missing(1)),
+                lambda: accepted(Extra(2)),
+                lambda: accepted([Missing(1), Missing(1), Extra(2)]),
+                lambda: accepted.tolerance(2),
+                lambda: accepted.percent(0.3),
+                lambda: accepted.keys({"A"}),
+                lambda: accepted.count(2),
+                lambda: accepted.count(1, scope="group"),
+                lambda: accepted.args(
+                    lambda a: isinstance(a, tuple) and len(a) == 2
+                    and isinstance(a[0], (int, float)) and abs(a[0]) <= 2
+                ),
+            ]
+            return factories[draw_i % len(factories)]
+
+        comp = st.one_of(
+            st.integers(0, 12).map(atom),
+            st.tuples(st.integers(0, 12), st.integers(0, 12),
+                      st.booleans()).map(
+                lambda t: (lambda: (atom(t[0])() & atom(t[1])())
+                           if t[2] else (atom(t[0])() | atom(t[1])()))
+            ),
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            rows=st.lists(
+                st.tuples(st.sampled_from(["A", "B", "C"]), diff),
+                min_size=0, max_size=8,
+            ),
+            keyed=st.booleans(),
+            make=comp,
+        )
+        def check(rows, keyed, make):
+            if not keyed:
+                rows = [(None, d) for _, d in rows]
+            rows = sorted(rows, key=self._canon_key)
+            _parity(spark, make, rows)
+
+        check()
