@@ -334,6 +334,12 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     import pandas as pd
 
     def local_topk(batches):
+        # Accumulate the running top-k per query across ALL of this
+        # partition's Arrow batches and emit ONCE at iterator end:
+        # emitting per batch would ship k·Q rows per 256-row batch — a
+        # k·Q/256-fold data expansion at scale.  This way each
+        # partition contributes exactly ≤ k·Q rows to the final window.
+        best = [None] * len(qids)  # per query: (scores, ids)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -343,18 +349,27 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 (mat @ qmat.T) / np.outer(mnorm, qnorm), 6
             )
             ids = pdf[id_col].to_numpy()
-            outs = []
-            for j, qid in enumerate(qids):
-                order = np.lexsort((ids, -scores[:, j]))[:k]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": [qid] * len(order),
-                            "neighbor_id": ids[order],
-                            "cosine": scores[order, j],
-                        }
-                    )
+            for j in range(len(qids)):
+                cs, ci = scores[:, j], ids
+                if best[j] is not None:
+                    cs = np.concatenate([best[j][0], cs])
+                    ci = np.concatenate([best[j][1], ci])
+                order = np.lexsort((ci, -cs))[:k]
+                best[j] = (cs[order], ci[order])
+        outs = []
+        for j, qid in enumerate(qids):
+            if best[j] is None:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [qid] * len(best[j][1]),
+                        "neighbor_id": best[j][1],
+                        "cosine": best[j][0],
+                    }
                 )
+            )
+        if outs:
             yield pd.concat(outs, ignore_index=True)
 
     from pyspark.sql import Window
@@ -435,10 +450,12 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     import pandas as pd
 
     def local_topk(batches):
+        # running top-k per query across the whole partition — see
+        # knn_join: per-batch emission would expand the data k·Q-fold
+        best: dict = {}  # query index -> (scores, ids)
         for pdf in batches:
             if not len(pdf):
                 continue
-            outs = []
             for cell, grp in pdf.groupby("cell"):
                 qidx = cell_queries.get(int(cell))
                 if not qidx:
@@ -452,18 +469,25 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
                 )
                 ids = grp[id_col].to_numpy()
                 for j, qi in enumerate(qidx):
-                    order = np.lexsort((ids, -scores[:, j]))[:k]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": [qids[qi]] * len(order),
-                                "neighbor_id": ids[order],
-                                "cosine": scores[order, j],
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    cs, ci = scores[:, j], ids
+                    if qi in best:
+                        cs = np.concatenate([best[qi][0], cs])
+                        ci = np.concatenate([best[qi][1], ci])
+                    order = np.lexsort((ci, -cs))[:k]
+                    best[qi] = (cs[order], ci[order])
+        outs = []
+        for qi, (cs, ci) in best.items():
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [qids[qi]] * len(ci),
+                        "neighbor_id": ci,
+                        "cosine": cs,
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     from pyspark.sql import Window
 
