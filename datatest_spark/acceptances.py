@@ -838,9 +838,7 @@ class AcceptedCount(BaseAcceptance):
         """
         pid_col, g_col = _mark_tmp_cols()
         handle = CacheHandle(_HANDLES)
-        nparts = int(
-            violations.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        nparts = _shuffle_partitions(violations.sparkSession)
         ranged = handle.register(
             violations.repartitionByRange(
                 nparts, *[F.col(c) for c in _CANONICAL_ORDER]
@@ -921,6 +919,20 @@ _mark_counter = itertools.count()
 def _mark_tmp_cols() -> tuple:
     n = next(_mark_counter)
     return f"_acc_l_{n}", f"_acc_r_{n}"
+
+
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int — platforms with
+    AQE auto-optimized shuffle report the non-numeric literal "auto",
+    so fall back to the cluster's default parallelism there."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return 200
 
 
 class IntersectedAcceptance(CombinedAcceptance):

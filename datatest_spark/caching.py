@@ -17,15 +17,29 @@ This module gives every operator call its own :class:`CacheHandle`:
 * :func:`evict_all` (wrapped by each operator module's
   ``unpersist_cached``) frees everything, for session-level cleanup.
 
-Nothing is evicted implicitly, so interleaved operator calls can both
-materialize without recompute; long-lived sessions bound storage by
-unpersisting results they are done with (persisted frames use
-MEMORY_AND_DISK, so the worst case of forgetting is spilled disk, not
-OOM).
+Nothing is evicted while a result frame is still REACHABLE, so
+interleaved operator calls can both materialize without recompute.
+Storage stays bounded in long-lived sessions two ways:
+
+* **weakref auto-eviction** — :meth:`CacheHandle.attach` installs a
+  ``weakref.finalize`` on the returned result frame, so when the
+  caller drops their last reference to it (the common
+  ``op(df).collect()`` pattern) the intermediates unpersist
+  automatically at the next GC.  Callers who keep only a *derived*
+  frame (``op(df).filter(...)`` with the direct result discarded) may
+  see a correct-but-recomputed plan — operators that bake literals
+  from the persisted partitioning pin explicit partition counts so the
+  recompute reproduces the same partitioning.
+* explicit ``unpersist_result`` / ``unpersist_cached`` for immediate
+  deterministic cleanup.
+
+(Persisted frames use MEMORY_AND_DISK, so the worst case between GCs
+is spilled disk, not OOM.)
 """
 
 from __future__ import annotations
 
+import weakref
 from typing import List
 
 from pyspark.sql import DataFrame
@@ -49,8 +63,14 @@ class CacheHandle:
         return frame
 
     def attach(self, result: DataFrame) -> DataFrame:
-        """Hand lifecycle ownership to the returned result frame."""
+        """Hand lifecycle ownership to the returned result frame.
+
+        Also registers a GC backstop: when the result frame itself
+        becomes unreachable, this handle's intermediates unpersist
+        automatically (``weakref.finalize`` holds the handle, never
+        the frame, so it cannot keep the frame alive)."""
         setattr(result, _HANDLE_ATTR, self)
+        weakref.finalize(result, CacheHandle.unpersist, self)
         return result
 
     def absorb(self, other: "CacheHandle") -> None:

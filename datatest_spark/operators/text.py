@@ -38,10 +38,12 @@ def token_stats(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFrame
     (:data:`BPE_TOKEN_PATTERN` via JVM ``regexp_extract_all`` — no
     Python in the row path) and character count per document."""
     c = F.col(column)
+    # Column-based form (not an F.expr f-string): column names needing
+    # backticks (spaces, dots, hyphens) or containing quotes must not
+    # break parsing / inject SQL — consistent with the F.col-based API
+    # everywhere else.
     bpe = F.size(
-        F.expr(
-            f"regexp_extract_all({column}, '{BPE_TOKEN_PATTERN}', 0)"
-        )
+        F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
     )
     return df.select(
         F.col(id_col),

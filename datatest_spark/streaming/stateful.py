@@ -9,11 +9,24 @@ Spark's arbitrary-stateful API: one state cell per content hash,
 persisted in the streaming state store, so restarts resume dedup
 exactly where the checkpoint left off.
 
-Scale shape: state is keyed by ``(xxhash64(content), length)`` — 16
-bytes of key + a boolean per distinct content, never the content
-itself; within a micro-batch the rows of one content group arrive
-together (the state shuffle co-locates them), so the first-occurrence
-choice is a tiny per-group argmin, all Arrow-batched.
+Scale shape: state is keyed by ``(xxhash64(content),
+xxhash64('dts2', content), length)`` — two independently-derived
+64-bit hashes plus the length, ~20 bytes of key + a boolean per
+distinct content, never the content itself; within a micro-batch the
+rows of one content group arrive together (the state shuffle
+co-locates them), so the first-occurrence choice is a tiny per-group
+argmin, all Arrow-batched.  A single 64-bit hash would make silent
+drops *expected* at the module's stated 10^12-content target (birthday
+bound ~2.7% per-pair space exhausted → dozens of collisions); at ~128
+bits the collision probability over 10^12 distinct contents is
+~2.7e-14 — negligible.
+
+State-store note: the default HDFSBackedStateStoreProvider keeps ALL
+state in executor heap — at 10^12 distinct contents that is a
+scale-killer.  Run large dedup streams under RocksDB
+(:func:`rocksdb_state_conf` returns the one conf to set before
+starting the query); state then lives on local disk with a block-cache
+budget, checkpointed incrementally.
 """
 
 from __future__ import annotations
@@ -28,10 +41,37 @@ from pyspark.sql import types as T
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
-__all__ = ["streaming_dedup"]
+__all__ = ["streaming_dedup", "rocksdb_state_conf"]
 
 _HASH_COL = "_dts_h"
+_HASH2_COL = "_dts_h2"
 _LEN_COL = "_dts_len"
+
+#: Second-hash domain separator: prepending a fixed literal reseeds the
+#: xxhash64 fold, so (h1, h2) behave as independent 64-bit hashes.
+_HASH2_SALT = "dts2"
+
+
+def rocksdb_state_conf() -> dict:
+    """The session conf that moves streaming state (dedup fingerprints,
+    window aggregates) from executor heap to RocksDB-on-local-disk —
+    set it BEFORE starting the query::
+
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
+
+    The default HDFSBackedStateStoreProvider holds every state row in
+    JVM heap; all-of-history dedup state grows with #distinct contents,
+    so at 10^9+ keys per executor the heap becomes the bottleneck.
+    RocksDB keeps the working set in native memory + local SST files
+    and checkpoints changelogs incrementally — the provider Spark ships
+    for exactly this state-bigger-than-heap shape.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+    }
 
 
 def streaming_dedup(stream_df: DataFrame, column: str,
@@ -88,10 +128,13 @@ def streaming_dedup(stream_df: DataFrame, column: str,
         if first is not None:
             yield pd.DataFrame([first[cols]])
 
-    keyed = stream_df.withColumn(
-        _HASH_COL, F.xxhash64(F.col(column))
-    ).withColumn(_LEN_COL, F.length(F.col(column)))
-    return keyed.groupBy(_HASH_COL, _LEN_COL).applyInPandasWithState(
+    keyed = (
+        stream_df.withColumn(_HASH_COL, F.xxhash64(F.col(column)))
+        .withColumn(_HASH2_COL,
+                    F.xxhash64(F.lit(_HASH2_SALT), F.col(column)))
+        .withColumn(_LEN_COL, F.length(F.col(column)))
+    )
+    return keyed.groupBy(_HASH_COL, _HASH2_COL, _LEN_COL).applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -472,6 +472,25 @@ class TestWholeScopeCountScale:
 
         unpersist_cached(blocking=True)
 
+    def test_shuffle_partitions_conf_not_numeric(self, spark):
+        """Platforms with AQE auto-optimized shuffle report
+        spark.sql.shuffle.partitions="auto"; the whole-scope counter
+        must fall back to defaultParallelism instead of raising."""
+        from datatest_spark.acceptances import _shuffle_partitions
+
+        class FakeConf:
+            def get(self, key, default=None):
+                return "auto"
+
+        class FakeSpark:
+            conf = FakeConf()
+            sparkContext = spark.sparkContext
+
+        assert _shuffle_partitions(FakeSpark()) == int(
+            spark.sparkContext.defaultParallelism
+        )
+        assert _shuffle_partitions(spark) == 4  # numeric conf unchanged
+
 
 class TestRandomizedParity:
     """Property test: for RANDOM difference sets and RANDOM acceptance

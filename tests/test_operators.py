@@ -132,6 +132,27 @@ class TestExactDedup:
         assert not hb._frames
         assert unpersist_result(a) == 0  # idempotent
 
+    def test_gc_auto_evicts_dropped_result(self, spark, docs):
+        """Weakref backstop: dropping the last reference to an operator
+        result auto-unpersists its intermediates at GC, so sessions
+        that loop over dedup operators without calling
+        unpersist_result stay bounded."""
+        import gc
+
+        from datatest_spark.operators.dedup import _HANDLES, unpersist_cached
+
+        unpersist_cached(blocking=True)
+        a = minhash_neardup_pairs(
+            docs, "text", num_hashes=16, bands=8, min_jaccard=0.2
+        )
+        a.collect()
+        handle = a._datatest_cache_handle
+        assert handle._frames and handle in _HANDLES
+        del a
+        gc.collect()
+        assert not handle._frames  # intermediates evicted by finalizer
+        assert handle not in _HANDLES
+
 
 class TestMinHash:
     def test_signatures_deterministic(self, spark, docs):
@@ -343,6 +364,17 @@ class TestTextOps:
         assert rows[0]["n_bpe_tokens"] == 8
         assert rows[1]["n_bpe_tokens"] == 3  # 'a', ' ', ' b'
         assert rows[2]["n_bpe_tokens"] == 0
+
+    def test_token_stats_awkward_column_names(self, spark):
+        """Column names with spaces/dots/quotes must work — the BPE
+        expression is built from Columns, not an f-string into
+        F.expr (which such names would break or inject into)."""
+        df = spark.createDataFrame(
+            [(0, "hello world")], "doc_id long, text string"
+        ).withColumnRenamed("text", "doc text, isn't it")
+        rows = token_stats(df, "doc text, isn't it").collect()
+        assert rows[0]["n_tokens"] == 2
+        assert rows[0]["n_bpe_tokens"] == 2
 
     def test_text_quality_ttr(self, spark, docs):
         rows = {r["doc_id"]: r for r in text_quality(docs, "text").collect()}

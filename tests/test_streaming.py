@@ -112,6 +112,40 @@ class TestStreamingDedup:
         got = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == {"aaa": 0, "bbb": 1, "ddd": 11}
 
+    def test_rocksdb_state_store_provider(self, spark, stream_dirs):
+        """The documented at-scale configuration: dedup state under the
+        RocksDB provider (state on local disk, not executor heap).
+        Same dedup semantics, including a cross-restart replay drop
+        through RocksDB-checkpointed state."""
+        from datatest_spark.streaming import rocksdb_state_conf
+
+        src, out, ckpt = stream_dirs
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        try:
+            for k, v in rocksdb_state_conf().items():
+                spark.conf.set(k, v)
+            rows = [(0, "aaa"), (1, "bbb"), (2, "aaa")]
+            (spark.createDataFrame(rows, "doc_id long, text string")
+             .coalesce(1).write.mode("append").parquet(src))
+            self._run(spark, src, out, ckpt)
+            got = {r["text"]: r["doc_id"]
+                   for r in spark.read.parquet(out).collect()}
+            assert got == {"aaa": 0, "bbb": 1}
+
+            (spark.createDataFrame([(10, "aaa"), (11, "ccc")],
+                                   "doc_id long, text string")
+             .coalesce(1).write.mode("append").parquet(src))
+            self._run(spark, src, out, ckpt)
+            got = {r["text"]: r["doc_id"]
+                   for r in spark.read.parquet(out).collect()}
+            assert got == {"aaa": 0, "bbb": 1, "ccc": 11}
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
     def test_state_ttl_expires_and_reemits(self, spark, stream_dirs):
         """With a TTL, an idle content's state cell expires (an
         intermediate batch with other data processes the timeout) and
