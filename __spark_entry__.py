@@ -370,7 +370,34 @@ def q_profile_merge(spark, sf_dir):
     prof = partitioned_profile(
         li, ["l_quantity", "l_linenumber"], partition_col="l_returnflag"
     )
-    return merge_profiles(prof)
+    return merge_profiles(prof).select(
+        "column_name", "row_count", "non_null", "min_v", "max_v",
+        "sum_v", "distinct_est",
+    )
+
+
+def q_profile_hist_merge(spark, sf_dir):
+    """Mergeable QUANTILE sketch certification (stats.py round 5):
+    lineitem profiled per l_returnflag partition with a fixed-edge
+    histogram on l_quantity; the merged bucket counts must equal the
+    whole-table exact bucket counts (fixed-edge counts are sums, so
+    partition merge is lossless) — and with them every quantile
+    interpolated by quantiles_from_histogram, closing the one
+    non-mergeable gap percentile_approx left.  Oracle: DuckDB
+    comparison-chain bucketing + GROUP BY."""
+    from datatest_spark.stats import merge_profiles, partitioned_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = [10.0, 20.0, 30.0, 40.0]
+    prof = partitioned_profile(
+        li, ["l_quantity"], partition_col="l_returnflag",
+        bin_edges={"l_quantity": edges},
+    )
+    merged = merge_profiles(prof)
+    return merged.select(
+        "column_name",
+        F.posexplode("hist").alias("bucket", "bucket_count"),
+    )
 
 
 def q_knn_join(spark, sf_dir):
@@ -872,6 +899,55 @@ def q_streaming_windowed(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Streaming→drift loop (round 5): per-day fixed-edge histograms
+    stream under the 25 h watermark (windowed_profile bin_edges), then
+    windowed_drift_psi scores every emitted window against a uniform
+    baseline — columnar PSI over the hist arrays, no rescan, no Python
+    row path.  The SQL oracle recomputes the same cutoff, bucket
+    counts and PSI closed-form in DuckDB."""
+    import os
+    import tempfile
+
+    from datatest_spark.streaming import windowed_drift_psi, windowed_profile
+
+    events = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dts_sdrift_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    events.repartition(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prof = windowed_profile(
+        stream, "ts", value_col="value", window="1 day",
+        allowed_lateness="25 hours", bin_edges=[50.0, 150.0, 300.0],
+    )
+    q = (
+        prof.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    scored = windowed_drift_psi(
+        spark.read.parquet(out_dir),
+        baseline_props=[0.25, 0.25, 0.25, 0.25], threshold=0.05,
+    )
+    return scored.select(
+        "window_start", "window_end", "n_rows",
+        F.col("hist")[0].alias("h0"), F.col("hist")[1].alias("h1"),
+        F.col("hist")[2].alias("h2"), F.col("hist")[3].alias("h3"),
+        F.round(F.col("psi"), 4).alias("psi_r"), "drifted",
+    )
+
+
 def q_streaming_rowrules(spark, sf_dir):
     """Structured Streaming validation (SURVEY §2D streaming): the
     documents table split into 4 files, streamed one file per
@@ -1040,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dropped tail is made of queries with multiple green rows in past
     # rounds, never a new or un-recertified one.
     return {
+        "profile_hist_merge": q_profile_hist_merge,
+        "streaming_drift": q_streaming_drift,
         "simhash_neardup": q_simhash_neardup,
         "acceptance_args": q_acceptance_args,
         "knn_join": q_knn_join,
@@ -1587,6 +1665,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_linenumber) AS BIGINT)
             FROM lineitem
         """,
+        # merged fixed-edge histogram == whole-table exact bucket
+        # counts (counts are sums → partition merge is lossless)
+        "profile_hist_merge": """
+            SELECT 'l_quantity' AS column_name,
+                   (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 20 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS bucket,
+                   count(*) AS bucket_count
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+            GROUP BY 2
+        """,
         # watermarked windowed profile: emitted = day-windows whose end
         # <= max(ts) - 25h (watermark), any micro-batch order
         "streaming_windowed": """
@@ -1603,6 +1694,35 @@ def oracle_sql() -> dict[str, str]:
                    window_start + INTERVAL 1 DAY AS window_end,
                    event_type, n_rows, value_sum, value_min, value_max
             FROM b, m
+            WHERE window_start + INTERVAL 1 DAY <= m.cutoff
+        """,
+        # streaming windowed histograms → per-window PSI vs a uniform
+        # baseline: same watermark cutoff, bucket counts and PSI
+        # closed-form recomputed in DuckDB
+        "streaming_drift": """
+            WITH m AS (SELECT max(ts) - INTERVAL 25 HOUR AS cutoff
+                       FROM events),
+            b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                         count(*) AS n_rows,
+                         sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS h0,
+                         sum(CASE WHEN value > 50 AND value <= 150
+                             THEN 1 ELSE 0 END) AS h1,
+                         sum(CASE WHEN value > 150 AND value <= 300
+                             THEN 1 ELSE 0 END) AS h2,
+                         sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS h3
+                  FROM events GROUP BY 1),
+            p AS (SELECT *, CAST(h0+h1+h2+h3 AS DOUBLE) AS n FROM b),
+            s AS (SELECT *, round(
+                    (greatest(h0/n,1e-6)-0.25)*ln(greatest(h0/n,1e-6)/0.25)
+                  + (greatest(h1/n,1e-6)-0.25)*ln(greatest(h1/n,1e-6)/0.25)
+                  + (greatest(h2/n,1e-6)-0.25)*ln(greatest(h2/n,1e-6)/0.25)
+                  + (greatest(h3/n,1e-6)-0.25)*ln(greatest(h3/n,1e-6)/0.25),
+                  4) AS psi_r FROM p)
+            SELECT window_start,
+                   window_start + INTERVAL 1 DAY AS window_end,
+                   n_rows, h0, h1, h2, h3, psi_r,
+                   psi_r > 0.05 AS drifted
+            FROM s, m
             WHERE window_start + INTERVAL 1 DAY <= m.cutoff
         """,
         # ivf_knn_join probes ALL cells (nprobe=n_cells) → must equal

@@ -47,6 +47,7 @@ __all__ = [
     "outliers",
     "partitioned_profile",
     "merge_profiles",
+    "quantiles_from_histogram",
 ]
 
 _Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
@@ -135,11 +136,30 @@ def profile_long(df: DataFrame, **kw) -> DataFrame:
     return profile(df, **kw)
 
 
+def _bucket_index(col: Column, edges: Sequence[float]) -> Column:
+    """Bucket index for fixed interior ``edges``: #edges strictly below
+    the value — a codegen'd comparison chain, no UDF."""
+    idx: Column = F.lit(0)
+    for e in edges:
+        idx = idx + (col > F.lit(float(e))).cast("int")
+    return idx
+
+
 def partitioned_profile(df: DataFrame, columns: Sequence[str],
-                        partition_col: str = "part_id") -> DataFrame:
+                        partition_col: str = "part_id",
+                        bin_edges: Optional[Dict[str, Sequence[float]]] = None,
+                        ) -> DataFrame:
     """Per-partition MERGEABLE profile: one row per (partition, column)
-    with exact count/null/min/max/sum stats plus a binary HLL sketch
-    (``hll_sketch_agg`` — Apache DataSketches, union-mergeable).
+    with exact count/null/min/max/sum stats, a binary HLL sketch
+    (``hll_sketch_agg`` — Apache DataSketches, union-mergeable) and —
+    for columns listed in ``bin_edges`` — a fixed-edge histogram
+    (``hist``: bucket counts over the column's interior edges, bucket i
+    = #values with exactly i edges below them).  Fixed-edge counts are
+    *exactly* union-mergeable (they are sums), which is what
+    ``percentile_approx`` results are not — so the merged profile
+    carries a quantile sketch too: :func:`quantiles_from_histogram`
+    interpolates any quantile grid from the merged counts, and
+    :meth:`DriftPSIRule.from_histogram` consumes the counts directly.
 
     This is the incremental-profiling shape for append-only tables:
     profile only the NEW partitions, store the rows, and
@@ -147,30 +167,69 @@ def partitioned_profile(df: DataFrame, columns: Sequence[str],
     including exact-union distinct estimates via ``hll_union_agg`` —
     without ever rescanning old data.  (``approx_count_distinct``
     returns only the estimate, so per-partition results could not be
-    combined; the sketch column is what makes the profile mergeable.)
+    combined; the sketch and histogram columns are what make the
+    profile mergeable.)
+
+    Plan shape: ONE ``groupBy(partition_col)`` carrying every column's
+    aggregate expressions — a single scan + single shuffle of
+    ~n_partitions rows regardless of how many columns are profiled —
+    then a zero-shuffle array-of-structs explode to long form.
     """
-    per_col = []
+    bin_edges = {
+        c: sorted({float(e) for e in es})
+        for c, es in (bin_edges or {}).items()
+    }
+    exprs: List[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
         col = F.col(c)
-        per_col.append(
-            df.groupBy(F.col(partition_col).cast("string").alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.count(col).alias("non_null"),
-                F.min(col).cast("double").alias("min_v"),
-                F.max(col).cast("double").alias("max_v"),
-                F.sum(col.cast("double")).alias("sum_v"),
-                # sketch over the string form: hll_sketch_agg accepts
-                # only int/bigint/string/binary, and the cast is
-                # injective per column type so distinct counts carry
-                F.hll_sketch_agg(col.cast("string")).alias("distinct_sketch"),
+        exprs += [
+            F.count(col).alias(f"{c}__nn"),
+            F.min(col).cast("double").alias(f"{c}__mn"),
+            F.max(col).cast("double").alias(f"{c}__mx"),
+            F.sum(col.cast("double")).alias(f"{c}__sm"),
+            # sketch over the string form: hll_sketch_agg accepts
+            # only int/bigint/string/binary, and the cast is
+            # injective per column type so distinct counts carry
+            F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"),
+        ]
+        if c in bin_edges:
+            cd = col.cast("double")
+            idx = _bucket_index(cd, bin_edges[c])
+            exprs += [
+                F.sum((cd.isNotNull() & (idx == F.lit(i))).cast("long"))
+                .alias(f"{c}__h{i}")
+                for i in range(len(bin_edges[c]) + 1)
+            ]
+    wide = df.groupBy(
+        F.col(partition_col).cast("string").alias("partition_id")
+    ).agg(*exprs)
+
+    structs = []
+    for c in columns:
+        if c in bin_edges:
+            edges = bin_edges[c]
+            hist = F.array(
+                *[F.col(f"{c}__h{i}") for i in range(len(edges) + 1)]
             )
-            .select(F.lit(c).alias("column_name"), "*")
+            hedges = F.array(*[F.lit(e) for e in edges]).cast("array<double>")
+        else:
+            hist = F.lit(None).cast("array<bigint>")
+            hedges = F.lit(None).cast("array<double>")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("partition_id"),
+                F.col("__rows").alias("row_count"),
+                F.col(f"{c}__nn").alias("non_null"),
+                F.col(f"{c}__mn").alias("min_v"),
+                F.col(f"{c}__mx").alias("max_v"),
+                F.col(f"{c}__sm").alias("sum_v"),
+                F.col(f"{c}__hll").alias("distinct_sketch"),
+                hedges.alias("hist_edges"),
+                hist.alias("hist"),
+            )
         )
-    out = per_col[0]
-    for nxt in per_col[1:]:
-        out = out.unionByName(nxt)
-    return out
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
 def merge_profiles(profiles: DataFrame) -> DataFrame:
@@ -178,7 +237,18 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     possibly read back from storage) into per-column table-level stats.
     HLL union is lossless over disjoint-or-not inputs, so the merged
     ``distinct_est`` equals what a single whole-table sketch would
-    estimate."""
+    estimate; fixed-edge histogram counts merge by element-wise sum, so
+    the merged ``hist`` EQUALS the whole-table histogram exactly (and
+    with it any quantile interpolated via
+    :func:`quantiles_from_histogram`)."""
+    empty = F.array().cast("array<bigint>")
+    hist_merged = F.aggregate(
+        F.collect_list("hist"),  # collect_list drops nulls
+        empty,
+        lambda acc, h: F.when(F.size(acc) == 0, h).otherwise(
+            F.zip_with(acc, h, lambda a, b: a + b)
+        ),
+    )
     return (
         profiles.groupBy("column_name")
         .agg(
@@ -190,8 +260,53 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             F.hll_sketch_estimate(
                 F.hll_union_agg("distinct_sketch")
             ).alias("distinct_est"),
+            F.first("hist_edges", ignorenulls=True).alias("hist_edges"),
+            F.when(F.size(hist_merged) > 0, hist_merged).alias("hist"),
         )
     )
+
+
+def quantiles_from_histogram(edges: Sequence[float], counts: Sequence[int],
+                             probs: Sequence[float],
+                             lo: Optional[float] = None,
+                             hi: Optional[float] = None) -> List[float]:
+    """Interpolate a quantile grid from a fixed-edge histogram — the
+    mergeable-quantile read path: merged partition histograms →
+    baseline quantiles for :class:`DriftPSIRule` / :class:`DriftKSRule`
+    without rescanning any data.
+
+    ``edges`` are the interior bucket edges (bucket i holds values with
+    exactly i edges below them); ``lo``/``hi`` bound the two open outer
+    buckets (pass the profile's merged ``min_v``/``max_v``).  Values
+    are assumed uniform within a bucket (the standard histogram
+    interpolation), so accuracy is the bucket width — by construction
+    the same resolution the PSI/KS drift rules bucket at.
+    """
+    counts = [int(x) for x in counts]
+    total = sum(counts)
+    if total <= 0 or not edges:
+        return []
+    lo = float(lo) if lo is not None else float(edges[0])
+    hi = float(hi) if hi is not None else float(edges[-1])
+    bounds = [min(lo, float(edges[0]))] + [float(e) for e in edges] + [
+        max(hi, float(edges[-1]))
+    ]
+    out = []
+    cum = [0]
+    for n in counts:
+        cum.append(cum[-1] + n)
+    for p in probs:
+        t = min(max(p, 0.0), 1.0) * total
+        # first bucket whose cumulative count reaches t
+        b = 0
+        while b < len(counts) - 1 and cum[b + 1] < t:
+            b += 1
+        n_b = counts[b]
+        frac = 0.0 if n_b == 0 else (t - cum[b]) / n_b
+        frac = min(max(frac, 0.0), 1.0)
+        v0, v1 = bounds[b], bounds[b + 1]
+        out.append(v0 + frac * (v1 - v0))
+    return out
 
 
 def quantile_sketch(df: DataFrame, column: str, accuracy: int = 10_000) -> List[float]:
@@ -286,24 +401,44 @@ class _BucketDriftRule(Rule):
         self.column = column
         self.baseline_q = list(baseline_quantiles)
         self.threshold = threshold
+        self._hist_edges: Optional[List[float]] = None
+        self._hist_props: Optional[List[float]] = None
+
+    @classmethod
+    def from_histogram(cls, column: str, edges: Sequence[float],
+                       counts: Sequence[int], threshold: float = 0.2,
+                       rule_id: Optional[str] = None):
+        """Build the drift rule directly from a fixed-edge histogram —
+        the :func:`merge_profiles` feed: merged ``hist_edges``/``hist``
+        become the baseline with NO quantile round-trip and no rescan
+        of baseline data.  Bucket proportions are the counts
+        normalized; the current table is bucketed at the same edges, so
+        the comparison is exact bucket-for-bucket."""
+        total = float(sum(int(x) for x in counts)) or 1.0
+        rule = cls(column, [], threshold, rule_id)
+        rule._hist_edges = sorted({float(e) for e in edges})
+        rule._hist_props = [int(x) / total for x in counts]
+        return rule
 
     def statistic(self, current: Sequence[float], props: Sequence[float]) -> float:
         raise NotImplementedError  # pragma: no cover
 
-    def plan(self, ctx: ValidationContext) -> DataFrame:
+    def _edges_props(self):
+        """(interior edges, baseline bucket proportions) — from the
+        explicit histogram when given, else derived from the baseline
+        quantile grid."""
+        if self._hist_edges is not None:
+            return list(self._hist_edges), list(self._hist_props)
         # dedupe edges (flat regions in the baseline collapse buckets)
         edges = sorted(set(self.baseline_q[1:-1]))
-        n_buckets = len(edges) + 1
-        if n_buckets < 2:
-            return ctx.spark.createDataFrame([], "x string").select(
-                finalize_cols(self.rule_id, DEVIATION)
-            ).limit(0)
-
+        if not self.baseline_q or len(edges) < 1:
+            return edges, []
         # baseline proportion per collapsed bucket: each original grid
         # segment carries 1/(len-1) mass; merge segments sharing an edge
         seg_mass = 1.0 / (len(self.baseline_q) - 1)
         props = []
         seg_idx = 0
+        n_buckets = len(edges) + 1
         for b in range(n_buckets):
             upper = edges[b] if b < len(edges) else None
             mass = 0.0
@@ -313,11 +448,20 @@ class _BucketDriftRule(Rule):
                 mass += seg_mass
                 seg_idx += 1
             props.append(mass)
+        return edges, props
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        edges, props = self._edges_props()
+        n_buckets = len(edges) + 1
+        if n_buckets < 2:
+            return ctx.spark.createDataFrame([], "x string").select(
+                finalize_cols(self.rule_id, DEVIATION)
+            ).limit(0)
 
         c = F.col(self.column).cast("double")
         # bucket index = number of edges below the value (codegen'd
         # comparison chain — no UDF, no second scan)
-        bucket = sum((c > F.lit(e)).cast("int") for e in edges)
+        bucket = _bucket_index(c, edges)
 
         counts = (
             ctx.df.select(bucket.alias("_b"))

@@ -22,21 +22,27 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_profile"]
+__all__ = ["windowed_profile", "windowed_drift_psi"]
 
 
 def windowed_profile(stream_df: DataFrame, ts_col: str,
                      value_col: Optional[str] = None,
                      window: str = "1 hour",
                      allowed_lateness: str = "97 minutes",
-                     keys: Sequence[str] = ()) -> DataFrame:
+                     keys: Sequence[str] = (),
+                     bin_edges: Optional[Sequence[float]] = None) -> DataFrame:
     """Per-window (x keys) profile of a stream: row count, plus
-    sum/min/max of ``value_col`` when given — the inputs drift rules
-    (stats.py PSI/KS) compare against baseline sketches, computed
-    incrementally with bounded state.
+    sum/min/max of ``value_col`` when given — and, with ``bin_edges``,
+    a fixed-edge histogram ``hist`` of the value column per window
+    (bucket i = #values with exactly i edges below them).  Histogram
+    counts are plain conditional sums, so they stream under the
+    watermark with the same bounded state as the other aggregates, and
+    they are the exact shape :func:`windowed_drift_psi` and the batch
+    drift rules (stats.py :meth:`DriftPSIRule.from_histogram`)
+    consume — the streaming feed for incremental drift baselines.
 
     ``allowed_lateness`` is the watermark delay: events later than
     this past the stream's max event time are dropped, and a window
@@ -46,6 +52,7 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
     emit-on-equality edge observable).
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    extra_cols = []
     if value_col is not None:
         c = F.col(value_col)
         aggs += [
@@ -53,17 +60,71 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
             F.min(c).alias("value_min"),
             F.max(c).alias("value_max"),
         ]
+        extra_cols += ["value_sum", "value_min", "value_max"]
+        if bin_edges:
+            edges = sorted({float(e) for e in bin_edges})
+            cd = c.cast("double")
+            idx: Column = F.lit(0)
+            for e in edges:
+                idx = idx + (cd > F.lit(e)).cast("int")
+            aggs += [
+                F.sum((cd.isNotNull() & (idx == F.lit(i))).cast("long"))
+                .alias(f"__h{i}")
+                for i in range(len(edges) + 1)
+            ]
     w = F.window(ts_col, window).alias("_w")
     out = (
         stream_df.withWatermark(ts_col, allowed_lateness)
         .groupBy(w, *[F.col(k) for k in keys])
         .agg(*aggs)
     )
+    hist_cols = []
+    if value_col is not None and bin_edges:
+        n_buckets = len(sorted({float(e) for e in bin_edges})) + 1
+        hist_cols = [
+            F.array(*[F.col(f"__h{i}") for i in range(n_buckets)])
+            .alias("hist")
+        ]
     return out.select(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
         *[F.col(k) for k in keys],
-        *[F.col(a) for a in
-          (["n_rows"] + (["value_sum", "value_min", "value_max"]
-                         if value_col is not None else []))],
+        *[F.col(a) for a in (["n_rows"] + extra_cols)],
+        *hist_cols,
+    )
+
+
+def windowed_drift_psi(profiles: DataFrame,
+                       baseline_props: Sequence[float],
+                       threshold: float = 0.2,
+                       eps: float = 1e-6) -> DataFrame:
+    """Per-window PSI against a fixed baseline, columnar over the
+    ``hist`` arrays :func:`windowed_profile` emits — closing the loop
+    between the streaming layer and the drift rules: a baseline from
+    :func:`datatest_spark.stats.merge_profiles` (same fixed edges)
+    scores every emitted window with NO rescan and NO Python row path.
+
+    Works on the streaming frame itself (it is a pure projection) or on
+    a batch read-back of the profile sink.  Adds ``psi`` (rounded to 6
+    decimals) and ``drifted`` columns.
+    """
+    total = float(sum(baseline_props)) or 1.0
+    q_arr = [max(float(p) / total, eps) for p in baseline_props]
+    n = F.aggregate(
+        F.col("hist"), F.lit(0.0), lambda a, b: a + b.cast("double")
+    )
+    props = F.transform(
+        F.col("hist"),
+        lambda c: F.greatest(c.cast("double") / n, F.lit(eps)),
+    )
+    terms = F.zip_with(
+        props,
+        F.array(*[F.lit(q) for q in q_arr]),
+        lambda p, q: (p - q) * F.log(p / q),
+    )
+    psi = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b), 6
+    )
+    return profiles.withColumn("psi", psi).withColumn(
+        "drifted", F.col("psi") > F.lit(float(threshold))
     )

@@ -162,3 +162,97 @@ class TestMergeableProfiles:
         b = merge_profiles(
             partitioned_profile(parts_df, ["v"], "part_id")).collect()[0]
         assert a == b
+
+    def test_single_scan_many_columns(self, spark, parts_df):
+        """partitioned_profile must be ONE scan + ONE groupBy no matter
+        how many columns are profiled (one agg carrying every column's
+        expressions, then a zero-shuffle explode to long form)."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import partitioned_profile
+
+        df = parts_df.withColumn("w", F.col("v") * 2).withColumn(
+            "u", F.col("v") + 1
+        )
+        prof = partitioned_profile(
+            df, ["v", "w", "u"], "part_id",
+            bin_edges={"v": [30.0, 90.0], "w": [10.0, 50.0, 200.0]},
+        )
+        plan = prof._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range") == 1  # ONE scan of the source
+        assert plan.count("Exchange") <= 2  # the groupBy shuffle (+AQE read)
+        # one fused aggregate (partial + final) carries every column's
+        # expressions — NOT one aggregation per column
+        import re
+
+        n_aggs = len(re.findall(r"\b(?:Object|Sort)?(?:Hash)?Aggregate\(keys=", plan))
+        assert 1 <= n_aggs <= 2
+        rows = prof.collect()
+        assert len(rows) == 3 * 4  # columns x partitions
+        assert {r["column_name"] for r in rows} == {"v", "w", "u"}
+
+    def test_histogram_merge_exact_and_quantiles(self, spark, parts_df):
+        """Fixed-edge histogram counts merge by element-wise sum to
+        EXACTLY the whole-table histogram — the mergeable quantile
+        sketch: interpolated quantiles from the merged counts equal the
+        whole-table-histogram quantiles, and land within one bucket
+        width of the exact percentiles."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import (
+            merge_profiles,
+            partitioned_profile,
+            quantiles_from_histogram,
+        )
+
+        edges = [float(e) for e in range(10, 137, 10)]
+        kw = dict(bin_edges={"v": edges})
+        old = partitioned_profile(
+            parts_df.filter(F.col("part_id") < 2), ["v"], "part_id", **kw)
+        new = partitioned_profile(
+            parts_df.filter(F.col("part_id") >= 2), ["v"], "part_id", **kw)
+        m = merge_profiles(old.unionByName(new)).collect()[0]
+        whole = merge_profiles(
+            partitioned_profile(parts_df, ["v"], "part_id", **kw)
+        ).collect()[0]
+        assert list(m["hist"]) == list(whole["hist"])
+        assert sum(m["hist"]) == 1000
+        assert list(m["hist_edges"]) == edges
+
+        probs = [0.25, 0.5, 0.75]
+        q_merged = quantiles_from_histogram(
+            m["hist_edges"], m["hist"], probs, lo=m["min_v"], hi=m["max_v"])
+        q_whole = quantiles_from_histogram(
+            whole["hist_edges"], whole["hist"], probs,
+            lo=whole["min_v"], hi=whole["max_v"])
+        assert q_merged == q_whole
+        exact = parts_df.agg(
+            F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("q")
+        ).collect()[0]["q"]
+        for est, ex in zip(q_merged, exact):
+            assert abs(est - ex) <= 10.0  # within one bucket width
+
+    def test_drift_rule_from_merged_histogram(self, spark, parts_df):
+        """merge_profiles hist → DriftPSIRule.from_histogram: the
+        incremental drift baseline with no quantile round-trip.  Same
+        distribution passes; a shifted table fires."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import (
+            DriftPSIRule, merge_profiles, partitioned_profile)
+        from datatest_spark.validation import Engine
+
+        edges = [float(e) for e in range(10, 137, 10)]
+        m = merge_profiles(partitioned_profile(
+            parts_df, ["v"], "part_id", bin_edges={"v": edges})
+        ).collect()[0]
+        rule = DriftPSIRule.from_histogram(
+            "v", m["hist_edges"], m["hist"], threshold=0.1)
+        engine = Engine(spark)
+        same = parts_df.select(F.col("v").alias("v"))
+        assert engine.validate(same, [rule]).ok
+        shifted = parts_df.select((F.col("v") + 500).alias("v"))
+        rule2 = DriftPSIRule.from_histogram(
+            "v", m["hist_edges"], m["hist"], threshold=0.1)
+        rows = engine.validate(shifted, [rule2]).violations.collect()
+        assert len(rows) == 1 and rows[0]["deviation"] > 0.5

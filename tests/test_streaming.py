@@ -258,3 +258,50 @@ class TestWindowedProfile:
         # watermark 09:20 → hours 0..8 emitted; hour 9 still open;
         # the late id=999 row was dropped, so hour 0 is still 2
         assert got2 == {h: 2 for h in range(9)}, got2
+
+    def test_windowed_hist_feeds_drift_psi(self, spark, stream_dirs):
+        """The streaming→drift loop: per-window fixed-edge histograms
+        stream under the watermark, and windowed_drift_psi scores each
+        emitted window against a baseline — a window whose value
+        distribution shifted fires, the in-distribution window does
+        not.  Pure projections end to end: no rescan, no Python rows."""
+        import datetime as dt
+
+        from datatest_spark.streaming import (
+            windowed_drift_psi, windowed_profile)
+
+        src, out, ckpt = stream_dirs
+        base = dt.datetime(2026, 1, 1)
+        # hour 0: values uniform over the 4 buckets (edges 10/20/30);
+        # hour 1: every value in the top bucket (drifted);
+        # hour 2: only exists to push the watermark past hour 1's end
+        rows = []
+        for m in range(8):
+            rows.append((m, base + dt.timedelta(minutes=7 * m),
+                         float(5 + 10 * (m % 4))))
+        for m in range(8):
+            rows.append((100 + m, base + dt.timedelta(hours=1, minutes=7 * m),
+                         99.0))
+        rows.append((999, base + dt.timedelta(hours=2, minutes=45), 15.0))
+        (spark.createDataFrame(rows, "id long, ts timestamp, v double")
+         .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "id long, ts timestamp, v double").parquet(src)
+        prof = windowed_profile(
+            stream, "ts", value_col="v", window="1 hour",
+            allowed_lateness="30 minutes", bin_edges=[10.0, 20.0, 30.0])
+        q = (prof.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        scored = windowed_drift_psi(
+            spark.read.parquet(out),
+            baseline_props=[0.25, 0.25, 0.25, 0.25], threshold=0.2)
+        got = {r["window_start"].hour: r for r in scored.collect()}
+        assert set(got) == {0, 1}  # hour 2 still open past the watermark
+        assert list(got[0]["hist"]) == [2, 2, 2, 2]
+        assert list(got[1]["hist"]) == [0, 0, 0, 8]
+        assert not got[0]["drifted"] and abs(got[0]["psi"]) < 1e-9
+        assert got[1]["drifted"] and got[1]["psi"] > 1.0
