@@ -9,6 +9,7 @@ from .ann import (  # noqa: F401
     ivf_knn_join,
     ivf_topk,
     knn_join,
+    knn_join_distributed,
     topk_neighbors,
 )
 from .dedup import (  # noqa: F401

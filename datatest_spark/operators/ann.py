@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
            "IvfIndex", "ivf_build", "ivf_query", "knn_join",
-           "ivf_knn_join"]
+           "ivf_knn_join", "knn_join_distributed"]
 
 
 def _hadoop_path(spark, base: str, name: str):
@@ -311,7 +311,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if len(q_rows) > max_queries:
         raise ValueError(
             f"knn_join: > {max_queries} query rows; for query sets this "
-            "large build an IvfIndex and probe per partition instead"
+            "large build an IvfIndex and use knn_join_distributed, "
+            "which assigns queries to cells with no driver collect"
         )
     if not q_rows:
         raise ValueError("knn_join: empty query set")
@@ -413,8 +414,9 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     ).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"ivf_knn_join: > {max_queries} query rows; shard the query "
-            "set and run per shard"
+            f"ivf_knn_join: > {max_queries} query rows; use "
+            "knn_join_distributed, which routes queries to cells with "
+            "no driver collect and no query-count bound"
         )
     if not q_rows:
         raise ValueError("ivf_knn_join: empty query set")
@@ -495,6 +497,112 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     local = pruned.select(id_col, column, "cell").mapInPandas(
         local_topk, out_schema
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def knn_join_distributed(index: IvfIndex, queries: DataFrame, k: int = 10,
+                         nprobe: int = 4,
+                         query_id_col: Optional[str] = None,
+                         query_column: Optional[str] = None) -> DataFrame:
+    """Batch kNN for UNBOUNDED query sets — the scale path past
+    :func:`knn_join`'s ``max_queries`` broadcast bound.  No driver
+    collect anywhere: queries are assigned to their ``nprobe`` nearest
+    cells with JVM expressions (the same centroid-scoring shape
+    :func:`ivf_build` uses for the corpus), then corpus and queries
+    **cogroup by cell** and each cell scores its members against only
+    the queries probing it — one Arrow-batched BLAS product per cell,
+    a per-query local top-k out of the Python stage, and a final
+    window keeps the global top-k across each query's probed cells.
+
+    Cost: ``~|corpus|·|Q|·nprobe/n_cells`` multiply-adds spread over
+    the cells, with shuffles keyed on the (int) cell id.  A cell's
+    corpus+probe rows are held in one pandas frame while it scores, so
+    size ``n_cells`` such that ``|corpus|/n_cells`` rows of embeddings
+    fit an executor (the same sizing rule as the IVF index itself);
+    the cell-id shuffle is subject to AQE skew splitting only between
+    cells, so a single dominant cell should be fixed at build time
+    (more cells), not at query time.
+
+    With ``nprobe >= n_cells`` the result is exactly
+    :func:`knn_join`'s (identical rounding and tie-break — the oracle
+    certifies the equivalence); smaller ``nprobe`` trades recall for
+    pruned compute, as usual for IVF.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    query_id_col = query_id_col or index.id_col
+    query_column = query_column or index.column
+    id_col, column = index.id_col, index.column
+    n_cells = len(index.centroids)
+    nprobe = min(int(nprobe), n_cells)
+    cn = index.centroids / np.maximum(
+        np.linalg.norm(index.centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    # per-query probe cells, all JVM expressions: score each centroid,
+    # sort the (score, cell) structs, keep the nprobe best, explode
+    qcol = F.col(query_column)
+    qnorm = F.sqrt(_dot(qcol, qcol))
+    cells = [
+        F.struct(
+            (_dot(qcol, F.array(*[F.lit(float(v)) for v in cvec])) / qnorm)
+            .alias("score"),
+            F.lit(ci).alias("cell"),
+        )
+        for ci, cvec in enumerate(cn)
+    ]
+    probes = F.slice(F.reverse(F.array_sort(F.array(*cells))), 1, nprobe)
+    probed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qcol.cast("array<double>").alias("__qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id",
+                          index.assigned.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def cell_topk(corpus_pdf: pd.DataFrame,
+                  probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(corpus_pdf) or not len(probe_pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "cosine": []})
+        mat = np.array(corpus_pdf[column].tolist(), dtype=float)
+        mnorm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        qmat = np.array(probe_pdf["__qv"].tolist(), dtype=float)
+        qn = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+        scores = np.round((mat @ qmat.T) / np.outer(mnorm, qn), 6)
+        ids = corpus_pdf[id_col].to_numpy()
+        qids = probe_pdf["query_id"].to_numpy()
+        outs = []
+        for j in range(len(qids)):
+            order = np.lexsort((ids, -scores[:, j]))[:k]
+            outs.append(pd.DataFrame({
+                "query_id": [qids[j]] * len(order),
+                "neighbor_id": ids[order],
+                "cosine": scores[order, j],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    corpus = index.assigned.select(id_col, column, "cell")
+    local = corpus.groupby("cell").cogroup(
+        probed.groupby("cell")
+    ).applyInPandas(cell_topk, out_schema)
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

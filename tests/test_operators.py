@@ -324,6 +324,63 @@ class TestIvfKnnJoin:
         rows = ivf_knn_join(index, queries, k=5, nprobe=1).collect()
         assert {r["neighbor_id"] for r in rows} == {0, 1, 4}
 
+    def test_distributed_probe_all_equals_brute_force(self, spark, vectors):
+        """knn_join_distributed with nprobe=n_cells must equal
+        knn_join exactly (same rounding, same tie-break) — certifies
+        the JVM probe routing, per-cell cogroup scoring, and the
+        global window."""
+        from datatest_spark.operators import (
+            ivf_build, knn_join, knn_join_distributed)
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        queries = vectors.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, knn_join_distributed(
+            index, queries, k=3, nprobe=3).collect()))
+        b = sorted(map(tuple, knn_join(vectors, queries, k=3).collect()))
+        assert a == b
+
+    def test_distributed_single_probe_prunes(self, spark, vectors):
+        from datatest_spark.operators import ivf_build, knn_join_distributed
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        queries = vectors.filter(F.col("vec_id") == 0)
+        rows = knn_join_distributed(index, queries, k=5, nprobe=1).collect()
+        assert {r["neighbor_id"] for r in rows} == {0, 1, 4}
+
+    def test_distributed_handles_100k_queries(self, spark):
+        """The whole point: a query set 10x past knn_join's broadcast
+        bound runs with NO driver collect and no exception.  100k
+        synthetic queries against a 2k corpus, 16 cells, nprobe=2 —
+        each query's neighbors must come back (k rows each) and a
+        spot-checked query must rank its exact-duplicate corpus row
+        first with cosine 1.0."""
+        from datatest_spark.operators import ivf_build, knn_join_distributed
+
+        corpus = spark.range(2000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.sin(F.col("id") * F.lit(0.7) + F.lit(d))
+                      for d in range(4)]).alias("embedding"),
+        )
+        queries = spark.range(100_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.sin((F.col("id") % 2000) * F.lit(0.7) + F.lit(d))
+                      for d in range(4)]).alias("embedding"),
+        )
+        import math
+
+        train = [[math.sin(i * 0.7 + d) for d in range(4)]
+                 for i in range(0, 2000, 40)]
+        index = ivf_build(corpus, n_cells=16, train_vectors=train)
+        out = knn_join_distributed(index, queries, k=3, nprobe=2)
+        per_q = out.groupBy("query_id").count()
+        assert per_q.count() == 100_000
+        assert per_q.agg(F.max("count")).collect()[0][0] == 3
+        # query 123456 % 2000 = ... pick qid 4321 → corpus 321 duplicate
+        top = (out.filter(F.col("query_id") == 4321)
+               .orderBy(F.col("cosine").desc()).first())
+        assert top["neighbor_id"] == 4321 % 2000
+        assert top["cosine"] == 1.0
+
     def test_written_index_prunes_scan(self, spark, vectors, tmp_path):
         """Against a written (cell-partitioned) index, the probed-cell
         filter must reach the parquet scan as a PartitionFilter."""
