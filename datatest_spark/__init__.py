@@ -31,6 +31,7 @@ from . import requirements
 from . import acceptances as _acceptances_module  # noqa: F401
 from .acceptances import accepted
 from .caching import unpersist_result
+from .case import DataTestCase, assert_invalid, assert_valid, mandatory
 from .repeating import RepeatingContainer
 from .working_directory import working_directory
 
@@ -54,6 +55,10 @@ __all__ = [
     "valid",
     "requirements",
     "accepted",
+    "DataTestCase",
+    "assert_valid",
+    "assert_invalid",
+    "mandatory",
     "unpersist_result",
     "RepeatingContainer",
     "working_directory",

@@ -7,6 +7,7 @@ from .ann import (  # noqa: F401
     ivf_build,
     ivf_query,
     ivf_knn_join,
+    ivf_recall,
     ivf_topk,
     knn_join,
     knn_join_distributed,

@@ -22,9 +22,22 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheHandle, evict_all
+
 __all__ = ["cosine_scores", "topk_neighbors", "ivf_topk",
            "IvfIndex", "ivf_build", "ivf_query", "knn_join",
-           "ivf_knn_join", "knn_join_distributed"]
+           "ivf_knn_join", "knn_join_distributed", "ivf_recall",
+           "unpersist_cached"]
+
+# per-call CacheHandle attached to the returned frame (same lifecycle
+# contract as operators.dedup): intermediates stay persisted until the
+# caller materializes or drops the result.
+_HANDLES: list = []
+
+
+def unpersist_cached(blocking: bool = False) -> int:
+    """Evict every persisted intermediate this module still tracks."""
+    return evict_all(_HANDLES, blocking)
 
 
 def _hadoop_path(spark, base: str, name: str):
@@ -611,6 +624,64 @@ def knn_join_distributed(index: IvfIndex, queries: DataFrame, k: int = 10,
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_recall(index: IvfIndex, queries: DataFrame, k: int = 10,
+               nprobes: Sequence[int] = (1, 2, 4),
+               query_id_col: Optional[str] = None,
+               query_column: Optional[str] = None) -> DataFrame:
+    """Measured recall@k of the pruned IVF probe path, per nprobe —
+    evidence (not an assertion) of what ``nprobe < n_cells`` costs.
+
+    Runs :func:`knn_join_distributed` once at ``nprobe = n_cells``
+    (exact: every cell probed) and once per entry of ``nprobes``; an
+    inner join on ``(query_id, neighbor_id)`` counts, for each query,
+    how many exact top-k neighbors the pruned run recovered.  A
+    query's recall is ``hits / |exact top-k|`` (denominator < k only
+    when the corpus itself has fewer than k rows).  Output is one row
+    per probed setting — ``(nprobe, n_queries, mean_recall,
+    min_recall)`` — tiny and safe to collect.
+
+    The exact frame is persisted once and shared across all pruned
+    runs (per-call :class:`CacheHandle` lifecycle, freed when the
+    returned frame is materialized and dropped); every join is keyed
+    on ``(query_id, neighbor_id)``, so the measurement scales exactly
+    as far as the underlying kNN join does — no driver collect, no
+    per-query loop.
+    """
+    n_cells = len(index.centroids)
+    handle = CacheHandle(_HANDLES)
+    exact = handle.register(
+        knn_join_distributed(index, queries, k=k, nprobe=n_cells,
+                             query_id_col=query_id_col,
+                             query_column=query_column)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    per_query_exact = exact.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"))
+
+    out = None
+    for p in nprobes:
+        approx = knn_join_distributed(
+            index, queries, k=k, nprobe=int(p),
+            query_id_col=query_id_col, query_column=query_column,
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit"))
+        )
+        per_q = per_query_exact.join(hits, "query_id", "left").select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"))
+            .alias("recall")
+        )
+        row = per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("min_recall"),
+        ).select(F.lit(int(p)).alias("nprobe"), "*")
+        out = row if out is None else out.unionByName(row)
+    return handle.attach(out)
 
 
 def ivf_query(index: IvfIndex, query_vector: Sequence[float], k: int = 10,

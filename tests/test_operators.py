@@ -399,6 +399,29 @@ class TestIvfKnnJoin:
         assert out.count() >= 1
 
 
+class TestIvfRecall:
+    TRAIN = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+
+    def test_full_probe_is_exact_and_pruning_is_measured(self, spark,
+                                                         vectors):
+        """Closed-form recall on the 3-cell fixture: at nprobe=n_cells
+        recall must be exactly 1.0; at nprobe=1 queries 0/1/4 keep
+        their whole top-3 inside cell x (recall 1) while queries 2 and
+        3 sit in singleton cells and recover only themselves (recall
+        1/3) → mean 11/15, min 1/3."""
+        from datatest_spark.operators import ivf_build, ivf_recall
+
+        index = ivf_build(vectors, n_cells=3, train_vectors=self.TRAIN)
+        rows = {r["nprobe"]: r for r in
+                ivf_recall(index, vectors, k=3, nprobes=(1, 3)).collect()}
+        assert rows[3]["mean_recall"] == 1.0
+        assert rows[3]["min_recall"] == 1.0
+        assert rows[1]["n_queries"] == 5
+        assert rows[1]["mean_recall"] == pytest.approx(11 / 15, abs=1e-6)
+        assert rows[1]["min_recall"] == pytest.approx(1 / 3, abs=1e-6)
+
+
 class TestTextOps:
     def test_token_stats(self, spark, docs):
         rows = {r["doc_id"]: r for r in token_stats(docs, "text").collect()}
