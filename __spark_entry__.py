@@ -280,6 +280,27 @@ def q_set_doc_lang(spark, sf_dir):
     )
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Content-level audio near-dup: one decode pass → 64-bit spectral
+    fingerprint → 4x16-bit-band Hamming LSH.  Oracle: independent
+    decode + fingerprint recompute + brute-force LSH emulation."""
+    from datatest_spark.audio import audio_neardup_pairs
+    from datatest_spark.fixtures import audio_clips_df
+
+    return audio_neardup_pairs(audio_clips_df(spark, 600, parts=4))
+
+
+def q_audio_features(spark, sf_dir):
+    """Per-clip audio quality features (peak / clipping / silence /
+    ZCR / RMS dBFS / spectral centroid) in one Arrow decode pass.
+    Oracle: independent struct-walk decode + integer-exact feature
+    math in oracles.py, rendered as typed VALUES."""
+    from datatest_spark.audio import audio_features
+    from datatest_spark.fixtures import audio_clips_df
+
+    return audio_features(audio_clips_df(spark, 2000, parts=4))
+
+
 # --- non-SQL-expressible (rows-only checks) --------------------------------
 
 
@@ -1159,10 +1180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 4 queries new since r04 (knn_distributed,
-    # ivf_recall, profile_hist_merge, streaming_drift), then the 7
-    # whose last driver row is r03, then the 50 certified in r04.
+    # 5 rotation: the 6 queries new since r04 (audio_features,
+    # audio_neardup, knn_distributed, ivf_recall, profile_hist_merge,
+    # streaming_drift), then the 7 whose last driver row is r03, then
+    # the 50 certified in r04.
     return {
+        "audio_features": q_audio_features,
+        "audio_neardup": q_audio_neardup,
         "knn_distributed": q_knn_distributed,
         "ivf_recall": q_ivf_recall,
         "profile_hist_merge": q_profile_hist_merge,
@@ -1877,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_docs": _oracles.fuzzy_docs_sql(cutoff=0.946),
         "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
+        "audio_features": _oracles.audio_features_sql(n=2000, parts=4),
+        "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),

@@ -57,6 +57,8 @@ HEADLINE = [
     "drift_psi",
     "knn_join",
     "profile_merge",
+    "audio_features",
+    "audio_neardup",
 ]
 
 

@@ -45,7 +45,10 @@ from pyspark.sql import types as T
 from .requirements import Rule, ValidationContext, finalize_cols
 from .schema import DEVIATION, INVALID, VIOLATION_SCHEMA
 
-__all__ = ["decode_batch", "decode_info", "AudioConsistencyRule", "audio_consistency", "pcm_snr_db"]
+__all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
+           "audio_consistency", "pcm_snr_db", "audio_features",
+           "AUDIO_FEATURES_SCHEMA", "spectral_signature",
+           "spectral_signatures", "audio_neardup_pairs"]
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +248,205 @@ def _fixture_expected_pcm(row):
         return None
     params = clip_params(i)
     return synth_pcm(i, params.true_sr, params.true_dur_ms)
+
+
+# ---------------------------------------------------------------------------
+# Per-clip quality features (the audio analogue of operators.text
+# text_quality — curation signals for a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("dec_sr_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("clipping_ratio", T.DoubleType(), True),
+        T.StructField("silence_ratio", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("rms_dbfs", T.DoubleType(), True),
+        T.StructField("centroid_hz", T.DoubleType(), True),
+    ]
+)
+
+#: |sample| at-or-below this int16 magnitude counts as silence
+#: (~ -40 dBFS: 32768 * 10^(-40/20) ≈ 327.68, floored to stay integer)
+SILENCE_THRESHOLD = 327
+
+
+def pcm_features(sr: int, pcm: np.ndarray,
+                 silence_threshold: int = SILENCE_THRESHOLD) -> tuple:
+    """Quality features of one int16 PCM buffer.
+
+    Counting features (peak, clipping/silence counts, zero crossings,
+    sum of squares) are computed in exact integer arithmetic so an
+    independent reimplementation agrees bit-for-bit; the two float
+    outputs derived from them (``rms_dbfs`` via ``math``, ratios via
+    one int/int division) are then reproducible to the last bit as
+    well.  ``centroid_hz`` is the rfft-magnitude-weighted mean
+    frequency, rounded to 6 decimals.
+
+    Returns ``(n_samples, peak_abs, clipping_ratio, silence_ratio,
+    zero_crossings, zcr, rms_dbfs, centroid_hz)``.
+    """
+    n = int(len(pcm))
+    if n == 0:
+        return (0, None, None, None, None, None, None, None)
+    a = np.abs(pcm.astype(np.int64))
+    peak = int(a.max())
+    clip_ratio = int((a >= 32767).sum()) / n
+    sil_ratio = int((a <= silence_threshold).sum()) / n
+    neg = pcm < 0
+    crossings = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    zcr = crossings / (n - 1) if n > 1 else 0.0
+    sum_sq = int(np.sum(pcm.astype(np.int64) ** 2))
+    rms_dbfs = (
+        20.0 * math.log10(math.sqrt(sum_sq / n) / 32768.0)
+        if sum_sq > 0 else None
+    )
+    mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+    den = float(np.sum(mag))
+    if den > 0.0:
+        num = float(np.sum(mag * np.fft.rfftfreq(n, d=1.0 / sr)))
+        centroid = round(num / den, 6)
+    else:
+        centroid = 0.0
+    return (n, peak, round(clip_ratio, 6), round(sil_ratio, 6),
+            crossings, round(zcr, 6),
+            None if rms_dbfs is None else round(rms_dbfs, 6), centroid)
+
+
+def audio_features(df: DataFrame,
+                   silence_threshold: int = SILENCE_THRESHOLD) -> DataFrame:
+    """Per-clip audio quality features in ONE Arrow-batched decode pass:
+    peak / clipping ratio / silence ratio / zero-crossing rate /
+    RMS dBFS / spectral centroid.  The audio analogue of
+    ``operators.text.text_quality`` — the signals a curation pipeline
+    filters on (near-silent clips, clipped recordings, tonal vs noise
+    content) before spending training compute.
+
+    Column-prunes to ``(clip_id, bytes)`` before the Python stage;
+    undecodable clips come back with ``ok=false`` and null features
+    (feed them to the decodability rule, not this one).  Per-clip cost
+    is one decode + one rfft (O(n log n) in clip length), linear in
+    executors at any table size; no shuffle anywhere.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                    out.append((row.clip_id, True, sr) +
+                               pcm_features(sr, pcm, silence_threshold))
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None, None, None, None, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Content-level near-duplicate detection (spectral fingerprint + LSH)
+# ---------------------------------------------------------------------------
+
+#: log-spaced band edges for the 64-bit spectral signature.  Capped at
+#: 6 kHz so the signature is identical at any sample rate >= 12 kHz —
+#: the same content re-encoded at a different sr/duration/codec still
+#: collides (the whole point of CONTENT-level dedup; byte- and
+#: PCM-hash dedup both miss those).
+SPECTRAL_BAND_EDGES = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+
+
+def spectral_signature(sr: int, pcm: np.ndarray) -> int:
+    """64-bit spectral fingerprint of one PCM buffer (Haitsma-Kalker
+    style): power-spectrum energy in 64 log-spaced bands (60 Hz-6 kHz),
+    bit b = ``E[b] > E[b+1]`` (bit 63 wraps to band 0).  Energy-slope
+    signs are amplitude-invariant and, because bands are fixed in Hz,
+    sample-rate- and duration-invariant for stationary content —
+    perceptually-same clips land within a small Hamming distance.
+    Returns a SIGNED 64-bit int (Spark LongType)."""
+    mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr) if len(pcm) else np.zeros(0)
+    e = SPECTRAL_BAND_EDGES
+    en = np.array([mag[(freqs >= e[b]) & (freqs < e[b + 1])].sum()
+                   for b in range(64)])
+    bits = np.zeros(64, dtype=np.uint64)
+    bits[:63] = en[:63] > en[1:]
+    bits[63] = en[63] > en[0]
+    sig = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+SPECTRAL_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sig", T.LongType(), True),
+    ]
+)
+
+
+def spectral_signatures(df: DataFrame) -> DataFrame:
+    """Per-clip 64-bit spectral fingerprint in one Arrow decode pass
+    (column-pruned to ``(clip_id, bytes)``).  Undecodable clips come
+    back ``ok=false`` with a null signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                    out.append((row.clip_id, True,
+                                spectral_signature(sr, pcm)))
+                except ValueError:
+                    out.append((row.clip_id, False, None))
+            # sig MUST be nullable Int64, not inferred: a batch holding
+            # one undecodable clip would otherwise coerce the column to
+            # float64 and silently destroy the low ~11 bits of every
+            # signature in the batch (53-bit mantissa < 64-bit sig)
+            yield pd.DataFrame(
+                {
+                    "clip_id": [r[0] for r in out],
+                    "ok": [r[1] for r in out],
+                    "sig": pd.array([r[2] for r in out], dtype="Int64"),
+                }
+            )
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, SPECTRAL_SIG_SCHEMA)
+
+
+def audio_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                        max_bucket_size: Optional[int] = 10_000) -> DataFrame:
+    """Near-duplicate audio pairs by decoded-content fingerprint.
+
+    Pipeline: ONE Arrow decode pass → 64-bit spectral signature →
+    4-band 16-bit Hamming LSH self-join (shared with text SimHash:
+    operators.dedup.hamming_lsh_pairs) → exact Hamming filter.  Finds
+    same-content clips across container formats, sample rates, and
+    durations — pairs that byte-level and PCM-hash dedup structurally
+    miss.  Scale shape: only the 9-byte (clip_id, sig) rows shuffle,
+    candidates are banded (never all-pairs), and oversized buckets
+    (silence/boilerplate audio — the quadratic hazard) are dropped by
+    ``max_bucket_size`` before the self-join.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    from .operators.dedup import hamming_lsh_pairs
+
+    sigs = spectral_signatures(df).filter(F.col("ok")).select(
+        "clip_id", "sig")
+    return hamming_lsh_pairs(sigs, "clip_id", "sig",
+                             max_hamming=max_hamming,
+                             max_bucket_size=max_bucket_size)
 
 
 class AudioConsistencyRule(Rule):

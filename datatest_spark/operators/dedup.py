@@ -44,6 +44,7 @@ __all__ = [
     "minhash_neardup_pairs",
     "simhash_signatures",
     "simhash_neardup_pairs",
+    "hamming_lsh_pairs",
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
     "unpersist_cached",
@@ -304,24 +305,25 @@ def simhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), bitvote(token_hashes).alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
-                          max_hamming: int = 3,
-                          max_bucket_size: Optional[int] = 10_000) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-band Hamming LSH (any 16-bit band
-    equal → candidate), exact Hamming distance filter JVM-side.  The
-    Hamming distance is scored BEFORE the pair-dedup so the distinct
-    shuffles one small int per pair, not two signatures."""
+def hamming_lsh_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                      max_hamming: int = 3,
+                      max_bucket_size: Optional[int] = 10_000) -> DataFrame:
+    """Near-dup pairs over any 64-bit signature column: 4-band Hamming
+    LSH (any 16-bit band equal → candidate), exact Hamming distance
+    filter JVM-side.  The Hamming distance is scored BEFORE the
+    pair-dedup so the distinct shuffles one small int per pair, not two
+    signatures.  Shared by SimHash text near-dup and the audio
+    spectral-fingerprint near-dup (audio.audio_neardup_pairs)."""
     handle = CacheHandle(_HANDLES)
-    sigs = simhash_signatures(df, column, id_col)
     banded = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        F.shiftrightunsigned(F.col(sig_col), b * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("bucket"),
                     )
@@ -329,16 +331,16 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    ).select(id_col, sig_col, "bb.band", "bb.bucket")
     # cache: the banded frame feeds the bucket-count pass and both join
-    # sides — without it the signature UDF re-runs per subtree
+    # sides — without it the signature stage re-runs per subtree
     banded = handle.register(banded.cache())
     banded = _drop_oversized_buckets(banded, max_bucket_size)
 
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sig_a"))
+                      F.col(sig_col).alias("sig_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sig_b"))
+                      F.col(sig_col).alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return handle.attach(
         a.join(b, ["band", "bucket"])
@@ -346,6 +348,18 @@ def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
+                          max_hamming: int = 3,
+                          max_bucket_size: Optional[int] = 10_000) -> DataFrame:
+    """Near-dup pairs by SimHash over a text column — signatures from
+    :func:`simhash_signatures`, banding/scoring from
+    :func:`hamming_lsh_pairs`."""
+    return hamming_lsh_pairs(
+        simhash_signatures(df, column, id_col), id_col, "simhash",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )
 
 

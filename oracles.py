@@ -302,6 +302,158 @@ def _sim_decode(buf: Optional[bytes]):
     raise ValueError("unsupported codec payload")
 
 
+def _sim_decode_pcm(buf: Optional[bytes]):
+    """→ (codec, sr, int16 ndarray) or raise ValueError — the
+    PCM-bearing sibling of :func:`_sim_decode`, again a standalone
+    struct walk (no engine imports)."""
+    import numpy as np
+
+    codec, sr, n_samples = _sim_decode(buf)
+    if codec == "pcm_s16le":
+        # re-walk the chunks for the data payload
+        pos = 12
+        data = None
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            if cid == b"data":
+                data = bytes(buf[pos + 8:pos + 8 + size])
+            pos += 8 + size + (size % 2)
+    elif codec == "flac":
+        data = bytes(buf[12:])
+    else:  # opus
+        data = bytes(buf[16:])
+    return codec, sr, np.frombuffer(data, dtype="<i2")
+
+
+@lru_cache(maxsize=None)
+def audio_features_rows(n: int = 2000, parts: int = 4) -> tuple:
+    """Expected ``audio_features(audio_clips_df(spark, n, parts))``
+    rows, re-derived from the fixture definition with an independent
+    decode (struct walk above) and independent feature math.  The
+    counting features (peak, clipping/silence counts, zero crossings,
+    sum of squares) are exact integers, so the derived floats agree
+    with the engine to the last bit; the spectral centroid uses the
+    same deterministic numpy rfft primitive on the same samples.
+    """
+    import math
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        buf = synth_clip_bytes(src)
+        try:
+            _, sr, pcm = _sim_decode_pcm(buf)
+        except ValueError:
+            out.append((clip_id, False, None, None, None, None, None,
+                        None, None, None, None))
+            continue
+        ns = int(len(pcm))
+        a = np.abs(pcm.astype(np.int64))
+        peak = int(a.max()) if ns else None
+        clip_ratio = round(int((a >= 32767).sum()) / ns, 6)
+        sil_ratio = round(int((a <= 327).sum()) / ns, 6)
+        neg = pcm < 0
+        crossings = int(np.count_nonzero(neg[1:] != neg[:-1]))
+        zcr = round(crossings / (ns - 1) if ns > 1 else 0.0, 6)
+        sum_sq = int(np.sum(pcm.astype(np.int64) ** 2))
+        rms_dbfs = (
+            round(20.0 * math.log10(math.sqrt(sum_sq / ns) / 32768.0), 6)
+            if sum_sq > 0 else None
+        )
+        mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+        den = float(np.sum(mag))
+        if den > 0.0:
+            num = float(np.sum(mag * np.fft.rfftfreq(ns, d=1.0 / sr)))
+            centroid = round(num / den, 6)
+        else:
+            centroid = 0.0
+        out.append((clip_id, True, sr, ns, peak, clip_ratio, sil_ratio,
+                    crossings, zcr, rms_dbfs, centroid))
+    return tuple(out)
+
+
+_FEATURE_COLS = [
+    "clip_id", "ok", "dec_sr_hz", "n_samples", "peak_abs",
+    "clipping_ratio", "silence_ratio", "zero_crossings", "zcr",
+    "rms_dbfs", "centroid_hz",
+]
+_FEATURE_CASTS = [
+    "VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "INTEGER",
+    "DOUBLE", "DOUBLE", "BIGINT", "DOUBLE", "DOUBLE", "DOUBLE",
+]
+
+
+def audio_features_sql(n: int = 2000, parts: int = 4) -> str:
+    return values_sql(audio_features_rows(n, parts),
+                      _FEATURE_COLS, _FEATURE_CASTS)
+
+
+@lru_cache(maxsize=None)
+def audio_neardup_rows(n: int = 600, parts: int = 4,
+                       max_hamming: int = 3) -> tuple:
+    """Expected ``audio_neardup_pairs(audio_clips_df(spark, n, parts))``
+    rows — independent decode (struct walk) + an independently-written
+    spectral-fingerprint recompute + a brute-force emulation of the
+    4x16-bit-band LSH candidate rule (any band equal) and the Hamming
+    cutoff.  Brute force is the point: if the engine's banded self-join
+    dropped or duplicated a candidate the hashes would differ."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, synth_clip_bytes
+
+    edges = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+    sig_by_id = {}
+    for i in range(n):
+        clip_id = clip_id_for(i)
+        if clip_id in sig_by_id:          # duplicate row, same bytes
+            continue
+        buf = synth_clip_bytes(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(buf)
+        except ValueError:
+            continue
+        mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+        freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+        en = np.array([mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                       for b in range(64)])
+        bits = np.zeros(64, dtype=np.uint64)
+        bits[:63] = en[:63] > en[1:]
+        bits[63] = en[63] > en[0]
+        sig_by_id[clip_id] = int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+    ids = sorted(sig_by_id)
+    sigs = np.array([sig_by_id[c] for c in ids], dtype=np.uint64)
+    out = []
+    for a in range(len(ids)):
+        rest = sigs[a + 1:]
+        band_match = np.zeros(len(rest), dtype=bool)
+        for b in range(4):
+            shift = np.uint64(16 * b)
+            mask = np.uint64(0xFFFF)
+            band_match |= ((sigs[a] >> shift) & mask) == ((rest >> shift) & mask)
+        xor = sigs[a] ^ rest
+        for j in np.nonzero(band_match)[0]:
+            ham = bin(int(xor[j])).count("1")
+            if ham <= max_hamming:
+                out.append((ids[a], ids[a + 1 + int(j)], ham))
+    return tuple(out)
+
+
+def audio_neardup_sql(n: int = 600, parts: int = 4,
+                      max_hamming: int = 3) -> str:
+    return values_sql(audio_neardup_rows(n, parts, max_hamming),
+                      ["id_a", "id_b", "hamming"],
+                      ["VARCHAR", "VARCHAR", "INTEGER"])
+
+
 @lru_cache(maxsize=None)
 def audio_suite_rows(n: int = 2000, parts: int = 4,
                      dur_tol_ms: int = 50) -> tuple:

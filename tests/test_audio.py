@@ -141,3 +141,135 @@ class TestAudioSuite:
         rows = vd.collect()
         assert {r["partition_id"] for r in rows} <= {"0", "1", "2", "3", "__global__"}
         assert all(r["n_violations"] > 0 for r in rows)
+
+
+class TestAudioFeatures:
+    """audio_features: per-clip quality signals in one decode pass."""
+
+    def test_matches_local_recompute(self, spark):
+        from datatest_spark.audio import audio_features, pcm_features
+
+        df = FX.audio_clips_df(spark, 300, parts=2)
+        rows = audio_features(df).collect()
+        assert len(rows) == 300
+        got = {r["clip_id"]: r for r in rows}
+        # i=7 duplicates i=6 (same clip_id, identical bytes) → 299 ids
+        assert len(got) == 299
+        for i in (0, 1, 17, 123, 250):
+            cid = FX.clip_id_for(i)
+            src = FX.clip_params(i)
+            src_i = src.dup_of if src.dup_of is not None else i
+            _, sr, pcm = decode_bytes(FX.synth_clip_bytes(src_i))
+            exp = pcm_features(sr, pcm)
+            row = got[cid]
+            assert row["ok"] is True and row["dec_sr_hz"] == sr
+            assert (row["n_samples"], row["peak_abs"]) == exp[:2]
+            assert row["clipping_ratio"] == exp[2]
+            assert row["silence_ratio"] == exp[3]
+            assert row["zero_crossings"] == exp[4]
+            assert row["zcr"] == exp[5]
+            assert row["rms_dbfs"] == exp[6]
+            assert row["centroid_hz"] == exp[7]
+
+    def test_corrupt_clips_flagged_not_raised(self, spark):
+        from datatest_spark.audio import audio_features
+
+        # i % 500 == 11 → corrupt payload; 600 rows include i=11, 511
+        df = FX.audio_clips_df(spark, 600, parts=2)
+        rows = audio_features(df).collect()
+        bad = [r for r in rows if not r["ok"]]
+        assert {r["clip_id"] for r in bad} == {
+            FX.clip_id_for(11), FX.clip_id_for(511)
+        }
+        assert all(r["n_samples"] is None for r in bad)
+
+    def test_feature_edge_values(self):
+        from datatest_spark.audio import pcm_features
+
+        # all-silent buffer: silence_ratio 1, rms None, centroid 0
+        n, peak, clip_r, sil_r, zc, zcr, rms, cen = pcm_features(
+            16000, np.zeros(1600, dtype="<i2"))
+        assert (peak, clip_r, sil_r, zc, zcr, rms, cen) == (
+            0, 0.0, 1.0, 0, 0.0, None, 0.0)
+        # hard-clipped square wave: clipping_ratio 1, rms ~ 0 dBFS
+        sq = np.where(np.arange(1600) % 2 == 0, 32767, -32767).astype("<i2")
+        n, peak, clip_r, sil_r, zc, zcr, rms, cen = pcm_features(16000, sq)
+        assert peak == 32767 and clip_r == 1.0 and sil_r == 0.0
+        assert zc == 1599 and zcr == 1.0
+        assert rms == pytest.approx(-0.000265, abs=1e-4)
+        # empty buffer
+        assert pcm_features(16000, np.zeros(0, dtype="<i2"))[0] == 0
+
+    def test_plan_is_single_pass_no_shuffle(self, spark):
+        from datatest_spark.audio import audio_features
+
+        df = FX.audio_clips_df(spark, 100, parts=2)
+        base = df._jdf.queryExecution().executedPlan().toString()
+        plan = audio_features(df)._jdf.queryExecution().executedPlan().toString()
+        # the fixture generator repartitions its range; audio_features
+        # itself must add no shuffle on top of it
+        assert plan.count("Exchange") == base.count("Exchange")
+        assert "BatchEvalPython" not in plan  # Arrow path only
+
+
+class TestAudioNeardup:
+    """Spectral fingerprint + Hamming LSH content-level near-dup."""
+
+    def test_signature_sr_and_duration_invariant(self):
+        from datatest_spark.audio import spectral_signature
+
+        # the same tone rendered at different sample rates / durations
+        # must land within LSH range (small Hamming distance)
+        for i in (5, 42, 321):
+            a = spectral_signature(16000, FX.synth_pcm(i, 16000, 900))
+            b = spectral_signature(48000, FX.synth_pcm(i, 48000, 1700))
+            ham = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+            assert ham <= 4, f"clip {i}: hamming {ham}"
+
+    def test_pairs_match_bruteforce(self, spark):
+        from datatest_spark.audio import (
+            audio_neardup_pairs, decode_bytes, spectral_signature)
+
+        n = 200
+        df = FX.audio_clips_df(spark, n, parts=2)
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in audio_neardup_pairs(df).collect()}
+
+        sig = {}
+        for i in range(n):
+            cid = FX.clip_id_for(i)
+            if cid in sig:
+                continue
+            try:
+                _, sr, pcm = decode_bytes(FX.synth_clip_bytes(i))
+            except ValueError:
+                continue
+            sig[cid] = spectral_signature(sr, pcm) & 0xFFFFFFFFFFFFFFFF
+        ids = sorted(sig)
+        want = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sig[ids[x]], sig[ids[y]]
+                if not any((a >> (16 * k)) & 0xFFFF == (b >> (16 * k)) & 0xFFFF
+                           for k in range(4)):
+                    continue
+                ham = bin(a ^ b).count("1")
+                if ham <= 3:
+                    want.add((ids[x], ids[y], ham))
+        assert got == want and len(want) > 0
+
+    def test_corrupt_batchmate_does_not_corrupt_sigs(self, spark):
+        # regression: a None sig in a batch must NOT coerce the column
+        # to float64 and shave the low bits off every other signature
+        # in the batch (53-bit mantissa < 64-bit signature)
+        from datatest_spark.audio import (
+            decode_bytes, spectral_signature, spectral_signatures)
+
+        # single partition → the corrupt clip (i=11) shares a batch
+        # with every other clip
+        df = FX.audio_clips_df(spark, 40, parts=1).coalesce(1)
+        got = {r["clip_id"]: r["sig"]
+               for r in spectral_signatures(df).filter("ok").collect()}
+        for i in (16, 26, 31):  # historically the corrupted ones
+            _, sr, pcm = decode_bytes(FX.synth_clip_bytes(i))
+            assert got[FX.clip_id_for(i)] == spectral_signature(sr, pcm)
