@@ -290,6 +290,37 @@ def q_audio_neardup(spark, sf_dir):
     return audio_neardup_pairs(audio_clips_df(spark, 600, parts=4))
 
 
+def q_transcript_rate(spark, sf_dir):
+    """Cross-modal transcript speech-rate rule: words/sec of the
+    transcript vs DECODED audio duration — INVALID for empty
+    transcripts, DEVIATION outside [1, 8] wps.  Oracle: closed-form
+    recompute from the fixture definition + independent decode."""
+    from datatest_spark.audio import TranscriptRateRule
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.validation import Engine
+
+    df = audio_clips_df(spark, 2000, parts=4)
+    return Engine(spark).compile(
+        df, [TranscriptRateRule(min_wps=1.0, max_wps=8.0)])
+
+
+def q_audio_knn(spark, sf_dir):
+    """Similarity search ON AUDIO CONTENT: one decode pass → 64-dim
+    spectral embedding (audio.spectral_embeddings) → the generic batch
+    kNN join (ann.knn_join).  Certifies the audio→embedding bridge end
+    to end.  Oracle: independent decode + embedding recompute +
+    brute-force round-6 cosine top-k."""
+    from datatest_spark.audio import spectral_embeddings
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators import knn_join
+
+    emb = spectral_embeddings(audio_clips_df(spark, 600, parts=4)) \
+        .filter(F.col("ok")).dropDuplicates(["clip_id"])
+    queries = emb.filter(F.col("clip_id") < "clip-000000000005")
+    return knn_join(emb, queries, k=5, column="embedding",
+                    id_col="clip_id")
+
+
 def q_audio_features(spark, sf_dir):
     """Per-clip audio quality features (peak / clipping / silence /
     ZCR / RMS dBFS / spectral centroid) in one Arrow decode pass.
@@ -1180,13 +1211,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 6 queries new since r04 (audio_features,
-    # audio_neardup, knn_distributed, ivf_recall, profile_hist_merge,
-    # streaming_drift), then the 7 whose last driver row is r03, then
-    # the 50 certified in r04.
+    # 5 rotation: the 8 queries new since r04 (audio_features,
+    # audio_neardup, audio_knn, transcript_rate, knn_distributed,
+    # ivf_recall, profile_hist_merge, streaming_drift), then the 7
+    # whose last driver row is r03, then the 50 certified in r04.
     return {
         "audio_features": q_audio_features,
         "audio_neardup": q_audio_neardup,
+        "audio_knn": q_audio_knn,
+        "transcript_rate": q_transcript_rate,
         "knn_distributed": q_knn_distributed,
         "ivf_recall": q_ivf_recall,
         "profile_hist_merge": q_profile_hist_merge,
@@ -1903,6 +1936,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
         "audio_features": _oracles.audio_features_sql(n=2000, parts=4),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
+        "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
+        "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),

@@ -48,7 +48,9 @@ from .schema import DEVIATION, INVALID, VIOLATION_SCHEMA
 __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "audio_consistency", "pcm_snr_db", "audio_features",
            "AUDIO_FEATURES_SCHEMA", "spectral_signature",
-           "spectral_signatures", "audio_neardup_pairs"]
+           "spectral_signatures", "audio_neardup_pairs",
+           "band_energies", "spectral_embedding", "spectral_embeddings",
+           "TranscriptRateRule", "transcript_rate"]
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +355,150 @@ def audio_features(df: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# Cross-modal transcript-rate validation (words/sec vs decoded audio)
+# ---------------------------------------------------------------------------
+
+_RATE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("n_words", T.LongType(), True),
+        T.StructField("wps", T.DoubleType(), True),
+        T.StructField("partition_id", T.StringType(), True),
+    ]
+)
+
+
+class TranscriptRateRule(Rule):
+    """Cross-modal speech-rate check: words-per-second of the
+    transcript against the DECODED audio duration.
+
+    * transcript null/whitespace-only → INVALID (``rule:empty``) —
+      judged without decoding (audio decodability is the decodable
+      rule's business, not this one's)
+    * words / decoded-seconds outside ``[min_wps, max_wps]`` →
+      DEVIATION (``rule:wps``), deviation = wps − violated bound
+
+    A transcript claiming 40 words/sec (or 0.2) cannot match its
+    audio; this catches transcript/audio pairing errors that equality
+    against a reference manifest cannot (no manifest needed).
+
+    Scale shape: the word count is a JVM projection; only rows WITH
+    words enter the Arrow decode pass (row-pruned + column-pruned),
+    and the pass emits 5 tiny columns — never the payload.  With
+    ``use_decoded=False`` the declared ``dur_ms`` column is used
+    instead and the rule is a pure JVM projection (zero decode) — the
+    at-scale choice when the suite's consistency rule already certifies
+    ``dur_ms`` against the decoded duration.
+
+    wps is rounded to 6 decimals (numpy half-even, matching the
+    independent oracle) before the bound comparison.
+    """
+
+    kind = "plan"
+
+    def __init__(self, min_wps: float = 1.0, max_wps: float = 8.0,
+                 use_decoded: bool = True,
+                 rule_id: str = "transcript_rate"):
+        super().__init__(rule_id)
+        self.min_wps = min_wps
+        self.max_wps = max_wps
+        self.use_decoded = use_decoded
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        df = ctx.df
+        rid = self.rule_id
+        has_part = "part_id" in df.columns
+        part_col = (F.col("part_id").cast("string") if has_part
+                    else F.lit(None).cast("string"))
+        n_words = F.when(
+            F.col("transcript").isNull()
+            | (F.trim(F.col("transcript")) == F.lit("")),
+            F.lit(0),
+        ).otherwise(F.size(F.split(F.trim(F.col("transcript")), r"\s+")))
+
+        empty = df.filter(n_words == 0).select(
+            finalize_cols(
+                f"{rid}:empty", INVALID,
+                key=F.col("clip_id"), column="transcript",
+                invalid=F.col("transcript"),
+                expected=F.lit("non-empty transcript"),
+                partition_id=part_col,
+            )
+        )
+
+        if self.use_decoded:
+            pre = df.filter(n_words > 0).select(
+                "clip_id", "bytes", n_words.alias("n_words"),
+                part_col.alias("partition_id"),
+            )
+
+            def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = []
+                    for row in pdf.itertuples(index=False):
+                        try:
+                            _, sr, pcm = decode_bytes(row.bytes)
+                        except ValueError:
+                            out.append((row.clip_id, False,
+                                        int(row.n_words), None,
+                                        row.partition_id))
+                            continue
+                        dur_s = int(round(1000.0 * len(pcm) / sr)) / 1000.0
+                        wps = (float(np.round(row.n_words / dur_s, 6))
+                               if dur_s > 0 else None)
+                        out.append((row.clip_id, True, int(row.n_words),
+                                    wps, row.partition_id))
+                    yield pd.DataFrame(
+                        out, columns=[f.name for f in _RATE_SCHEMA.fields])
+
+            base = pre.mapInPandas(gen, _RATE_SCHEMA)
+        else:
+            base = df.filter(n_words > 0).select(
+                F.col("clip_id"), F.lit(True).alias("ok"),
+                n_words.cast("long").alias("n_words"),
+                F.round(n_words / (F.col("dur_ms") / F.lit(1000.0)), 6)
+                .alias("wps"),
+                part_col.alias("partition_id"),
+            )
+
+        wps = F.col("wps")
+        checks = [
+            F.when(
+                F.col("ok") & wps.isNotNull() & (wps > self.max_wps),
+                F.struct(*finalize_cols(
+                    f"{rid}:wps", DEVIATION,
+                    key=F.col("clip_id"), column="transcript",
+                    invalid=wps, expected=F.lit(self.max_wps),
+                    deviation=F.round(wps - self.max_wps, 6),
+                    expected_num=F.lit(self.max_wps),
+                    partition_id=F.col("partition_id"),
+                )),
+            ),
+            F.when(
+                F.col("ok") & wps.isNotNull() & (wps < self.min_wps),
+                F.struct(*finalize_cols(
+                    f"{rid}:wps", DEVIATION,
+                    key=F.col("clip_id"), column="transcript",
+                    invalid=wps, expected=F.lit(self.min_wps),
+                    deviation=F.round(wps - self.min_wps, 6),
+                    expected_num=F.lit(self.min_wps),
+                    partition_id=F.col("partition_id"),
+                )),
+            ),
+        ]
+        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+        rate_viol = base.select(F.explode(arr).alias("_v")).select("_v.*")
+        return empty.unionByName(rate_viol)
+
+
+def transcript_rate(min_wps: float = 1.0, max_wps: float = 8.0,
+                    use_decoded: bool = True,
+                    rule_id: str = "transcript_rate") -> TranscriptRateRule:
+    return TranscriptRateRule(min_wps, max_wps, use_decoded, rule_id)
+
+
+# ---------------------------------------------------------------------------
 # Content-level near-duplicate detection (spectral fingerprint + LSH)
 # ---------------------------------------------------------------------------
 
@@ -364,6 +510,17 @@ def audio_features(df: DataFrame,
 SPECTRAL_BAND_EDGES = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
 
 
+def band_energies(sr: int, pcm: np.ndarray) -> np.ndarray:
+    """Power-spectrum energy in the 64 log-spaced bands (60 Hz-6 kHz),
+    the shared basis of :func:`spectral_signature` and
+    :func:`spectral_embeddings`."""
+    mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr) if len(pcm) else np.zeros(0)
+    e = SPECTRAL_BAND_EDGES
+    return np.array([mag[(freqs >= e[b]) & (freqs < e[b + 1])].sum()
+                     for b in range(64)])
+
+
 def spectral_signature(sr: int, pcm: np.ndarray) -> int:
     """64-bit spectral fingerprint of one PCM buffer (Haitsma-Kalker
     style): power-spectrum energy in 64 log-spaced bands (60 Hz-6 kHz),
@@ -372,11 +529,7 @@ def spectral_signature(sr: int, pcm: np.ndarray) -> int:
     sample-rate- and duration-invariant for stationary content —
     perceptually-same clips land within a small Hamming distance.
     Returns a SIGNED 64-bit int (Spark LongType)."""
-    mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
-    freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr) if len(pcm) else np.zeros(0)
-    e = SPECTRAL_BAND_EDGES
-    en = np.array([mag[(freqs >= e[b]) & (freqs < e[b + 1])].sum()
-                   for b in range(64)])
+    en = band_energies(sr, pcm)
     bits = np.zeros(64, dtype=np.uint64)
     bits[:63] = en[:63] > en[1:]
     bits[63] = en[63] > en[0]
@@ -422,6 +575,51 @@ def spectral_signatures(df: DataFrame) -> DataFrame:
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, SPECTRAL_SIG_SCHEMA)
+
+
+def spectral_embedding(sr: int, pcm: np.ndarray) -> list:
+    """64-dim content embedding of one PCM buffer: ``log1p`` of the
+    log-band energies, L2-normalized, rounded to 6 decimals (rounding
+    makes the vector reproducible across summation orders, and the
+    round-6 cosine downstream in ann.knn_join absorbs the residual
+    ulps)."""
+    v = np.log1p(band_energies(sr, pcm))
+    n = float(np.linalg.norm(v))
+    if n == 0.0:
+        return [0.0] * 64
+    return [float(x) for x in np.round(v / n, 6)]
+
+
+SPECTRAL_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def spectral_embeddings(df: DataFrame) -> DataFrame:
+    """Per-clip 64-dim spectral content embedding in one Arrow decode
+    pass — the bridge from the audio payload to the ANN/kNN layer
+    (operators.ann): similarity search, embedding near-dup and kNN
+    joins all run directly on this column.  Undecodable clips come
+    back ``ok=false`` with a null embedding."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                    out.append((row.clip_id, True,
+                                spectral_embedding(sr, pcm)))
+                except ValueError:
+                    out.append((row.clip_id, False, None))
+            yield pd.DataFrame(out, columns=["clip_id", "ok", "embedding"])
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, SPECTRAL_EMB_SCHEMA)
 
 
 def audio_neardup_pairs(df: DataFrame, max_hamming: int = 3,

@@ -455,6 +455,112 @@ def audio_neardup_sql(n: int = 600, parts: int = 4,
 
 
 @lru_cache(maxsize=None)
+def transcript_rate_rows(n: int = 2000, parts: int = 4,
+                         min_wps: float = 1.0,
+                         max_wps: float = 8.0) -> tuple:
+    """Expected violations of ``TranscriptRateRule(min_wps, max_wps)``
+    over ``audio_clips_df(spark, n, parts)`` — closed-form from the
+    fixture definition, with the decoded duration re-derived through
+    the independent struct-walk decode."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    rid = "transcript_rate"
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        if p.dup_of is not None:
+            src = clip_params(p.dup_of)
+            clip_id, transcript = clip_id_for(i), src.transcript
+            buf, part = synth_clip_bytes(p.dup_of), p.dup_of % parts
+        else:
+            clip_id, transcript = clip_id_for(i), p.transcript
+            buf, part = synth_clip_bytes(i), i % parts
+        ps = str(part)
+        n_words = (0 if transcript is None or transcript.strip() == ""
+                   else len(transcript.strip().split()))
+        if n_words == 0:
+            out.append((f"{rid}:empty", clip_id, "transcript", "INVALID",
+                        transcript, "non-empty transcript",
+                        None, None, ps))
+            continue
+        try:
+            _, sr, pcm = _sim_decode_pcm(buf)
+        except ValueError:
+            continue  # undecodable: the decodable rule's business
+        dur_s = round(1000.0 * len(pcm) / sr) / 1000.0
+        wps = float(np.round(n_words / dur_s, 6)) if dur_s > 0 else None
+        if wps is None:
+            continue
+        if wps > max_wps:
+            out.append((f"{rid}:wps", clip_id, "transcript", "DEVIATION",
+                        str(wps), str(max_wps),
+                        float(np.round(wps - max_wps, 6)), max_wps, ps))
+        elif wps < min_wps:
+            out.append((f"{rid}:wps", clip_id, "transcript", "DEVIATION",
+                        str(wps), str(min_wps),
+                        float(np.round(wps - min_wps, 6)), min_wps, ps))
+    return tuple(out)
+
+
+def transcript_rate_sql(n: int = 2000, parts: int = 4) -> str:
+    return violations_values_sql(transcript_rate_rows(n, parts))
+
+
+@lru_cache(maxsize=None)
+def audio_knn_rows(n: int = 600, k: int = 5,
+                   n_queries: int = 5) -> tuple:
+    """Expected ``knn_join`` output over spectral embeddings of the
+    first ``n`` fixture clips with the first ``n_queries`` clip ids as
+    queries — independent decode + an independently-written embedding
+    recompute + brute-force round-6 cosine, ties by neighbor id."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, synth_clip_bytes
+
+    edges = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+    emb_by_id = {}
+    for i in range(n):
+        cid = clip_id_for(i)
+        if cid in emb_by_id:
+            continue
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(i))
+        except ValueError:
+            continue
+        mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+        freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+        en = np.array([mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                       for b in range(64)])
+        v = np.log1p(en)
+        nv = float(np.linalg.norm(v))
+        emb_by_id[cid] = (np.round(v / nv, 6) if nv > 0.0
+                          else np.zeros(64))
+
+    ids = sorted(emb_by_id)
+    mat = np.array([emb_by_id[c] for c in ids])
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    out = []
+    for qi in range(n_queries):
+        qid = clip_id_for(qi)
+        q = emb_by_id[qid]
+        qn = max(float(np.linalg.norm(q)), 1e-12)
+        cos = np.round((mat @ q) / (norms * qn), 6)
+        order = np.lexsort((np.array(ids), -cos))[:k]
+        for j in order:
+            out.append((qid, ids[int(j)], float(cos[int(j)])))
+    return tuple(out)
+
+
+def audio_knn_sql(n: int = 600, k: int = 5) -> str:
+    return values_sql(audio_knn_rows(n, k),
+                      ["query_id", "neighbor_id", "cosine"],
+                      ["VARCHAR", "VARCHAR", "DOUBLE"])
+
+
+@lru_cache(maxsize=None)
 def audio_suite_rows(n: int = 2000, parts: int = 4,
                      dur_tol_ms: int = 50) -> tuple:
     """Expected violations of ``validate_audio_table(df, manifest)`` on

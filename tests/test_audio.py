@@ -273,3 +273,102 @@ class TestAudioNeardup:
         for i in (16, 26, 31):  # historically the corrupted ones
             _, sr, pcm = decode_bytes(FX.synth_clip_bytes(i))
             assert got[FX.clip_id_for(i)] == spectral_signature(sr, pcm)
+
+
+class TestSpectralEmbedding:
+    """spectral_embeddings: the audio → ANN-layer bridge."""
+
+    def test_embedding_properties(self):
+        from datatest_spark.audio import spectral_embedding
+
+        _, sr, pcm = (None, 16000, FX.synth_pcm(3, 16000, 700))
+        v = np.array(spectral_embedding(sr, pcm))
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit up to round-6
+        # all-zero pcm → zero vector, not NaN
+        z = spectral_embedding(16000, np.zeros(800, dtype="<i2"))
+        assert z == [0.0] * 64
+
+    def test_same_tone_high_cosine_cross_sr(self):
+        from datatest_spark.audio import spectral_embedding
+
+        a = np.array(spectral_embedding(16000, FX.synth_pcm(9, 16000, 900)))
+        b = np.array(spectral_embedding(48000, FX.synth_pcm(9, 48000, 1500)))
+        c = np.array(spectral_embedding(16000, FX.synth_pcm(77, 16000, 900)))
+        assert float(a @ b) > 0.98          # same tone, different sr/dur
+        assert float(a @ c) < float(a @ b)  # different tone ranks lower
+
+    def test_knn_join_on_audio(self, spark):
+        from datatest_spark.audio import spectral_embeddings
+        from datatest_spark.operators import knn_join
+
+        emb = spectral_embeddings(
+            FX.audio_clips_df(spark, 120, parts=2)
+        ).filter("ok").dropDuplicates(["clip_id"])
+        queries = emb.filter("clip_id < 'clip-000000000002'")
+        res = knn_join(emb, queries, k=3, column="embedding",
+                       id_col="clip_id").collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {"clip-000000000000", "clip-000000000001"}
+        for qid, rows in by_q.items():
+            assert len(rows) == 3
+            # self-match present at cosine 1.0
+            assert any(r["neighbor_id"] == qid and r["cosine"] == 1.0
+                       for r in rows)
+
+
+class TestTranscriptRate:
+    """Cross-modal words/sec rule (TranscriptRateRule)."""
+
+    def test_decoded_counts_match_closed_form(self, spark):
+        from datatest_spark.audio import TranscriptRateRule
+
+        N2 = 1000
+        df = FX.audio_clips_df(spark, N2, parts=2)
+        viols = Engine(spark).compile(
+            df, [TranscriptRateRule(min_wps=1.0, max_wps=8.0)]
+        ).collect()
+        by_rule = {}
+        for r in viols:
+            by_rule.setdefault(r["rule_id"], []).append(r)
+
+        # empty transcripts: i%200==29 (never coincides with dup i%1000==7)
+        n_empty = len([i for i in range(N2) if i % 200 == 29])
+        assert len(by_rule.get("transcript_rate:empty", [])) == n_empty
+
+        # wps deviations: recompute from fixture + engine decode
+        expected_wps = 0
+        for i in range(N2):
+            p = FX.clip_params(i)
+            src = FX.clip_params(p.dup_of) if p.dup_of is not None else p
+            src_i = p.dup_of if p.dup_of is not None else i
+            t = src.transcript
+            if t is None or (i % 500 == 11):  # empty or corrupt
+                continue
+            _, sr, pcm = decode_bytes(FX.synth_clip_bytes(src_i))
+            dur_s = round(1000.0 * len(pcm) / sr) / 1000.0
+            wps = round(len(t.split()) / dur_s, 6)
+            if wps > 8.0 or wps < 1.0:
+                expected_wps += 1
+        assert len(by_rule.get("transcript_rate:wps", [])) == expected_wps
+        assert expected_wps > 0
+        row = by_rule["transcript_rate:wps"][0]
+        assert row["diff_type"] == "DEVIATION"
+        assert row["column"] == "transcript"
+        assert row["deviation"] is not None
+
+    def test_declared_mode_is_pure_jvm(self, spark):
+        from datatest_spark.audio import TranscriptRateRule
+
+        df = FX.audio_clips_df(spark, 200, parts=2)
+        plan_df = Engine(spark).compile(
+            df, [TranscriptRateRule(use_decoded=False)])
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        # the fixture generator itself is one Arrow stage; the rule in
+        # declared mode must add NO second Python stage
+        base = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+            assert plan.count(marker) <= 2 * base.count(marker), marker
+        assert plan_df.filter("rule_id = 'transcript_rate:wps'").count() > 0
