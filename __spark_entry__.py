@@ -290,6 +290,17 @@ def q_audio_neardup(spark, sf_dir):
     return audio_neardup_pairs(audio_clips_df(spark, 600, parts=4))
 
 
+def q_audio_dedup_groups(spark, sf_dir):
+    """Linear-output content dedup: decode → 64-bit spectral signature
+    → groupBy(sig) with (count, min clip_id) aggregate state only —
+    the exact_duplicates shape applied to decoded audio content.
+    Oracle: independent decode + signature recompute + Python groupBy."""
+    from datatest_spark.audio import audio_dedup_groups
+    from datatest_spark.fixtures import audio_clips_df
+
+    return audio_dedup_groups(audio_clips_df(spark, 600, parts=4))
+
+
 def q_transcript_rate(spark, sf_dir):
     """Cross-modal transcript speech-rate rule: words/sec of the
     transcript vs DECODED audio duration — INVALID for empty
@@ -1211,15 +1222,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 8 queries new since r04 (audio_features,
-    # audio_neardup, audio_knn, transcript_rate, knn_distributed,
-    # ivf_recall, profile_hist_merge, streaming_drift), then the 7
-    # whose last driver row is r03, then the 50 certified in r04.
+    # 5 rotation: the 9 queries new since r04 (audio_features,
+    # audio_neardup, audio_knn, transcript_rate, audio_dedup_groups,
+    # knn_distributed, ivf_recall, profile_hist_merge,
+    # streaming_drift), then the 7 whose last driver row is r03, then
+    # the 50 certified in r04.
     return {
         "audio_features": q_audio_features,
         "audio_neardup": q_audio_neardup,
         "audio_knn": q_audio_knn,
         "transcript_rate": q_transcript_rate,
+        "audio_dedup_groups": q_audio_dedup_groups,
         "knn_distributed": q_knn_distributed,
         "ivf_recall": q_ivf_recall,
         "profile_hist_merge": q_profile_hist_merge,
@@ -1938,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
+        "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),

@@ -50,7 +50,7 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "AUDIO_FEATURES_SCHEMA", "spectral_signature",
            "spectral_signatures", "audio_neardup_pairs",
            "band_energies", "spectral_embedding", "spectral_embeddings",
-           "TranscriptRateRule", "transcript_rate"]
+           "TranscriptRateRule", "transcript_rate", "audio_dedup_groups"]
 
 
 # ---------------------------------------------------------------------------
@@ -645,6 +645,29 @@ def audio_neardup_pairs(df: DataFrame, max_hamming: int = 3,
     return hamming_lsh_pairs(sigs, "clip_id", "sig",
                              max_hamming=max_hamming,
                              max_bucket_size=max_bucket_size)
+
+
+def audio_dedup_groups(df: DataFrame) -> DataFrame:
+    """Content-duplicate groups by EXACT spectral signature — the
+    linear-output dedup path for duplicate-heavy corpora at 10^12-clip
+    scale, mirroring operators.dedup.exact_duplicates' shape: one
+    decode pass, then a groupBy on the 8-byte signature whose aggregate
+    state is ``(count, min(clip_id))`` only.  Where the pairwise LSH
+    (:func:`audio_neardup_pairs`) materializes O(group²) rows per
+    duplicate group, this emits ONE row per group — the form a dedup
+    pipeline actually keeps (canonical id per group).
+
+    Returns ``(sig, dup_count, keep_id)`` for groups with >1 clip.
+    """
+    sigs = spectral_signatures(df).filter(F.col("ok"))
+    return (
+        sigs.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("clip_id").alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
 
 
 class AudioConsistencyRule(Rule):

@@ -42,8 +42,14 @@ def audio_rules(
     check_snr: bool = False,
     fuzzy_cutoff: Optional[float] = None,
     dur_tol_ms: int = 50,
+    extra_rules: Optional[List[Rule]] = None,
 ) -> List[Rule]:
-    """The full audio constraint suite (north_star rule families)."""
+    """The full audio constraint suite (north_star rule families).
+
+    ``extra_rules`` appends caller rules (e.g.
+    ``audio.TranscriptRateRule(use_decoded=False)`` — declared-duration
+    mode rides the suite's own dur_ms certification with zero extra
+    decode passes) to the compiled suite."""
     rules: List[Rule] = [
         # row rules — fused into ONE projection by the engine
         R.interval("sr_hz", 8000, 48000, rule_id="interval:sr_hz"),
@@ -88,6 +94,8 @@ def audio_rules(
                 rule_id="ref_match:transcript",
             )
         )
+    if extra_rules:
+        rules.extend(extra_rules)
     return rules
 
 
@@ -97,13 +105,14 @@ def validate_audio_table(
     check_snr: bool = False,
     fuzzy_cutoff: Optional[float] = None,
     partition_col: Optional[str] = "part_id",
+    extra_rules: Optional[List[Rule]] = None,
 ) -> ValidationResult:
     part = partition_col if partition_col in df.columns else None
     engine = Engine(df.sparkSession)
     return engine.validate(
         df,
         audio_rules(manifest=manifest, check_snr=check_snr,
-                    fuzzy_cutoff=fuzzy_cutoff),
+                    fuzzy_cutoff=fuzzy_cutoff, extra_rules=extra_rules),
         partition_col=part,
         description="audio constraint suite",
     )

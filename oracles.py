@@ -510,6 +510,58 @@ def transcript_rate_sql(n: int = 2000, parts: int = 4) -> str:
 
 
 @lru_cache(maxsize=None)
+def audio_dedup_groups_rows(n: int = 600, parts: int = 4) -> tuple:
+    """Expected ``audio_dedup_groups(audio_clips_df(spark, n, parts))``
+    rows — independent decode + signature recompute, grouped in plain
+    Python.  Counts are per ROW (byte-duplicate rows count separately),
+    keep_id is the min clip_id in the group."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, synth_clip_bytes
+
+    edges = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+    sig_cache = {}
+    groups = {}
+    for i in range(n):
+        buf = synth_clip_bytes(i)
+        key = bytes(buf)  # dup rows share bytes → cache their decode
+        if key in sig_cache:
+            sig = sig_cache[key]
+        else:
+            try:
+                _, sr, pcm = _sim_decode_pcm(buf)
+            except ValueError:
+                sig_cache[key] = None
+                continue
+            mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+            freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+            en = np.array(
+                [mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                 for b in range(64)])
+            bits = np.zeros(64, dtype=np.uint64)
+            bits[:63] = en[:63] > en[1:]
+            bits[63] = en[63] > en[0]
+            u = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            sig = u - (1 << 64) if u >= (1 << 63) else u
+            sig_cache[key] = sig
+        if sig is None:
+            continue
+        cnt, keep = groups.get(sig, (0, None))
+        cid = clip_id_for(i)
+        groups[sig] = (cnt + 1, cid if keep is None or cid < keep else keep)
+    return tuple(
+        (sig, cnt, keep) for sig, (cnt, keep) in sorted(groups.items())
+        if cnt > 1
+    )
+
+
+def audio_dedup_groups_sql(n: int = 600, parts: int = 4) -> str:
+    return values_sql(audio_dedup_groups_rows(n, parts),
+                      ["sig", "dup_count", "keep_id"],
+                      ["BIGINT", "BIGINT", "VARCHAR"])
+
+
+@lru_cache(maxsize=None)
 def audio_knn_rows(n: int = 600, k: int = 5,
                    n_queries: int = 5) -> tuple:
     """Expected ``knn_join`` output over spectral embeddings of the

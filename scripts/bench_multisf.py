@@ -152,9 +152,29 @@ def main():
         results[label]["audio_sec"] = round(best, 2)
         results[label]["audio_clips"] = n
 
+    # round-5 audio curation operators on the same cached clip tables.
+    # audio_dedup_groups is the linear-OUTPUT content-dedup path (one
+    # row per signature group); the pairwise LSH variant is excluded
+    # here because the fixture's 400-tone content space makes true
+    # near-dup pair counts quadratic in input — the ratio would
+    # measure the fixture, not the operator (see module docstring).
+    from datatest_spark.audio import audio_dedup_groups, audio_features
+
+    audio_features(
+        spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{AUDIO_1X}"))
+    ).count()  # warm-up
+    for label, n in (("1x", AUDIO_1X), ("5x", SCALE * AUDIO_1X)):
+        df = spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{n}"))
+        sec, rows = timed(audio_features, df, runs=2)
+        results[label]["afeat_sec"] = sec
+        sec, groups = timed(audio_dedup_groups, df, runs=2)
+        results[label]["adedup_sec"] = sec
+        results[label]["adedup_groups"] = groups
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
-        for op in ("minhash", "ngram", "simhash", "audio")
+        for op in ("minhash", "ngram", "simhash", "audio",
+                   "afeat", "adedup")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()

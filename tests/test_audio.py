@@ -372,3 +372,50 @@ class TestTranscriptRate:
         for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
             assert plan.count(marker) <= 2 * base.count(marker), marker
         assert plan_df.filter("rule_id = 'transcript_rate:wps'").count() > 0
+
+
+class TestSuiteExtraRules:
+    def test_transcript_rate_inside_suite(self, spark):
+        from datatest_spark.audio import TranscriptRateRule
+
+        df = FX.audio_clips_df(spark, 400, parts=2)
+        res = validate_audio_table(
+            df,
+            extra_rules=[TranscriptRateRule(use_decoded=False)],
+        )
+        by_rule = {r["rule_id"] for r in
+                   res.violations.select("rule_id").distinct().collect()}
+        assert "transcript_rate:wps" in by_rule
+        assert "unique:clip_id" in by_rule  # base suite still present
+
+
+class TestAudioDedupGroups:
+    def test_groups_match_bruteforce(self, spark):
+        from datatest_spark.audio import (
+            audio_dedup_groups, decode_bytes, spectral_signature)
+
+        n = 300
+        df = FX.audio_clips_df(spark, n, parts=2)
+        got = {(r["sig"], r["dup_count"], r["keep_id"])
+               for r in audio_dedup_groups(df).collect()}
+
+        groups = {}
+        for i in range(n):
+            p = FX.clip_params(i)
+            src_i = p.dup_of if p.dup_of is not None else i
+            try:
+                _, sr, pcm = decode_bytes(FX.synth_clip_bytes(src_i))
+            except ValueError:
+                continue
+            s = spectral_signature(sr, pcm)
+            cnt, keep = groups.get(s, (0, None))
+            cid = FX.clip_id_for(i)
+            groups[s] = (cnt + 1,
+                         cid if keep is None or cid < keep else keep)
+        want = {(s, c, k) for s, (c, k) in groups.items() if c > 1}
+        assert got == want and len(want) > 0
+        # the injected byte-dup pair (i=7 dups 6) must be in a group
+        dup_sigs = [s for s, (c, k) in groups.items()
+                    if k == FX.clip_id_for(6)]
+        assert any((s, c, k) in got for s, (c, k) in
+                   ((ds, groups[ds]) for ds in dup_sigs))
