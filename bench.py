@@ -132,6 +132,61 @@ def bench_queries(spark) -> dict:
     return out
 
 
+def read_steal() -> tuple:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line.
+
+    Hypervisor steal is the one host pathology the single-thread
+    canary cannot see: a co-tenant can leave one core fast (canary
+    healthy) while taking half the machine's 32-core capacity.  The
+    steal fraction over a timed window is the direct measurement."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 1
+
+
+#: a timed run is accepted only if hypervisor steal took less than
+#: this fraction of the machine's total CPU ticks during the window
+#: (0.03 of 32 cores ≈ one stolen core); runs above it re-run within
+#: a bounded retry budget and are published either way.
+STEAL_GATE = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "0.03"))
+
+
+def timed_suite_run(spark, audio_path: str, manifest_path: str) -> tuple:
+    """One measured suite pass -> (wall_sec, steal_frac_during_run)."""
+    s0, t0 = read_steal()
+    elapsed = run_audio_suite(spark, audio_path, manifest_path)
+    s1, t1 = read_steal()
+    return elapsed, (s1 - s0) / max(t1 - t0, 1)
+
+
+def best_clean_run(spark, audio_path: str, manifest_path: str,
+                   want: int, retry_budget: int,
+                   observations: list) -> float:
+    """Best wall over ``want`` accepted (low-steal) runs.
+
+    Steal-spiked runs don't count toward ``want`` (they measure the
+    co-tenant, not the plan) but are retried at most ``retry_budget``
+    times so the bench always terminates; every run's (sec, steal)
+    lands in ``observations`` for artifact transparency."""
+    accepted, spiked = [], []
+    budget = retry_budget
+    while len(accepted) < want:
+        sec, steal = timed_suite_run(spark, audio_path, manifest_path)
+        observations.append((round(sec, 3), round(steal, 4)))
+        if steal <= STEAL_GATE:
+            accepted.append(sec)
+        else:
+            spiked.append(sec)
+            budget -= 1
+            if budget < 0:
+                break
+    return min(accepted) if accepted else min(spiked)
+
+
 def cpu_canary() -> float:
     """Wall seconds for a fixed single-thread CPU-bound loop.
     Published in the artifact so a host co-tenancy / throttling phase
@@ -167,9 +222,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     audio_path, manifest_path = ensure_audio_cache(spark, N_CLIPS)
     run_audio_suite(spark, audio_path, manifest_path)  # warm-up
-    full_sec = min(
-        run_audio_suite(spark, audio_path, manifest_path) for _ in range(5)
-    )  # best-of-5: the box's noise is one-sided (scheduling spikes)
+    # best-of-5 accepted runs: the box's noise is one-sided (scheduling
+    # spikes + hypervisor steal), so the minimum over low-steal runs
+    # estimates machine capability; steal-spiked runs re-run (bounded).
+    full_obs: list = []
+    full_sec = best_clean_run(spark, audio_path, manifest_path,
+                              want=5, retry_budget=4,
+                              observations=full_obs)
     query_secs = bench_queries(spark)
     spark.stop()
 
@@ -186,14 +245,15 @@ def main():
     scaling_audio, scaling_manifest = ensure_audio_cache(cache_session, N_SCALING)
     cache_session.stop()
 
+    scaling_obs: list = []
+
     def session_best(cores: int, runs: int = 2) -> float:
         s = make_spark(cores)
         s.sparkContext.setLogLevel("ERROR")
         run_audio_suite(s, scaling_audio, scaling_manifest)  # warm-up (JIT)
-        best = min(
-            run_audio_suite(s, scaling_audio, scaling_manifest)
-            for _ in range(runs)
-        )
+        best = best_clean_run(s, scaling_audio, scaling_manifest,
+                              want=runs, retry_budget=2,
+                              observations=scaling_obs)
         s.stop()
         return best
 
@@ -240,6 +300,14 @@ def main():
         # the host is healthy; >1 s flags a co-tenancy phase that
         # depresses every absolute throughput in this artifact
         "cpu_canary_sec": [canary_start, cpu_canary()],
+        # hypervisor-steal transparency: every timed (sec, steal_frac)
+        # observation, including the steal-spiked runs that were
+        # re-run.  Steal is invisible to the single-thread canary but
+        # directly depresses saturated multi-core runs; accepted runs
+        # kept steal <= steal_gate (~one stolen core out of 32).
+        "steal_gate": STEAL_GATE,
+        "full_core_runs": full_obs,
+        "scaling_runs": scaling_obs,
     }
     print(json.dumps(result))
 
