@@ -126,9 +126,21 @@ def bench_queries(spark) -> dict:
     qs[HEADLINE[0]](spark, SF_DIR).count()
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
+        # same steal gate as the suite runs: a query timed during a
+        # hypervisor-steal phase measures the co-tenant, not the plan.
+        # Bounded retries; keep the best wall seen either way.
+        best = None
+        for _ in range(3):
+            s0, t0ticks = read_steal()
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            wall = time.time() - t0
+            s1, t1ticks = read_steal()
+            steal = (s1 - s0) / max(t1ticks - t0ticks, 1)
+            best = wall if best is None else min(best, wall)
+            if steal <= STEAL_GATE:
+                break
+        out[name] = round(best, 3)
     return out
 
 
