@@ -463,6 +463,53 @@ def q_profile_hist_merge(spark, sf_dir):
     )
 
 
+def q_tdigest_profile(spark, sf_dir):
+    """Adaptive mergeable quantile sketch (stats.py t-digest, round 5):
+    lineitem l_extendedprice — a continuous wide-range column where no
+    fixed histogram edges are known up front — profiled per
+    l_returnflag partition with per-partition GK centroid grids (the
+    same single-scan groupBy as every other profile aggregate), merged
+    into ONE digest by the Arrow compression pass
+    (stats.tdigest_compress, k1 scale function), then certified against
+    the data itself: for each probability, the merged-digest estimate's
+    TRUE rank (fraction of rows ≤ estimate, computed by Spark on the
+    full column) must sit within 0.01 of the requested probability.
+    The oracle recomputes the non-null count and the expected
+    all-within-bound verdicts, so a digest whose merged quantiles
+    drifted off by more than the bound hash-mismatches."""
+    from datatest_spark.stats import (
+        merge_profiles, partitioned_profile, tdigest_quantiles)
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = merge_profiles(
+        partitioned_profile(
+            li, ["l_extendedprice"], partition_col="l_returnflag",
+            tdigest=["l_extendedprice"],
+        )
+    ).collect()[0]
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est = tdigest_quantiles(m["tdigest"], probs, lo=m["min_v"], hi=m["max_v"])
+    col = F.col("l_extendedprice")
+    aggs = [F.count(col).alias("n")]
+    for i, e in enumerate(est):
+        aggs.append(
+            F.sum((col <= F.lit(float(e))).cast("long")).alias(f"r{i}")
+        )
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("qprob"),
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                F.abs(F.col(f"r{i}") / F.col("n") - F.lit(float(p)))
+                <= F.lit(0.01)
+            ).alias("within_bound"),
+        )
+        for i, p in enumerate(probs)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 def q_knn_join(spark, sf_dir):
     """Batch kNN join (operators/ann.py knn_join): every query row gets
     its exact top-k corpus neighbors by round-6 cosine — vectorized
@@ -1222,12 +1269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 9 queries new since r04 (audio_features,
-    # audio_neardup, audio_knn, transcript_rate, audio_dedup_groups,
-    # knn_distributed, ivf_recall, profile_hist_merge,
-    # streaming_drift), then the 7 whose last driver row is r03, then
-    # the 50 certified in r04.
+    # 5 rotation: the 10 queries new since r04 (tdigest_profile,
+    # audio_features, audio_neardup, audio_knn, transcript_rate,
+    # audio_dedup_groups, knn_distributed, ivf_recall,
+    # profile_hist_merge, streaming_drift), then the 7 whose last
+    # driver row is r03, then the 50 certified in r04.
     return {
+        "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
         "audio_neardup": q_audio_neardup,
         "audio_knn": q_audio_knn,
@@ -1786,6 +1834,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # merged fixed-edge histogram == whole-table exact bucket
         # counts (counts are sums → partition merge is lossless)
+        # t-digest certification: Spark computes the merged-digest
+        # estimate's TRUE rank on the data and emits within-bound
+        # verdicts; the oracle recomputes the count and the expected
+        # all-true verdicts — a digest off by >0.01 rank mismatches
+        "tdigest_profile": """
+            SELECT CAST(p AS DOUBLE) AS qprob,
+                   (SELECT count(l_extendedprice) FROM lineitem) AS n_rows,
+                   true AS within_bound
+            FROM (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) t(p)
+        """,
         "profile_hist_merge": """
             SELECT 'l_quantity' AS column_name,
                    (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END

@@ -22,8 +22,11 @@ standard population-stability construction), computed distributedly via
 
 from __future__ import annotations
 
+import bisect
 import math
 from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +51,9 @@ __all__ = [
     "partitioned_profile",
     "merge_profiles",
     "quantiles_from_histogram",
+    "tdigest_compress",
+    "tdigest_quantiles",
+    "TDIGEST_SCHEMA",
 ]
 
 _Q_GRID = [i / 20.0 for i in range(21)]  # q0, q5, ..., q100
@@ -148,6 +154,9 @@ def _bucket_index(col: Column, edges: Sequence[float]) -> Column:
 def partitioned_profile(df: DataFrame, columns: Sequence[str],
                         partition_col: str = "part_id",
                         bin_edges: Optional[Dict[str, Sequence[float]]] = None,
+                        tdigest: Optional[Sequence[str]] = None,
+                        tdigest_grid: int = 64,
+                        tdigest_accuracy: int = 10_000,
                         ) -> DataFrame:
     """Per-partition MERGEABLE profile: one row per (partition, column)
     with exact count/null/min/max/sum stats, a binary HLL sketch
@@ -174,14 +183,32 @@ def partitioned_profile(df: DataFrame, columns: Sequence[str],
     aggregate expressions — a single scan + single shuffle of
     ~n_partitions rows regardless of how many columns are profiled —
     then a zero-shuffle array-of-structs explode to long form.
+
+    Columns listed in ``tdigest`` additionally carry a per-partition
+    t-digest (``tdigest`` column, :data:`TDIGEST_SCHEMA`): an
+    equal-mass centroid grid from the built-in Greenwald-Khanna
+    aggregate (``percentile_approx`` at the ``tdigest_grid``
+    bucket-midpoint probabilities — still the same single scan, no
+    custom UDAF), each centroid weighted ``non_null/grid``.  Unlike
+    ``bin_edges`` this needs NO edges chosen up front; merged digests
+    (:func:`merge_profiles`) answer any quantile via
+    :func:`tdigest_quantiles`.
     """
     bin_edges = {
         c: sorted({float(e) for e in es})
         for c, es in (bin_edges or {}).items()
     }
+    td_cols = set(tdigest or ())
+    td_midgrid = [(i + 0.5) / tdigest_grid for i in range(tdigest_grid)]
     exprs: List[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
         col = F.col(c)
+        if c in td_cols:
+            exprs.append(
+                F.percentile_approx(
+                    col.cast("double"), td_midgrid, tdigest_accuracy
+                ).alias(f"{c}__tdm")
+            )
         exprs += [
             F.count(col).alias(f"{c}__nn"),
             F.min(col).cast("double").alias(f"{c}__mn"),
@@ -215,6 +242,26 @@ def partitioned_profile(df: DataFrame, columns: Sequence[str],
         else:
             hist = F.lit(None).cast("array<bigint>")
             hedges = F.lit(None).cast("array<double>")
+        if c in td_cols:
+            w = F.col(f"{c}__nn").cast("double") / F.lit(float(tdigest_grid))
+
+            # factory keeps the callable arity-1: F.transform inspects
+            # the signature and treats 2 params (even defaulted) as
+            # (element, index), which would bind the index as weight
+            def _mk_centroid(weight_col):
+                def _centroid(x):
+                    return F.struct(
+                        x.alias("mean"), weight_col.alias("weight")
+                    )
+
+                return _centroid
+
+            td = F.when(
+                F.col(f"{c}__tdm").isNotNull() & (F.col(f"{c}__nn") > 0),
+                F.transform(F.col(f"{c}__tdm"), _mk_centroid(w)),
+            ).cast(TDIGEST_SCHEMA)
+        else:
+            td = F.lit(None).cast(TDIGEST_SCHEMA)
         structs.append(
             F.struct(
                 F.lit(c).alias("column_name"),
@@ -227,12 +274,15 @@ def partitioned_profile(df: DataFrame, columns: Sequence[str],
                 F.col(f"{c}__hll").alias("distinct_sketch"),
                 hedges.alias("hist_edges"),
                 hist.alias("hist"),
+                td.alias("tdigest"),
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
-def merge_profiles(profiles: DataFrame) -> DataFrame:
+def merge_profiles(profiles: DataFrame,
+                   tdigest_compression: int = 100,
+                   tdigest_shards: Optional[int] = None) -> DataFrame:
     """Fold :func:`partitioned_profile` rows (any union of partitions,
     possibly read back from storage) into per-column table-level stats.
     HLL union is lossless over disjoint-or-not inputs, so the merged
@@ -240,7 +290,16 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
     estimate; fixed-edge histogram counts merge by element-wise sum, so
     the merged ``hist`` EQUALS the whole-table histogram exactly (and
     with it any quantile interpolated via
-    :func:`quantiles_from_histogram`)."""
+    :func:`quantiles_from_histogram`).
+
+    Per-partition t-digests merge by flatten + one Arrow-vectorized
+    compression pass (:func:`tdigest_compress`) into a single digest
+    per column, read via :func:`tdigest_quantiles`.  The merge buffers
+    ``n_partitions × tdigest_grid`` centroids per column (16 bytes
+    each) in one aggregation group — fine to ~10^5 partitions; beyond
+    that pass ``tdigest_shards`` to pre-compress in that many hashed
+    partition groups first (two tiny shuffles, buffers bounded by
+    ``n_partitions/shards × grid``)."""
     empty = F.array().cast("array<bigint>")
     hist_merged = F.aggregate(
         F.collect_list("hist"),  # collect_list drops nulls
@@ -249,7 +308,7 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             F.zip_with(acc, h, lambda a, b: a + b)
         ),
     )
-    return (
+    merged = (
         profiles.groupBy("column_name")
         .agg(
             F.sum("row_count").alias("row_count"),
@@ -264,6 +323,29 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
             F.when(F.size(hist_merged) > 0, hist_merged).alias("hist"),
         )
     )
+    if "tdigest" not in profiles.columns:
+        # profiles persisted before the tdigest column existed
+        return merged.withColumn("tdigest", F.lit(None).cast(TDIGEST_SCHEMA))
+    compress = _td_merge_udf(tdigest_compression)
+    td = profiles.where(F.col("tdigest").isNotNull())
+    if tdigest_shards and int(tdigest_shards) > 1:
+        td = (
+            td.groupBy(
+                "column_name",
+                F.pmod(
+                    F.xxhash64("partition_id"), F.lit(int(tdigest_shards))
+                ).alias("__shard"),
+            )
+            .agg(F.flatten(F.collect_list("tdigest")).alias("tdigest"))
+            .select("column_name", compress("tdigest").alias("tdigest"))
+        )
+    tdm = (
+        td.groupBy("column_name")
+        .agg(F.flatten(F.collect_list("tdigest")).alias("__flat"))
+        .select("column_name", compress("__flat").alias("tdigest"))
+    )
+    # one row per profiled column — always broadcastable
+    return merged.join(F.broadcast(tdm), "column_name", "left")
 
 
 def quantiles_from_histogram(edges: Sequence[float], counts: Sequence[int],
@@ -306,6 +388,139 @@ def quantiles_from_histogram(edges: Sequence[float], counts: Sequence[int],
         frac = min(max(frac, 0.0), 1.0)
         v0, v1 = bounds[b], bounds[b + 1]
         out.append(v0 + frac * (v1 - v0))
+    return out
+
+
+# --------------------------------------------------------------------------
+# t-digest: ADAPTIVE mergeable quantile sketch (north_star: "quantile
+# sketches via t-digest/GK").  The fixed-edge histogram above is exactly
+# mergeable but needs edges chosen up front; the t-digest needs none —
+# per-partition centroids adapt to the data, merge losslessly-enough
+# (rank error ~1/compression, tightest at the tails by the k1 scale
+# function), and answer any quantile afterwards without a rescan.
+#
+# Build path stays in partitioned_profile's SINGLE groupBy scan: the
+# per-partition sketch is an equal-mass centroid grid derived from the
+# built-in Greenwald-Khanna aggregate (percentile_approx at bucket-
+# midpoint probabilities) — no custom UDAF, no second pass, JVM-side.
+# Only the MERGE (tiny: n_partitions x grid centroids per column) runs
+# the Arrow-vectorized compression below.
+# --------------------------------------------------------------------------
+
+TDIGEST_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("mean", T.DoubleType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+        ]
+    )
+)
+
+
+def tdigest_compress(centroids, compression: int = 100) -> List[tuple]:
+    """Merge any bag of ``(mean, weight)`` centroids into at most
+    ~``compression`` clusters — the standard merging t-digest with the
+    k1 scale function ``k(q) = (δ/2π)·asin(2q−1)`` (Dunning & Ertl):
+    a cluster may absorb its sorted successor while the k-span stays
+    ≤ 1, which bounds cluster mass to O(total·q(1−q)/δ) — small at the
+    tails, where quantile accuracy matters most.  Deterministic:
+    input order never matters (sorted first), so merged digests are
+    stable across retries and partitionings of the same data."""
+    pts = sorted(
+        (float(m), float(w)) for m, w in centroids if w is not None and w > 0
+    )
+    if not pts:
+        return []
+    total = sum(w for _, w in pts)
+    half = compression / (2.0 * math.pi)
+
+    def k(q: float) -> float:
+        return half * math.asin(min(1.0, max(-1.0, 2.0 * q - 1.0)))
+
+    out: List[tuple] = []
+    cum = 0.0  # mass emitted before the open cluster
+    cm, cw = pts[0]
+    k0 = k(0.0)
+    for m, w in pts[1:]:
+        if k((cum + cw + w) / total) - k0 <= 1.0:
+            cw += w
+            cm += (m - cm) * (w / cw)  # running weighted mean
+        else:
+            out.append((cm, cw))
+            cum += cw
+            k0 = k(cum / total)
+            cm, cw = m, w
+    out.append((cm, cw))
+    return out
+
+
+def _centroid_mw(c) -> tuple:
+    """(mean, weight) from a tuple, dict, or Spark Row centroid."""
+    if isinstance(c, dict):
+        return c["mean"], c["weight"]
+    try:
+        return c.mean, c.weight
+    except AttributeError:
+        return c[0], c[1]
+
+
+def _td_merge_udf(compression: int):
+    """Scalar pandas UDF: flattened centroid array → compressed digest."""
+
+    @F.pandas_udf(TDIGEST_SCHEMA)
+    def merge_fn(flat: pd.Series) -> pd.Series:
+        def one(cents):
+            if cents is None:
+                return None
+            return [
+                {"mean": m, "weight": w}
+                for m, w in tdigest_compress(
+                    (_centroid_mw(c) for c in cents), compression
+                )
+            ]
+
+        return flat.map(one)
+
+    return merge_fn
+
+
+def tdigest_quantiles(centroids, probs: Sequence[float],
+                      lo: Optional[float] = None,
+                      hi: Optional[float] = None) -> List[float]:
+    """Quantile grid from a (merged) t-digest: centroid i's mass is
+    centered at its cumulative-weight midpoint; ranks interpolate
+    linearly between adjacent midpoints.  ``lo``/``hi`` bound the open
+    tails (pass the profile's merged ``min_v``/``max_v``); without them
+    the extreme quantiles clamp to the outermost centroid means."""
+    pts = sorted(_centroid_mw(c) for c in centroids or [])
+    pts = [(float(m), float(w)) for m, w in pts if w is not None and w > 0]
+    if not pts:
+        return []
+    total = sum(w for _, w in pts)
+    mids: List[float] = []
+    means: List[float] = []
+    cum = 0.0
+    for m, w in pts:
+        mids.append(cum + w / 2.0)
+        means.append(m)
+        cum += w
+    flo = float(lo) if lo is not None else means[0]
+    fhi = float(hi) if hi is not None else means[-1]
+    out = []
+    for p in probs:
+        t = min(max(float(p), 0.0), 1.0) * total
+        if t <= mids[0]:
+            frac = t / mids[0] if mids[0] > 0 else 1.0
+            out.append(flo + frac * (means[0] - flo))
+        elif t >= mids[-1]:
+            rem = total - mids[-1]
+            frac = (t - mids[-1]) / rem if rem > 0 else 0.0
+            out.append(means[-1] + frac * (fhi - means[-1]))
+        else:
+            j = bisect.bisect_right(mids, t) - 1
+            span = mids[j + 1] - mids[j]
+            frac = (t - mids[j]) / span if span > 0 else 0.0
+            out.append(means[j] + frac * (means[j + 1] - means[j]))
     return out
 
 
@@ -419,6 +634,26 @@ class _BucketDriftRule(Rule):
         rule._hist_edges = sorted({float(e) for e in edges})
         rule._hist_props = [int(x) / total for x in counts]
         return rule
+
+    @classmethod
+    def from_tdigest(cls, column: str, centroids,
+                     threshold: float = 0.2, buckets: int = 10,
+                     lo: Optional[float] = None, hi: Optional[float] = None,
+                     rule_id: Optional[str] = None):
+        """Build the drift rule from a merged t-digest
+        (:func:`merge_profiles` ``tdigest`` column) — the ADAPTIVE
+        mergeable-baseline feed: no bucket edges chosen up front, no
+        rescan of baseline data.  The digest answers the equal-mass
+        quantile grid (``buckets`` + 1 points) that becomes the
+        baseline; pass the merged ``min_v``/``max_v`` as ``lo``/``hi``
+        to pin the tail quantiles."""
+        grid = [i / buckets for i in range(buckets + 1)]
+        return cls(
+            column,
+            tdigest_quantiles(centroids, grid, lo=lo, hi=hi),
+            threshold,
+            rule_id,
+        )
 
     def statistic(self, current: Sequence[float], props: Sequence[float]) -> float:
         raise NotImplementedError  # pragma: no cover

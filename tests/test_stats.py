@@ -256,3 +256,155 @@ class TestMergeableProfiles:
             "v", m["hist_edges"], m["hist"], threshold=0.1)
         rows = engine.validate(shifted, [rule2]).violations.collect()
         assert len(rows) == 1 and rows[0]["deviation"] > 0.5
+
+class TestTDigest:
+    """Adaptive mergeable quantile sketch (stats.py t-digest): built
+    from the single-scan GK grid per partition, merged by one Arrow
+    compression pass, queried without rescans."""
+
+    @pytest.fixture()
+    def skew_df(self, spark):
+        from pyspark.sql import functions as F
+
+        # heavy-tailed deterministic values: exp(U) over ~3 decades
+        return spark.range(20_000).select(
+            (F.col("id") % 8).alias("part_id"),
+            F.exp((F.xxhash64("id") % 1000).cast("double") / 250.0).alias("v"),
+        )
+
+    def test_compress_pure(self):
+        from datatest_spark.stats import tdigest_compress
+
+        cents = [(float(i), 1.0) for i in range(10_000)]
+        out = tdigest_compress(cents, compression=100)
+        assert len(out) < 200  # ~compression clusters
+        assert abs(sum(w for _, w in out) - 10_000) < 1e-6  # mass preserved
+        means = [m for m, _ in out]
+        assert means == sorted(means)
+        # deterministic and order-independent
+        import random
+
+        rnd = random.Random(7)
+        shuffled = cents[:]
+        rnd.shuffle(shuffled)
+        assert tdigest_compress(shuffled, compression=100) == out
+
+    def test_tail_resolution(self):
+        """k1 scale function: clusters are smallest at the tails."""
+        from datatest_spark.stats import tdigest_compress
+
+        out = tdigest_compress([(float(i), 1.0) for i in range(100_000)], 100)
+        weights = [w for _, w in out]
+        assert weights[0] < weights[len(weights) // 2] / 10
+        assert weights[-1] < weights[len(weights) // 2] / 10
+
+    def test_quantiles_vs_exact(self, spark, skew_df):
+        import numpy as np
+
+        from datatest_spark.stats import (
+            merge_profiles, partitioned_profile, tdigest_quantiles)
+
+        prof = partitioned_profile(skew_df, ["v"], "part_id", tdigest=["v"])
+        m = merge_profiles(prof).collect()[0]
+        assert m["tdigest"] is not None and len(m["tdigest"]) > 10
+        probs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+        est = tdigest_quantiles(
+            m["tdigest"], probs, lo=m["min_v"], hi=m["max_v"])
+        vals = np.array([r["v"] for r in skew_df.select("v").collect()])
+        for p, e in zip(probs, est):
+            rank = float((vals <= e).mean())
+            assert abs(rank - p) <= 0.01, (p, e, rank)
+
+    def test_merge_matches_whole_table_digest(self, spark, skew_df):
+        """Digest merged from 8 partition sketches answers quantiles
+        within rank epsilon of the digest built in one piece — the
+        mergeability contract."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import (
+            merge_profiles, partitioned_profile, tdigest_quantiles)
+
+        probs = [0.1, 0.5, 0.9]
+        m8 = merge_profiles(
+            partitioned_profile(skew_df, ["v"], "part_id", tdigest=["v"])
+        ).collect()[0]
+        m1 = merge_profiles(
+            partitioned_profile(
+                skew_df.withColumn("part_id", F.lit(0)), ["v"], "part_id",
+                tdigest=["v"])
+        ).collect()[0]
+        q8 = tdigest_quantiles(m8["tdigest"], probs, m8["min_v"], m8["max_v"])
+        q1 = tdigest_quantiles(m1["tdigest"], probs, m1["min_v"], m1["max_v"])
+        vals = np.array([r["v"] for r in skew_df.select("v").collect()])
+        for a, b in zip(q8, q1):
+            gap = abs(float((vals <= a).mean()) - float((vals <= b).mean()))
+            assert gap <= 0.01
+
+    def test_sharded_merge(self, spark, skew_df):
+        """tdigest_shards pre-compression (the >10^5-partition path)
+        changes only the merge tree, not the answers."""
+        import numpy as np
+
+        from datatest_spark.stats import (
+            merge_profiles, partitioned_profile, tdigest_quantiles)
+
+        prof = partitioned_profile(skew_df, ["v"], "part_id", tdigest=["v"])
+        prof.cache().count()
+        try:
+            probs = [0.1, 0.5, 0.9]
+            flat = merge_profiles(prof).collect()[0]
+            shard = merge_profiles(prof, tdigest_shards=4).collect()[0]
+            qf = tdigest_quantiles(
+                flat["tdigest"], probs, flat["min_v"], flat["max_v"])
+            qs = tdigest_quantiles(
+                shard["tdigest"], probs, shard["min_v"], shard["max_v"])
+            vals = np.array([r["v"] for r in skew_df.select("v").collect()])
+            for a, b in zip(qf, qs):
+                gap = abs(float((vals <= a).mean()) - float((vals <= b).mean()))
+                assert gap <= 0.01
+        finally:
+            prof.unpersist()
+
+    def test_single_scan_with_tdigest(self, spark, skew_df):
+        """Adding t-digest columns must NOT add a scan: the GK grid
+        rides the same groupBy as every other aggregate."""
+        from datatest_spark.stats import partitioned_profile
+
+        prof = partitioned_profile(
+            skew_df, ["v", "part_id"], "part_id", tdigest=["v"])
+        plan = prof._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range") == 1
+        assert plan.count("Exchange") <= 2
+
+    def test_drift_rule_from_tdigest(self, spark, skew_df):
+        """merge_profiles tdigest → DriftPSIRule.from_tdigest: the
+        edge-free incremental drift baseline.  Same distribution
+        passes; a shifted table fires."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import (
+            DriftPSIRule, merge_profiles, partitioned_profile)
+        from datatest_spark.validation import Engine
+
+        m = merge_profiles(
+            partitioned_profile(skew_df, ["v"], "part_id", tdigest=["v"])
+        ).collect()[0]
+        engine = Engine(spark)
+        mk = lambda: DriftPSIRule.from_tdigest(
+            "v", m["tdigest"], threshold=0.1,
+            lo=m["min_v"], hi=m["max_v"])
+        assert engine.validate(skew_df.select("v"), [mk()]).ok
+        shifted = skew_df.select((F.col("v") + 100.0).alias("v"))
+        rows = engine.validate(shifted, [mk()]).violations.collect()
+        assert len(rows) == 1 and rows[0]["deviation"] > 0.5
+
+    def test_legacy_profiles_without_tdigest_column(self, spark, skew_df):
+        """Profiles persisted before the tdigest column existed still
+        merge (null digest, stable schema)."""
+        from datatest_spark.stats import merge_profiles, partitioned_profile
+
+        legacy = partitioned_profile(skew_df, ["v"], "part_id").drop("tdigest")
+        m = merge_profiles(legacy).collect()[0]
+        assert m["tdigest"] is None
+        assert m["row_count"] == 20_000
