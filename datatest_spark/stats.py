@@ -53,6 +53,7 @@ __all__ = [
     "quantiles_from_histogram",
     "tdigest_compress",
     "tdigest_quantiles",
+    "merge_tdigest_column",
     "TDIGEST_SCHEMA",
 ]
 
@@ -339,10 +340,8 @@ def merge_profiles(profiles: DataFrame,
             .agg(F.flatten(F.collect_list("tdigest")).alias("tdigest"))
             .select("column_name", compress("tdigest").alias("tdigest"))
         )
-    tdm = (
-        td.groupBy("column_name")
-        .agg(F.flatten(F.collect_list("tdigest")).alias("__flat"))
-        .select("column_name", compress("__flat").alias("tdigest"))
+    tdm = merge_tdigest_column(
+        td, ["column_name"], compression=tdigest_compression
     )
     # one row per profiled column — always broadcastable
     return merged.join(F.broadcast(tdm), "column_name", "left")
@@ -482,6 +481,25 @@ def _td_merge_udf(compression: int):
         return flat.map(one)
 
     return merge_fn
+
+
+def merge_tdigest_column(df: DataFrame, group_cols: Sequence[str] = (),
+                         tdigest_col: str = "tdigest",
+                         compression: int = 100,
+                         alias: str = "tdigest") -> DataFrame:
+    """Fold a ``tdigest`` column across rows per group — one merged
+    digest per group (or one global row with no ``group_cols``).  The
+    cross-window merge path: e.g. a week of
+    :func:`~datatest_spark.streaming.windowed_profile` windows folds
+    into a single adaptive drift baseline
+    (:meth:`DriftPSIRule.from_tdigest`) without touching raw data."""
+    compress = _td_merge_udf(compression)
+    return (
+        df.where(F.col(tdigest_col).isNotNull())
+        .groupBy(*[F.col(g) for g in group_cols])
+        .agg(F.flatten(F.collect_list(tdigest_col)).alias("__flat"))
+        .select(*group_cols, compress("__flat").alias(alias))
+    )
 
 
 def tdigest_quantiles(centroids, probs: Sequence[float],

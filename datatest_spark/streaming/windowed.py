@@ -33,7 +33,9 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
                      window: str = "1 hour",
                      allowed_lateness: str = "97 minutes",
                      keys: Sequence[str] = (),
-                     bin_edges: Optional[Sequence[float]] = None) -> DataFrame:
+                     bin_edges: Optional[Sequence[float]] = None,
+                     tdigest_grid: Optional[int] = None,
+                     tdigest_accuracy: int = 10_000) -> DataFrame:
     """Per-window (x keys) profile of a stream: row count, plus
     sum/min/max of ``value_col`` when given — and, with ``bin_edges``,
     a fixed-edge histogram ``hist`` of the value column per window
@@ -43,6 +45,17 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
     they are the exact shape :func:`windowed_drift_psi` and the batch
     drift rules (stats.py :meth:`DriftPSIRule.from_histogram`)
     consume — the streaming feed for incremental drift baselines.
+
+    With ``tdigest_grid``, each window also carries an adaptive
+    t-digest of the value column (same representation as the batch
+    :func:`~datatest_spark.stats.partitioned_profile`): an equal-mass
+    centroid grid from the streaming-capable Greenwald-Khanna
+    aggregate (``percentile_approx`` merges per-batch state under the
+    watermark like any other aggregate).  Unlike ``bin_edges`` this
+    needs no edges chosen before the stream starts; emitted windows
+    fold into one baseline with
+    :func:`~datatest_spark.stats.merge_tdigest_column` and feed
+    :meth:`~datatest_spark.stats.DriftPSIRule.from_tdigest`.
 
     ``allowed_lateness`` is the watermark delay: events later than
     this past the stream's max event time are dropped, and a window
@@ -61,6 +74,14 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
             F.max(c).alias("value_max"),
         ]
         extra_cols += ["value_sum", "value_min", "value_max"]
+        if tdigest_grid:
+            midgrid = [(i + 0.5) / tdigest_grid for i in range(tdigest_grid)]
+            aggs += [
+                F.percentile_approx(
+                    c.cast("double"), midgrid, tdigest_accuracy
+                ).alias("__tdm"),
+                F.count(c).alias("__nnv"),
+            ]
         if bin_edges:
             edges = sorted({float(e) for e in bin_edges})
             cd = c.cast("double")
@@ -85,12 +106,33 @@ def windowed_profile(stream_df: DataFrame, ts_col: str,
             F.array(*[F.col(f"__h{i}") for i in range(n_buckets)])
             .alias("hist")
         ]
+    td_cols = []
+    if value_col is not None and tdigest_grid:
+        from ..stats import TDIGEST_SCHEMA
+
+        w_each = F.col("__nnv").cast("double") / F.lit(float(tdigest_grid))
+
+        def _mk_centroid(weight_col):
+            # arity-1 factory: F.transform treats 2-param callables
+            # as (element, index)
+            def _centroid(x):
+                return F.struct(x.alias("mean"), weight_col.alias("weight"))
+
+            return _centroid
+
+        td_cols = [
+            F.when(
+                F.col("__tdm").isNotNull() & (F.col("__nnv") > 0),
+                F.transform(F.col("__tdm"), _mk_centroid(w_each)),
+            ).cast(TDIGEST_SCHEMA).alias("tdigest")
+        ]
     return out.select(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
         *[F.col(k) for k in keys],
         *[F.col(a) for a in (["n_rows"] + extra_cols)],
         *hist_cols,
+        *td_cols,
     )
 
 

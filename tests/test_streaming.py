@@ -305,3 +305,64 @@ class TestWindowedProfile:
         assert list(got[1]["hist"]) == [0, 0, 0, 8]
         assert not got[0]["drifted"] and abs(got[0]["psi"]) < 1e-9
         assert got[1]["drifted"] and got[1]["psi"] > 1.0
+
+    def test_windowed_tdigest_feeds_drift_rule(self, spark, stream_dirs):
+        """The EDGE-FREE streaming→drift loop: per-window t-digests
+        stream under the watermark (GK state merges per micro-batch
+        like any aggregate), emitted windows fold into one baseline
+        digest with merge_tdigest_column, and DriftPSIRule.from_tdigest
+        consumes it — no bucket edges chosen before the stream starts,
+        no rescan of emitted data."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import (
+            DriftPSIRule, merge_tdigest_column, tdigest_quantiles)
+        from datatest_spark.streaming import windowed_profile
+        from datatest_spark.validation import Engine
+
+        src, out, ckpt = stream_dirs
+        base = dt.datetime(2026, 1, 1)
+        # hours 0 and 1: v cycles 0..39 (same distribution); hour 2
+        # only pushes the watermark past hour 1's end
+        rows = [
+            (h * 100 + m, base + dt.timedelta(hours=h, minutes=m % 60),
+             float((h * 40 + m * 7) % 40))
+            for h in range(2) for m in range(40)
+        ]
+        rows.append((999, base + dt.timedelta(hours=3, minutes=45), 1.0))
+        (spark.createDataFrame(rows, "id long, ts timestamp, v double")
+         .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(
+            "id long, ts timestamp, v double").parquet(src)
+        prof = windowed_profile(
+            stream, "ts", value_col="v", window="1 hour",
+            allowed_lateness="30 minutes", tdigest_grid=16)
+        q = (prof.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        windows = spark.read.parquet(out)
+        emitted = windows.collect()
+        assert {r["window_start"].hour for r in emitted} == {0, 1}
+        for r in emitted:
+            assert r["tdigest"] is not None
+            total_w = sum(c["weight"] for c in r["tdigest"])
+            assert abs(total_w - r["n_rows"]) < 1e-6
+
+        baseline = merge_tdigest_column(windows).collect()[0]["tdigest"]
+        med = tdigest_quantiles(baseline, [0.5], lo=0.0, hi=39.0)[0]
+        assert 15.0 <= med <= 25.0  # uniform 0..39 → median ~19.5
+
+        engine = Engine(spark)
+        mk = lambda: DriftPSIRule.from_tdigest(
+            "v", baseline, threshold=0.1, lo=0.0, hi=39.0)
+        same = spark.createDataFrame(
+            [(float(i % 40),) for i in range(200)], "v double")
+        assert engine.validate(same, [mk()]).ok
+        shifted = same.select((F.col("v") + 200.0).alias("v"))
+        viol = engine.validate(shifted, [mk()]).violations.collect()
+        assert len(viol) == 1 and viol[0]["deviation"] > 0.5
