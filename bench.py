@@ -57,6 +57,7 @@ HEADLINE = [
     "drift_psi",
     "knn_join",
     "profile_merge",
+    "tdigest_profile",
     "audio_features",
     "audio_neardup",
 ]
