@@ -786,6 +786,12 @@ class OutlierRule(Rule):
     where a one-pass approximate fence is the right trade), then one
     codegen'd interval projection emits Deviation rows against the
     violated fence.  The quartile row is a 2-value driver-side collect.
+
+    Size note: exact ``percentile`` buffers O(distinct values) per
+    aggregation task — fine for bounded domains (prices, durations,
+    codes) up to ~10^7 distincts, a memory hazard beyond.  For
+    unbounded continuous columns at scale pass ``approx=True``
+    (GK: fixed ~``1/accuracy`` rank error, constant memory).
     """
 
     kind = "plan"
