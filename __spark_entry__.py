@@ -463,6 +463,37 @@ def q_profile_hist_merge(spark, sf_dir):
     )
 
 
+def q_quarantine_rows(spark, sf_dir):
+    """Row quarantine (validation.quarantine, round 5): the curation
+    split — lineitem rows implicated by ANY of two interval rules are
+    held back, the rest flow on clean.  Attribution is by the rendered
+    per-row key (l_orderkey, l_linenumber); the split is one persisted
+    rule evaluation + a distinct over violating keys + anti/semi joins
+    (AQE broadcasts the small key set).  Returns the quarantined rows'
+    keys with both rule verdicts recomputable; oracle: the equivalent
+    WHERE-NOT predicate union in DuckDB."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import quarantine
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    res = quarantine(
+        li,
+        [R.interval("l_quantity", 3.0, 46.0),
+         R.interval("l_discount", 0.0, 0.08)],
+        key=["l_orderkey", "l_linenumber"],
+    )
+    out = res.quarantined.select("l_orderkey", "l_linenumber")
+    # the driver collects `out` only; eager-materialize the split while
+    # the violations frame is persisted, then release it
+    n_clean = res.clean.count()
+    n_quar = out.count()
+    res.unpersist()
+    assert n_clean + n_quar == li.count()
+    return out
+
+
 def q_tdigest_profile(spark, sf_dir):
     """Adaptive mergeable quantile sketch (stats.py t-digest, round 5):
     lineitem l_extendedprice — a continuous wide-range column where no
@@ -1269,12 +1300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 10 queries new since r04 (tdigest_profile,
-    # audio_features, audio_neardup, audio_knn, transcript_rate,
-    # audio_dedup_groups, knn_distributed, ivf_recall,
-    # profile_hist_merge, streaming_drift), then the 7 whose last
-    # driver row is r03, then the 50 certified in r04.
+    # 5 rotation: the 11 queries new since r04 (quarantine_rows,
+    # tdigest_profile, audio_features, audio_neardup, audio_knn,
+    # transcript_rate, audio_dedup_groups, knn_distributed,
+    # ivf_recall, profile_hist_merge, streaming_drift), then the 7
+    # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
         "audio_neardup": q_audio_neardup,
@@ -1834,6 +1866,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # merged fixed-edge histogram == whole-table exact bucket
         # counts (counts are sums → partition merge is lossless)
+        # quarantine: attribution is BY KEY — every row sharing a key
+        # with a violating row is held (the synthetic lineitem has
+        # duplicate (orderkey, linenumber) keys on purpose, so this
+        # oracle distinguishes key attribution from plain row filter)
+        "quarantine_rows": """
+            SELECT l.l_orderkey, l.l_linenumber
+            FROM lineitem l
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem v
+                WHERE v.l_orderkey = l.l_orderkey
+                  AND v.l_linenumber = l.l_linenumber
+                  AND (NOT (v.l_quantity >= 3.0 AND v.l_quantity <= 46.0)
+                       OR NOT (v.l_discount >= 0.0 AND v.l_discount <= 0.08))
+            )
+        """,
         # t-digest certification: Spark computes the merged-digest
         # estimate's TRUE rank on the data and emits within-bound
         # verdicts; the oracle recomputes the count and the expected

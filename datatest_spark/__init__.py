@@ -22,8 +22,10 @@ from .predicates import Predicate, compile_predicate
 from .schema import VIOLATION_SCHEMA
 from .validation import (
     Engine,
+    QuarantineResult,
     ValidationError,
     ValidationResult,
+    quarantine,
     valid,
     validate,
 )
@@ -53,6 +55,8 @@ __all__ = [
     "ValidationResult",
     "validate",
     "valid",
+    "quarantine",
+    "QuarantineResult",
     "requirements",
     "accepted",
     "DataTestCase",

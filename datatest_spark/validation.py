@@ -20,6 +20,7 @@ Re-expresses the reference's validation frontend
 
 from __future__ import annotations
 
+import weakref
 from functools import reduce
 from typing import Any, Mapping, Optional, Sequence, Union
 
@@ -48,6 +49,8 @@ from .schema import (
 __all__ = [
     "validate",
     "valid",
+    "quarantine",
+    "QuarantineResult",
     "Engine",
     "ValidationResult",
     "ValidationError",
@@ -376,6 +379,92 @@ def valid(df: DataFrame, requirement: Any = None, **kwargs) -> bool:
     except ValidationError:
         return False
     return True
+
+
+def _unpersist_quiet(frames) -> None:
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+class QuarantineResult:
+    """Outcome of :func:`quarantine` — four lazy DataFrames:
+
+    * ``clean``        — rows implicated by NO violation (feed onward)
+    * ``quarantined``  — rows whose key appears in some violation
+    * ``violations``   — the full violation frame (persisted; the why)
+    * ``unattributed`` — violations with no key (table-level verdicts:
+      drift, whole-table counts, expected-but-absent values) — these
+      implicate no specific row and quarantine nothing
+
+    Call :meth:`unpersist` when done (the violation frame is persisted
+    so the clean/quarantined splits don't recompute the rule plans —
+    decode passes included — once per consumer).
+    """
+
+    def __init__(self, clean: DataFrame, quarantined: DataFrame,
+                 violations: DataFrame, unattributed: DataFrame,
+                 cached=None):
+        self.clean = clean
+        self.quarantined = quarantined
+        self.violations = violations
+        self.unattributed = unattributed
+        # GC backstop (same discipline as caching.CacheHandle): when
+        # the result object becomes unreachable, its persisted frames
+        # unpersist automatically — long-lived sessions stay bounded
+        # even if the caller forgets unpersist()
+        self._finalizer = weakref.finalize(
+            self, _unpersist_quiet, [violations, *(cached or [])]
+        )
+
+    def unpersist(self) -> None:
+        self._finalizer()
+
+
+def quarantine(df: DataFrame, rules, key,
+               partition_col: Optional[str] = None,
+               engine: Optional["Engine"] = None) -> QuarantineResult:
+    """Split ``df`` into clean vs quarantined rows by the keys the
+    violations implicate — the curation step of a training-data
+    pipeline: clean rows flow to the next stage, quarantined rows are
+    held with their violations for repair or discard.
+
+    Attribution follows each rule's key semantics under ``key=``: row
+    rules key the violating row, uniqueness keys the duplicated key
+    (all its rows quarantine), grouped requirements key the group.
+    Violations that carry no key — table-level verdicts like drift, or
+    Missing differences for values absent from the data — cannot
+    implicate rows; they are surfaced as ``unattributed`` and do not
+    quarantine anything (inspect them before trusting ``clean``).
+
+    Scale shape: ONE rule evaluation (the violation frame is persisted
+    and reused), a distinct over the violating keys (typically a tiny
+    fraction of input), then one left-anti and one left-semi join of
+    ``df`` against those keys on the rendered key expression — AQE
+    converts them to broadcast joins at runtime when the key set is
+    small, and they shuffle-join when it is not.  No driver-side
+    collect at any size.
+    """
+    if isinstance(key, str):
+        key = [key]
+    eng = engine or Engine(df.sparkSession)
+    ctx = ValidationContext(df, key=key, partition_col=partition_col)
+    violations = eng._compile_ctx(ctx, rules).persist()
+    bad_keys = (
+        violations.where(F.col("key").isNotNull())
+        .select(F.col("key").alias("__qkey"))
+        .distinct()
+    )
+    on = ctx.key_expr() == F.col("__qkey")
+    return QuarantineResult(
+        clean=df.join(bad_keys, on, "left_anti"),
+        quarantined=df.join(bad_keys, on, "left_semi"),
+        violations=violations,
+        unattributed=violations.where(F.col("key").isNull()),
+        cached=ctx.cached,
+    )
 
 
 # --- validate.<method> style entry points (reference validation.py:370-663)

@@ -428,3 +428,66 @@ class TestMappingWithSequence:
         # B reversed -> LCS diffs exist; A clean
         keys = {r["key"] for r in res.violations.collect()}
         assert "B" in str(keys)
+
+
+class TestQuarantine:
+    """quarantine(): violation-keyed row split — clean rows flow on,
+    implicated rows hold with their violations, table-level verdicts
+    surface as unattributed."""
+
+    def test_split_partitions_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import quarantine
+
+        rows = [(f"id{i}", float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "rid string, v double")
+        res = quarantine(
+            df, [R.interval("v", 10.0, 94.0)], key="rid")
+        try:
+            clean_ids = {r["rid"] for r in res.clean.collect()}
+            quar_ids = {r["rid"] for r in res.quarantined.collect()}
+            # rows 0-9 and 95-99 violate the interval
+            assert quar_ids == {f"id{i}" for i in
+                                list(range(10)) + list(range(95, 100))}
+            assert clean_ids | quar_ids == {f"id{i}" for i in range(100)}
+            assert not (clean_ids & quar_ids)
+            assert res.unattributed.count() == 0
+        finally:
+            res.unpersist()
+
+    def test_uniqueness_quarantines_all_dup_rows(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import quarantine
+
+        rows = [("a", 1), ("b", 2), ("a", 3), ("c", 4)]
+        df = spark.createDataFrame(rows, "k string, n int")
+        res = quarantine(df, [R.unique("k")], key="k")
+        try:
+            assert res.quarantined.count() == 2  # BOTH 'a' rows
+            assert {r["k"] for r in res.clean.collect()} == {"b", "c"}
+        finally:
+            res.unpersist()
+
+    def test_table_level_violations_are_unattributed(self, spark):
+        from pyspark.sql import functions as F
+
+        from datatest_spark.stats import DriftPSIRule
+        from datatest_spark.validation import quarantine
+
+        df = spark.range(200).select(
+            F.col("id").cast("string").alias("rid"),
+            (F.col("id").cast("double") + 500.0).alias("v"),
+        )
+        baseline = [float(5 * i) for i in range(21)]  # 0..100: drifted
+        res = quarantine(
+            df, [DriftPSIRule("v", baseline, threshold=0.1)], key="rid")
+        try:
+            # the drift verdict implicates no row: nothing quarantined,
+            # one unattributed violation
+            assert res.quarantined.count() == 0
+            assert res.clean.count() == 200
+            assert res.unattributed.count() == 1
+        finally:
+            res.unpersist()
