@@ -107,6 +107,16 @@ def validate_audio_table(
     partition_col: Optional[str] = "part_id",
     extra_rules: Optional[List[Rule]] = None,
 ) -> ValidationResult:
+    """Run the full audio constraint suite, returning the lazy
+    violation frame.  To SPLIT the table instead — clean clips onward,
+    implicated clips held for repair — compose the same rule set with
+    the generic curation operator::
+
+        from datatest_spark.validation import quarantine
+        res = quarantine(df, audio_rules(manifest=m, check_snr=True),
+                         key="clip_id")
+        res.clean.write.parquet(...)   # validated training input
+    """
     part = partition_col if partition_col in df.columns else None
     engine = Engine(df.sparkSession)
     return engine.validate(

@@ -73,20 +73,43 @@ def scaled_documents(spark, k: int):
     return out
 
 
+def read_steal():
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line —
+    hypervisor steal measurement, same gate as bench.py."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    v = [int(x) for x in parts[1:]]
+    return v[7], sum(v)
+
+
+STEAL_GATE = 0.01  # this box collapses multi-x well below bench.py's 3%
+
+
 def timed(fn, *args, runs=3, **kw):
-    """Best-of-N wall seconds (host noise is one-sided scheduling
-    spikes; the min is the plan's cost)."""
-    best, n = None, None
-    for _ in range(runs):
+    """Best-of-N STEAL-CLEAN wall seconds (host noise is one-sided
+    scheduling spikes + hypervisor steal; a run timed during a steal
+    phase measures the co-tenant, not the plan).  Steal-spiked runs
+    retry up to 2x the budget; if no clean run lands, the best
+    contaminated wall is still reported (upper bound)."""
+    best, best_any, n, clean = None, None, None, 0
+    for _ in range(2 * runs):
+        s0, t0t = read_steal()
         t0 = time.time()
         df = fn(*args, **kw)
         n = df.count()
         el = time.time() - t0
-        best = el if best is None else min(best, el)
+        s1, t1t = read_steal()
+        steal = (s1 - s0) / max(t1t - t0t, 1)
+        best_any = el if best_any is None else min(best_any, el)
+        if steal <= STEAL_GATE:
+            clean += 1
+            best = el if best is None else min(best, el)
         from datatest_spark.operators.dedup import unpersist_cached
 
         unpersist_cached(blocking=True)
-    return round(best, 2), n
+        if clean >= runs:
+            break
+    return round(best if best is not None else best_any, 2), n
 
 
 def main():
@@ -140,16 +163,25 @@ def main():
                 "overwrite"
             ).parquet(path)
         df = spark.read.parquet(path)
-        best = None
-        for _ in range(2):
+        best, best_any, clean = None, None, 0
+        for _ in range(4):  # same steal gate as timed(): 2x retry budget
+            s0, t0t = read_steal()
             t0 = time.time()
             res = validate_audio_table(df, check_snr=True)
             res.violations.count()
             el = time.time() - t0
-            best = el if best is None else min(best, el)
+            s1, t1t = read_steal()
             res.unpersist()
             spark.catalog.clearCache()
-        results[label]["audio_sec"] = round(best, 2)
+            steal = (s1 - s0) / max(t1t - t0t, 1)
+            best_any = el if best_any is None else min(best_any, el)
+            if steal <= STEAL_GATE:
+                clean += 1
+                best = el if best is None else min(best, el)
+            if clean >= 2:
+                break
+        results[label]["audio_sec"] = round(
+            best if best is not None else best_any, 2)
         results[label]["audio_clips"] = n
 
     # round-5 audio curation operators on the same cached clip tables.
