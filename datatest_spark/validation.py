@@ -330,6 +330,32 @@ def _dispatch_requirement(
     return R.predicate(column, requirement, show_expected=key is not None)
 
 
+def _local_to_df(data):
+    """Promote a local Python collection to a tiny DataFrame so the
+    reference's ``validate(data.columns, {...})`` idiom works verbatim:
+    scalars become a one-column frame, mappings a (key, value) frame.
+    Local inputs are inherently small (column lists, config values) —
+    the cost is one createDataFrame, never a distributed concern."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise TypeError(
+            "validate() on a local collection requires an active "
+            "SparkSession (create one before validating)"
+        )
+    if isinstance(data, Mapping):
+        rows = [(k, v) for k, v in data.items()]
+        if not rows:
+            return (spark.createDataFrame([], "key string, value string"),
+                    "value", "key")
+        return spark.createDataFrame(rows, ["key", "value"]), "value", "key"
+    rows = [(v,) for v in data]
+    if not rows:
+        return spark.createDataFrame([], "value string"), "value", None
+    return spark.createDataFrame(rows, ["value"]), "value", None
+
+
 def validate(
     df: DataFrame,
     requirement: Any = None,
@@ -347,7 +373,23 @@ def validate(
     Mirrors the reference's ``validate(data, requirement)`` contract:
     raises :class:`ValidationError` on failure (set
     ``raise_on_failure=False`` to get the lazy result instead).
+
+    ``df`` may also be a local Python collection — a list/tuple/set of
+    scalars or a mapping — covering the reference's column-layout and
+    config-check idioms (``validate(data.columns, {'A', 'B'})``,
+    reference validation.py docstring examples): the collection is
+    promoted to a one-column (or key/value) frame on the active
+    session and validated with identical difference semantics.
     """
+    if not isinstance(df, DataFrame) and not hasattr(df, "sparkSession"):
+        if isinstance(df, (str, bytes)):
+            raise TypeError(
+                "validate() expects a DataFrame or a collection, not a "
+                f"bare {type(df).__name__}"
+            )
+        df, inferred_col, inferred_key = _local_to_df(df)
+        column = column or inferred_col
+        key = key or inferred_key
     if rules is None:
         if column is None:
             non_key = [c for c in df.columns if c != key]

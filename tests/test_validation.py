@@ -491,3 +491,55 @@ class TestQuarantine:
             assert res.unattributed.count() == 1
         finally:
             res.unpersist()
+
+
+class TestLocalCollections:
+    """Reference parity: validate(data.columns, {...}) and other
+    local-collection idioms (reference validation.py docstring) —
+    the collection is promoted to a tiny frame on the active session,
+    with identical difference semantics."""
+
+    def test_column_layout_pass_and_fail(self, spark):
+        from datatest_spark import validate
+        from datatest_spark.differences import Extra, Missing
+        from datatest_spark.validation import ValidationError
+
+        df = spark.createDataFrame([(1, "a")], "A int, B string")
+        validate(df.columns, {"A", "B"})  # no raise
+        with pytest.raises(ValidationError) as exc:
+            validate(["A", "C"], {"A", "B"})
+        assert sorted(exc.value.differences, key=repr) == [
+            Extra("C"), Missing("B")]
+
+    def test_valid_on_collections(self, spark):
+        from datatest_spark import valid
+
+        assert valid(["x", "y"], {"x", "y"})
+        assert not valid(["x"], {"x", "y"})
+
+    def test_dict_against_mapping(self, spark):
+        from datatest_spark import validate
+        from datatest_spark.differences import Deviation
+        from datatest_spark.validation import ValidationError
+
+        with pytest.raises(ValidationError) as exc:
+            validate({"x": 1, "y": 2}, {"x": 1, "y": 3})
+        assert exc.value.differences == {"y": Deviation(-1, 3)}
+
+    def test_predicate_over_list(self, spark):
+        from datatest_spark import validate
+
+        validate([2, 4, 6], lambda v: v % 2 == 0)
+
+    def test_accepted_composes(self, spark):
+        from datatest_spark import accepted, validate
+        from datatest_spark.differences import Missing
+
+        with accepted(Missing("B")):
+            validate(["A"], {"A", "B"})
+
+    def test_bare_string_rejected(self, spark):
+        from datatest_spark import validate
+
+        with pytest.raises(TypeError):
+            validate("ABC", {"A", "B"})
