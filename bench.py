@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_join",
     "profile_merge",
     "tdigest_profile",
+    "quarantine_rows",
     "audio_features",
     "audio_neardup",
 ]

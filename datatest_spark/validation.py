@@ -344,6 +344,21 @@ def _local_to_df(data):
             "validate() on a local collection requires an active "
             "SparkSession (create one before validating)"
         )
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        pd = None
+    if pd is not None and isinstance(data, pd.DataFrame):
+        # iterating a pandas frame yields column LABELS — promote the
+        # data itself instead (the reference validates pandas rows)
+        return spark.createDataFrame(data), None, None
+    if pd is not None and isinstance(data, pd.Series):
+        if len(data) == 0:
+            return spark.createDataFrame([], "value string"), "value", None
+        return (
+            spark.createDataFrame([(v,) for v in data], ["value"]),
+            "value", None,
+        )
     if isinstance(data, Mapping):
         rows = [(k, v) for k, v in data.items()]
         if not rows:

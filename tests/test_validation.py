@@ -543,3 +543,14 @@ class TestLocalCollections:
 
         with pytest.raises(TypeError):
             validate("ABC", {"A", "B"})
+
+    def test_pandas_frame_validates_data_not_labels(self, spark):
+        import pandas as pd
+
+        from datatest_spark import valid, validate
+
+        pdf = pd.DataFrame({"v": [2, 4, 6]})
+        validate(pdf, lambda v: v % 2 == 0)  # data, not column labels
+        assert not valid(pdf, lambda v: v < 5)
+        s = pd.Series(["a", "b"])
+        assert valid(s, {"a", "b"})
