@@ -408,3 +408,152 @@ class TestTDigest:
         m = merge_profiles(legacy).collect()[0]
         assert m["tdigest"] is None
         assert m["row_count"] == 20_000
+
+
+class TestTDigestProperties:
+    """Hypothesis properties of the pure t-digest math — no Spark.
+
+    These pin the invariants the distributed layers rely on: mass
+    conservation (merged profiles count every row exactly once),
+    monotone quantiles (drift-bucket edges stay sorted), bounded rank
+    error (the tdigest_profile oracle's 0.01 bound has real margin),
+    and permutation invariance (shuffle/merge order never changes the
+    digest, which is what makes re-run artifacts hash-stable)."""
+
+    @staticmethod
+    def _values(draw):
+        from hypothesis import strategies as st
+
+        return draw(st.lists(
+            st.floats(min_value=-1e9, max_value=1e9,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=400,
+        ))
+
+    def test_mass_and_order(self):
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.stats import tdigest_compress
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(
+            st.tuples(
+                st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                st.floats(min_value=1e-3, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+            ),
+            min_size=1, max_size=300,
+        ))
+        def prop(cents):
+            out = tdigest_compress(cents, compression=50)
+            total_in = sum(w for _, w in cents)
+            total_out = sum(w for _, w in out)
+            assert abs(total_out - total_in) <= 1e-6 * max(total_in, 1.0)
+            means = [m for m, _ in out]
+            assert means == sorted(means)
+            assert all(w > 0 for _, w in out)
+
+        prop()
+
+    def test_permutation_invariance(self):
+        import random
+
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.stats import tdigest_compress
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=200),
+            st.integers(min_value=0, max_value=2**31),
+        )
+        def prop(vals, seed):
+            cents = [(v, 1.0) for v in vals]
+            shuffled = cents[:]
+            random.Random(seed).shuffle(shuffled)
+            assert tdigest_compress(shuffled, 50) == tdigest_compress(cents, 50)
+
+        prop()
+
+    def test_quantiles_monotone_and_bounded(self):
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.stats import tdigest_compress, tdigest_quantiles
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                                  allow_nan=False, allow_infinity=False),
+                        min_size=1, max_size=300))
+        def prop(vals):
+            dig = tdigest_compress([(v, 1.0) for v in vals], 50)
+            probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+            q = tdigest_quantiles(dig, probs, lo=min(vals), hi=max(vals))
+            assert q == sorted(q)
+            assert q[0] >= min(vals) - 1e-9 and q[-1] <= max(vals) + 1e-9
+
+        prop()
+
+    def test_rank_error_bound(self):
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.stats import tdigest_compress, tdigest_quantiles
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                                  allow_nan=False, allow_infinity=False),
+                        min_size=50, max_size=400))
+        def prop(vals):
+            dig = tdigest_compress([(v, 1.0) for v in vals], 100)
+            n = len(vals)
+            svals = sorted(vals)
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9):
+                est = tdigest_quantiles(
+                    dig, [p], lo=svals[0], hi=svals[-1])[0]
+                # true rank of the estimate, with mass for ties
+                below = sum(1 for v in svals if v < est)
+                at = sum(1 for v in svals if v == est)
+                lo_r, hi_r = below / n, (below + at) / n
+                # the requested prob must fall within the estimate's
+                # tie-range padded by the digest resolution
+                pad = 0.05  # generous: compression 100 => ~0.01-0.02
+                assert lo_r - pad <= p <= hi_r + pad, (p, est, lo_r, hi_r)
+
+        prop()
+
+    def test_split_merge_consistency(self):
+        """compress(A) + compress(B) merged again answers quantiles
+        within digest resolution of compress(A+B) — the partition-merge
+        contract at arbitrary split points."""
+        from hypothesis import given, settings, strategies as st
+
+        from datatest_spark.stats import tdigest_compress, tdigest_quantiles
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=20, max_size=300),
+            st.integers(min_value=1, max_value=299),
+        )
+        def prop(vals, cut):
+            cut = min(cut, len(vals) - 1)
+            if cut < 1:
+                return
+            cents = [(v, 1.0) for v in vals]
+            whole = tdigest_compress(cents, 100)
+            merged = tdigest_compress(
+                tdigest_compress(cents[:cut], 100)
+                + tdigest_compress(cents[cut:], 100), 100)
+            n = len(vals)
+            svals = sorted(vals)
+            for p in (0.25, 0.5, 0.75):
+                qa = tdigest_quantiles(whole, [p], svals[0], svals[-1])[0]
+                qb = tdigest_quantiles(merged, [p], svals[0], svals[-1])[0]
+                ra = sum(1 for v in svals if v <= qa) / n
+                rb = sum(1 for v in svals if v <= qb) / n
+                assert abs(ra - rb) <= 0.08, (p, qa, qb, ra, rb)
+
+        prop()
