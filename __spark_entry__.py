@@ -484,14 +484,9 @@ def q_quarantine_rows(spark, sf_dir):
          R.interval("l_discount", 0.0, 0.08)],
         key=["l_orderkey", "l_linenumber"],
     )
-    out = res.quarantined.select("l_orderkey", "l_linenumber")
-    # the driver collects `out` only; eager-materialize the split while
-    # the violations frame is persisted, then release it
-    n_clean = res.clean.count()
-    n_quar = out.count()
-    res.unpersist()
-    assert n_clean + n_quar == li.count()
-    return out
+    # the driver materializes the returned frame once; the clean/
+    # quarantined partition invariant is covered by tests/test_validation
+    return res.quarantined.select("l_orderkey", "l_linenumber")
 
 
 def q_tdigest_profile(spark, sf_dir):
