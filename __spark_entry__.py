@@ -489,6 +489,64 @@ def q_quarantine_rows(spark, sf_dir):
     return res.quarantined.select("l_orderkey", "l_linenumber")
 
 
+def q_sampled_validation(spark, sf_dir):
+    """Sampled pre-check (sampling.py, round 5 continuation): estimate
+    two interval rules' violation rates on a deterministic md5-prefix
+    sample (1/16 of lineitem by (l_orderkey, l_linenumber)) and report
+    one-sided Wilson 95% upper bounds — the gate a 10^12-row pipeline
+    runs BEFORE committing to the full scan.  Row rules fuse into ONE
+    projection + ONE scalar aggregate over the sampled scan: no
+    shuffle of row data at any table size.  The oracle replays the
+    identical md5 sample and Wilson arithmetic in DuckDB (the sampling
+    predicate is engine-portable by construction — see
+    sampling.sample_sql_predicate).  Reference analogue:
+    accepted.percent (reference acceptances.py:700-736), moved ahead
+    of the scan."""
+    from datatest_spark import requirements as R
+    from datatest_spark.sampling import sampled_verdicts
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    out = sampled_verdicts(
+        li,
+        [R.interval("l_quantity", 1, 49),
+         R.interval("l_discount", 0.0, 0.08)],
+        sample_key=["l_orderkey", "l_linenumber"],
+        fraction=1 / 16,
+        max_rate=0.25,
+        confidence=0.95,
+    )
+    return out.select(
+        "rule_id", "sample_rows", "violations",
+        F.round("est_rate", 6).alias("est_rate_r"),
+        F.round("rate_upper", 6).alias("rate_upper_r"),
+        "passed",
+    ).orderBy("rule_id")
+
+
+def q_partition_anomaly_lang(spark, sf_dir):
+    """Per-PARTITION anomaly verdicts (stats.PartitionAnomalyRule,
+    round 5 continuation): documents partitioned by lang — the 'en'
+    shard carries ~3x the median partition's rows, a >3.5-sigma
+    robust-z outlier under the median/MAD fence (robust against the
+    very anomaly being hunted).  One groupBy aggregate over the table
+    + two cascaded unbounded windows over the n_partitions-row frame;
+    the full scan runs exactly once (plan-tested).  This is the
+    ingestion gate shape of the north rule's per-partition pass/fail
+    verdicts."""
+    from datatest_spark.stats import partition_anomalies
+
+    docs = _t(spark, sf_dir, "documents")
+    out = partition_anomalies(docs, "lang", k=3.5)
+    return out.select(
+        F.col("partition").alias("part_lang"),
+        "metric", "median", "mad",
+        F.round("robust_z", 4).alias("robust_z_r"),
+        "anomaly",
+    ).orderBy("part_lang")
+
+
 def q_tdigest_profile(spark, sf_dir):
     """Adaptive mergeable quantile sketch (stats.py t-digest, round 5):
     lineitem l_extendedprice — a continuous wide-range column where no
@@ -1295,12 +1353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the 11 queries new since r04 (quarantine_rows,
+    # 5 rotation: first the 2 newest (sampled_validation,
+    # partition_anomaly_lang), then the 11 queries new since r04 (quarantine_rows,
     # tdigest_profile, audio_features, audio_neardup, audio_knn,
     # transcript_rate, audio_dedup_groups, knn_distributed,
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "sampled_validation": q_sampled_validation,
+        "partition_anomaly_lang": q_partition_anomaly_lang,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
@@ -1865,6 +1926,55 @@ def oracle_sql() -> dict[str, str]:
         # with a violating row is held (the synthetic lineitem has
         # duplicate (orderkey, linenumber) keys on purpose, so this
         # oracle distinguishes key attribution from plain row filter)
+        "sampled_validation": """
+            WITH s AS (
+              SELECT l_quantity, l_discount FROM lineitem
+              WHERE substr(md5(concat_ws(chr(31), l_orderkey, l_linenumber)), 1, 4) < '1000'
+            ), agg AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 49 THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
+                     CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_d
+              FROM s
+            ), rules AS (
+              SELECT 'interval:l_discount' AS rule_id, n, v_d AS v FROM agg
+              UNION ALL
+              SELECT 'interval:l_quantity' AS rule_id, n, v_q AS v FROM agg
+            ), w AS (
+              SELECT rule_id, n, v,
+                     CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     CAST(n AS DOUBLE) AS nn
+              FROM rules
+            ), u AS (
+              SELECT rule_id, n, v, p,
+                     least((p + 2.7055434540954106/(2.0*nn)
+                            + 1.6448536269514715
+                              * sqrt((p*(1.0-p) + 2.7055434540954106/(4.0*nn))/nn))
+                           / (1.0 + 2.7055434540954106/nn), 1.0) AS upper
+              FROM w
+            )
+            SELECT rule_id, n AS sample_rows, v AS violations,
+                   round(p, 6) AS est_rate_r, round(upper, 6) AS rate_upper_r,
+                   upper <= 0.25 AS passed
+            FROM u ORDER BY rule_id
+        """,
+        "partition_anomaly_lang": """
+            WITH per AS (
+              SELECT lang AS part_lang, CAST(count(*) AS DOUBLE) AS metric
+              FROM documents GROUP BY lang
+            ), m AS (
+              SELECT *, median(metric) OVER () AS median FROM per
+            ), m2 AS (
+              SELECT *, median(abs(metric - median)) OVER () AS mad FROM m
+            )
+            SELECT part_lang, metric, median, mad,
+                   round(CASE WHEN mad > 0
+                              THEN (metric - median) / (1.4826 * mad) END,
+                         4) AS robust_z_r,
+                   CASE WHEN mad > 0
+                        THEN abs(metric - median) > 3.5 * (1.4826 * mad)
+                        ELSE metric <> median END AS anomaly
+            FROM m2 ORDER BY part_lang
+        """,
         "quarantine_rows": """
             SELECT l.l_orderkey, l.l_linenumber
             FROM lineitem l

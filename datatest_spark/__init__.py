@@ -33,6 +33,7 @@ from . import requirements
 from . import acceptances as _acceptances_module  # noqa: F401
 from .acceptances import accepted
 from .caching import unpersist_result
+from .sampling import deterministic_sample, sampled_verdicts
 from .case import DataTestCase, assert_invalid, assert_valid, mandatory
 from .repeating import RepeatingContainer
 from .working_directory import working_directory
@@ -64,6 +65,8 @@ __all__ = [
     "assert_invalid",
     "mandatory",
     "unpersist_result",
+    "deterministic_sample",
+    "sampled_verdicts",
     "RepeatingContainer",
     "working_directory",
 ]

@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,9 +45,12 @@ __all__ = [
     "DriftPSIRule",
     "DriftKSRule",
     "OutlierRule",
+    "PartitionAnomalyRule",
     "drift_psi",
     "drift_ks",
     "outliers",
+    "partition_anomaly",
+    "partition_anomalies",
     "partitioned_profile",
     "merge_profiles",
     "quantiles_from_histogram",
@@ -837,6 +840,113 @@ class OutlierRule(Rule):
                 partition_id=ctx.partition_expr(),
             )
         )
+
+
+class PartitionAnomalyRule(Rule):
+    """Per-PARTITION anomaly verdicts: flag data partitions whose bulk
+    metric (row count by default) is a robust outlier against the
+    other partitions — the "this day's drop is half the usual size /
+    this codec shard tripled" check that gates ingestion before any
+    row-level rule spends a decode pass.  Generalizes the reference's
+    Tukey-fence custom requirement (docs/how-to/outliers.rst:23-60)
+    from rows to partitions, with a median/MAD fence (robust to the
+    very anomalies being hunted, unlike mean/stddev).
+
+    Spark plan: ONE groupBy(partition) aggregate over the table (map-
+    side partial agg; output is n_partitions rows), then two cascaded
+    unbounded windows over that tiny frame compute the median and the
+    MAD — a single-partition window is fine at n_partitions ~ 10^5
+    rows and keeps the whole verdict one lazy plan: no persist, no
+    driver collect, the full-table scan runs exactly once.
+
+    A partition is anomalous when ``|metric - median| > k * 1.4826 *
+    MAD`` (1.4826 scales MAD to sigma-equivalents under normality);
+    when MAD is 0 (perfectly regular tables) any deviation from the
+    median flags.  Violations are DEVIATION rows keyed by partition —
+    exactly the per-partition pass/fail shape the checkpoint runner
+    consumes.
+
+    ``metric``: ``"count"`` (rows), ``"null_count"`` / ``"sum"`` of
+    ``metric_col``.
+    """
+
+    kind = "plan"
+
+    def __init__(self, partition_col: str, k: float = 3.5,
+                 metric: str = "count", metric_col: Optional[str] = None,
+                 rule_id: Optional[str] = None):
+        super().__init__(rule_id or f"partition_anomaly:{partition_col}")
+        if metric not in ("count", "null_count", "sum"):
+            raise ValueError(f"unknown metric {metric!r}")
+        if metric != "count" and not metric_col:
+            raise ValueError(f"metric {metric!r} needs metric_col")
+        self.partition_col = partition_col
+        self.k = float(k)
+        self.metric = metric
+        self.metric_col = metric_col
+
+    def _scored(self, df: DataFrame) -> DataFrame:
+        if self.metric == "count":
+            m = F.count(F.lit(1))
+        elif self.metric == "null_count":
+            m = F.sum(F.col(self.metric_col).isNull().cast("long"))
+        else:
+            m = F.sum(F.col(self.metric_col))
+        per = df.groupBy(F.col(self.partition_col).alias("partition")).agg(
+            m.cast("double").alias("metric")
+        )
+        w = Window.partitionBy()  # n_partitions rows — bounded by design
+        med = F.expr("percentile(metric, 0.5)").over(w)
+        scored = per.withColumn("median", med)
+        mad = F.expr("percentile(abs(metric - median), 0.5)").over(w)
+        scored = scored.withColumn("mad", mad)
+        scale = F.lit(1.4826) * F.col("mad")
+        return scored.select(
+            "partition",
+            "metric",
+            "median",
+            "mad",
+            F.when(F.col("mad") > 0,
+                   (F.col("metric") - F.col("median")) / scale)
+            .alias("robust_z"),
+            F.when(F.col("mad") > 0,
+                   F.abs(F.col("metric") - F.col("median")) > self.k * scale)
+            .otherwise(F.col("metric") != F.col("median"))
+            .alias("anomaly"),
+        )
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        from .schema import repr_col
+
+        scored = self._scored(ctx.df).filter(F.col("anomaly"))
+        return scored.select(
+            finalize_cols(
+                self.rule_id,
+                DEVIATION,
+                key=repr_col(F.col("partition")),
+                column=self.metric_col or self.partition_col,
+                invalid=repr_col(F.col("metric")),
+                expected=repr_col(F.col("median")),
+                deviation=F.col("metric") - F.col("median"),
+                expected_num=F.col("median"),
+                partition_id=F.col("partition").cast("string"),
+            )
+        )
+
+
+def partition_anomalies(df: DataFrame, partition_col: str, k: float = 3.5,
+                        metric: str = "count",
+                        metric_col: Optional[str] = None) -> DataFrame:
+    """Scored per-partition frame (partition, metric, median, mad,
+    robust_z, anomaly) — the inspection companion to
+    :class:`PartitionAnomalyRule`, same single-scan plan, all
+    partitions returned with their scores."""
+    return PartitionAnomalyRule(partition_col, k, metric, metric_col)._scored(df)
+
+
+def partition_anomaly(partition_col, k=3.5, metric="count", metric_col=None,
+                      rule_id=None):
+    return PartitionAnomalyRule(partition_col, k, metric, metric_col, rule_id)
 
 
 def outliers(column, multiplier=1.5, approx=False, rule_id=None):

@@ -557,3 +557,75 @@ class TestTDigestProperties:
                 assert abs(ra - rb) <= 0.08, (p, qa, qb, ra, rb)
 
         prop()
+
+
+# ---------------------------------------------------------------------------
+# Partition anomaly detection (round 5 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _part_df(spark, sizes):
+    rows = [(p, i) for p, n in sizes.items() for i in range(n)]
+    return spark.createDataFrame(rows, "part string, v long")
+
+
+def test_partition_anomalies_flags_outlier(spark):
+    from datatest_spark.stats import partition_anomalies
+
+    sizes = {"a": 100, "b": 103, "c": 98, "d": 101, "e": 99, "f": 9}
+    out = {r.partition: r for r in partition_anomalies(
+        _part_df(spark, sizes), "part", k=3.5).collect()}
+    assert out["f"].anomaly is True
+    assert all(out[p].anomaly is False for p in "abcde")
+    assert out["f"].robust_z < -3.5
+    assert out["a"].median == pytest.approx(99.5)
+
+
+def test_partition_anomalies_zero_mad_fallback(spark):
+    from datatest_spark.stats import partition_anomalies
+
+    sizes = {"a": 10, "b": 10, "c": 10, "d": 10, "e": 50}
+    out = {r.partition: r for r in partition_anomalies(
+        _part_df(spark, sizes), "part").collect()}
+    assert out["e"].anomaly is True and out["e"].mad == 0.0
+    assert out["e"].robust_z is None
+    assert out["a"].anomaly is False
+
+
+def test_partition_anomaly_rule_emits_deviation(spark):
+    from datatest_spark import validate, ValidationError
+    from datatest_spark.stats import partition_anomaly
+
+    sizes = {"a": 100, "b": 103, "c": 98, "d": 101, "e": 99, "f": 9}
+    with pytest.raises(ValidationError) as exc:
+        validate(_part_df(spark, sizes), rules=[partition_anomaly("part")])
+    rows = exc.value.violations_df.collect()
+    assert len(rows) == 1
+    v = rows[0]
+    assert v.diff_type == "DEVIATION" and v.key == "f"
+    assert v.partition_id == "f" and v.deviation == pytest.approx(9 - 99.5)
+
+
+def test_partition_anomaly_null_count_metric(spark):
+    from datatest_spark.stats import partition_anomalies
+
+    rows = []
+    for p in "abcde":
+        for i in range(50):
+            # partition "e": half the values null; others: none
+            v = None if (p == "e" and i % 2 == 0) else i
+            rows.append((p, v))
+    df = spark.createDataFrame(rows, "part string, v long")
+    out = {r.partition: r for r in partition_anomalies(
+        df, "part", metric="null_count", metric_col="v").collect()}
+    assert out["e"].anomaly is True
+    assert out["a"].anomaly is False
+
+
+def test_partition_anomaly_single_scan_plan(spark):
+    from datatest_spark.stats import partition_anomalies
+
+    df = _part_df(spark, {"a": 5, "b": 6})
+    plan = partition_anomalies(df, "part")._jdf.queryExecution().optimizedPlan().toString()
+    # the source scan appears exactly once in the optimized plan
+    assert plan.count("LogicalRDD") == 1
