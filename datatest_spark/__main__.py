@@ -1,0 +1,179 @@
+"""``python -m datatest_spark`` — the CLI entry point.
+
+Imports inside the command functions are absolute so the same file
+works as ``spark-submit --py-files datatest_spark.zip
+datatest_spark/__main__.py validate ...`` (submitted scripts run with
+no parent package).
+
+The reference ships ``python -m datatest`` (reference main.py /
+runner.py:91-123): unittest discovery with a mandatory-aware runner.
+This engine's equivalent surface has two halves:
+
+* ``discover`` — run a test directory through pytest with the engine's
+  mandatory fail-fast plugin registered (the reference runner's only
+  behavior beyond stock unittest).  ``python -m datatest_spark
+  discover tests/`` == ``pytest -p datatest_spark.pytest_plugin
+  tests/``.
+* ``validate`` — the deployment path the north rule names: a turnkey
+  job for ``spark-submit --py-files datatest_spark.zip -m`` style
+  clusters that loads an audio clip + transcript table, runs the full
+  constraint suite (optionally checkpointed per-partition so re-runs
+  resume idempotently), prints per-partition verdicts, and exits
+  non-zero when violations exist — so the same command works in a
+  workflow engine's retry loop at any cluster size.
+
+Exit codes: 0 clean · 1 violations found · 2 usage/load error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m datatest_spark",
+        description=__doc__.split("\n\n")[1],
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser(
+        "discover",
+        help="run a pytest suite with the mandatory fail-fast plugin",
+    )
+    d.add_argument("pytest_args", nargs=argparse.REMAINDER,
+                   help="arguments passed through to pytest")
+
+    v = sub.add_parser(
+        "validate",
+        help="run the audio constraint suite over a parquet table",
+    )
+    v.add_argument("table", help="parquet path of the audio clip table "
+                   "(clip_id, bytes, sr_hz, dur_ms, codec, transcript[, part_id])")
+    v.add_argument("--manifest", default=None,
+                   help="parquet path of reference transcripts (clip_id, transcript)")
+    v.add_argument("--check-snr", action="store_true",
+                   help="decode bytes and enforce PCM SNR vs the manifest")
+    v.add_argument("--partition-col", default="part_id")
+    v.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="checkpoint dir: commit verdicts per partition and "
+                        "resume committed partitions on re-run")
+    v.add_argument("--salt-buckets", type=int, default=None,
+                   help="spread skewed partitions over up to N tasks "
+                        "before the rule scan (checkpointed runs)")
+    v.add_argument("--sample", type=float, default=None, metavar="FRACTION",
+                   help="run a sampled pre-gate first: estimate row-rule "
+                        "violation rates on a deterministic sample")
+    v.add_argument("--max-rate", type=float, default=0.0,
+                   help="sampled pre-gate budget: Wilson upper bound of any "
+                        "rule above this fails fast (default 0 -> any "
+                        "sampled violation fails)")
+    v.add_argument("--limit", type=int, default=20,
+                   help="violation rows to print (default 20)")
+    v.add_argument("--json", action="store_true", dest="as_json",
+                   help="emit verdicts as JSON lines (machine-readable)")
+    return p
+
+
+def _cmd_discover(args) -> int:
+    import pytest as _pytest
+
+    extra = list(args.pytest_args)
+    if extra and extra[0] == "--":
+        extra = extra[1:]
+    return _pytest.main(["-p", "datatest_spark.pytest_plugin", *extra])
+
+
+def _emit(record: dict, as_json: bool) -> None:
+    if as_json:
+        print(json.dumps(record, sort_keys=True))
+    else:
+        print("  ".join(f"{k}={v}" for k, v in record.items()))
+
+
+def _cmd_validate(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from datatest_spark.suite import (audio_rules, validate_audio_table,
+                                      verdicts as verdict_rows)
+
+    spark = SparkSession.builder.appName("datatest_spark-validate").getOrCreate()
+    df = spark.read.parquet(args.table)
+    manifest = spark.read.parquet(args.manifest) if args.manifest else None
+
+    if args.sample is not None:
+        from datatest_spark.sampling import sampled_verdicts
+
+        # full rule set over the sample: the per-clip decode checks are
+        # plan-kind but sample soundly (each clip is self-contained);
+        # cross-row rules (uniqueness) are biased on a sample — the
+        # gate treats any hit as a signal, not a rate
+        rules = audio_rules(manifest=manifest, check_snr=args.check_snr)
+        if rules:
+            gate = sampled_verdicts(
+                df, rules, sample_key="clip_id", fraction=args.sample,
+                max_rate=args.max_rate or None,
+            ).collect()
+            failed = [g for g in gate if not g.passed]
+            for g in gate:
+                _emit({"stage": "sample-gate", "rule": g.rule_id,
+                       "n": g.sample_rows, "violations": g.violations,
+                       "rate_upper": None if g.rate_upper is None
+                       else round(g.rate_upper, 6),
+                       "passed": g.passed}, args.as_json)
+            if failed:
+                print(f"SAMPLE GATE FAILED ({len(failed)} rule(s)); "
+                      "skipping full pass", file=sys.stderr)
+                return 1
+
+    part = args.partition_col if args.partition_col in df.columns else None
+    if args.checkpoint:
+        if part is None:
+            print(f"--checkpoint needs partition column "
+                  f"{args.partition_col!r} in the table", file=sys.stderr)
+            return 2
+        from datatest_spark.plans.checkpoint import run_checkpointed
+
+        run = run_checkpointed(
+            df, audio_rules(manifest=manifest, check_snr=args.check_snr),
+            partition_col=part, checkpoint_dir=args.checkpoint,
+            salt_buckets=args.salt_buckets,
+        )
+        for row in run.verdicts.orderBy("partition_id").collect():
+            _emit({"stage": "verdict", **row.asDict()}, args.as_json)
+        if run.skipped_partitions:
+            _emit({"stage": "resume",
+                   "skipped_committed_partitions": len(run.skipped_partitions)},
+                  args.as_json)
+        return 0 if run.ok else 1
+
+    result = validate_audio_table(
+        df, manifest=manifest, check_snr=args.check_snr, partition_col=part,
+    )
+    violations = result.violations.persist()
+    try:
+        for row in verdict_rows(violations).orderBy("partition_id").collect():
+            _emit({"stage": "verdict", **row.asDict()}, args.as_json)
+        shown = violations.limit(args.limit).collect()
+        for row in shown:
+            _emit({"stage": "violation", **row.asDict()}, args.as_json)
+        n = violations.count()
+        if n > len(shown):
+            _emit({"stage": "summary", "total_violations": n,
+                   "shown": len(shown)}, args.as_json)
+        return 0 if n == 0 else 1
+    finally:
+        violations.unpersist()
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "discover":
+        return _cmd_discover(args)
+    return _cmd_validate(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

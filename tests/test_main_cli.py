@@ -1,0 +1,94 @@
+"""CLI entry point (python -m datatest_spark) — reference main.py /
+runner.py parity surface plus the spark-submit validate job."""
+
+import json
+
+import pytest
+
+from datatest_spark.__main__ import main
+from datatest_spark.fixtures import audio_clips_df, reference_transcripts_df
+
+
+@pytest.fixture(scope="module")
+def audio_table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    table = str(root / "clips.parquet")
+    manifest = str(root / "manifest.parquet")
+    df = audio_clips_df(spark, 600, parts=3)
+    df.write.parquet(table)
+    reference_transcripts_df(spark, 600).write.parquet(manifest)
+    return table, manifest
+
+
+def test_validate_exits_nonzero_on_violations(spark, audio_table, capsys):
+    table, manifest = audio_table
+    rc = main(["validate", table, "--manifest", manifest, "--json",
+               "--limit", "3"])
+    assert rc == 1  # fixture injects violations by construction
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    stages = {l["stage"] for l in lines}
+    assert "verdict" in stages and "violation" in stages
+    verdicts = [l for l in lines if l["stage"] == "verdict"]
+    assert all(v["passed"] is False for v in verdicts)
+    assert sum(v["n_violations"] for v in verdicts) > 0
+
+
+def test_validate_sample_gate_fails_fast(spark, audio_table, capsys):
+    table, _ = audio_table
+    # max-rate 0 -> any sampled violation fails before the full pass
+    rc = main(["validate", table, "--sample", "0.5", "--json"])
+    out = capsys.readouterr()
+    assert rc == 1
+    lines = [json.loads(l) for l in out.out.splitlines()]
+    assert {l["stage"] for l in lines} == {"sample-gate"}  # no full pass ran
+    assert "SAMPLE GATE FAILED" in out.err
+
+
+def test_validate_sample_gate_pass_continues(spark, audio_table, capsys):
+    table, _ = audio_table
+    # generous budget: the ~1-2% injected rates pass, full pass runs
+    rc = main(["validate", table, "--sample", "0.5", "--max-rate", "0.2",
+               "--json", "--limit", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    stages = {l["stage"] for l in lines}
+    assert "sample-gate" in stages and "verdict" in stages
+    assert rc == 1
+
+
+def test_validate_checkpoint_resume(spark, audio_table, tmp_path, capsys):
+    table, _ = audio_table
+    ckpt = str(tmp_path / "ckpt")
+    rc1 = main(["validate", table, "--checkpoint", ckpt, "--json"])
+    first = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    rc2 = main(["validate", table, "--checkpoint", ckpt, "--json"])
+    second = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rc1 == 1 and rc2 == 1  # same verdicts both times
+    resumed = [l for l in second if l["stage"] == "resume"]
+    assert resumed and resumed[0]["skipped_committed_partitions"] == 3
+    assert not any(l["stage"] == "resume" for l in first)
+
+
+def test_validate_missing_partition_col_for_checkpoint(spark, audio_table,
+                                                       tmp_path, capsys):
+    table, _ = audio_table
+    rc = main(["validate", table, "--checkpoint", str(tmp_path / "c"),
+               "--partition-col", "nope"])
+    assert rc == 2
+    assert "needs partition column" in capsys.readouterr().err
+
+
+def test_discover_registers_mandatory_plugin(tmp_path):
+    # a failing @mandatory test stops the session before later tests run
+    t = tmp_path / "test_gate.py"
+    t.write_text(
+        "import pytest\n"
+        "ran = []\n"
+        "@pytest.mark.mandatory\n"
+        "def test_gate():\n"
+        "    assert False\n"
+        "def test_after(tmp_path_factory):\n"
+        "    open(%r, 'w').write('ran')\n" % str(tmp_path / "after.txt")
+    )
+    rc = main(["discover", "--", str(t), "-q", "-p", "no:cacheprovider"])
+    assert rc != 0
+    assert not (tmp_path / "after.txt").exists()  # fail-fast stopped it
