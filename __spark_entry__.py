@@ -547,6 +547,49 @@ def q_partition_anomaly_lang(spark, sf_dir):
     ).orderBy("part_lang")
 
 
+def q_reconcile_orders(spark, sf_dir):
+    """Cross-table reconciliation (requirements.ReconcileRule, round 5
+    continuation): a synthetic 'curated' orders table with injected
+    drops (%131 → MISSING), key inflation (%211 → EXTRA), status
+    corruption (%89 → INVALID) and price drift (%97, ±20/40/60) is
+    audited against raw orders in ONE full-outer join + one codegen'd
+    multi-column diff projection; abs_tol=30 keeps the ±20 drift and
+    flags ±40/±60.  The raw-vs-curated audit every pipeline stage
+    needs, as a single-join plan."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.where(k % 131 != 0)
+    data = base.select(
+        "o_orderkey",
+        F.when(k % 89 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice")
+         + F.when(k % 97 == 0, (k % 7).cast("double") * 20.0 - 60.0)
+         .otherwise(F.lit(0.0))).alias("o_totalprice"),
+    ).unionByName(
+        o.where(k % 211 == 0).select(
+            (k + 100000000).alias("o_orderkey"),
+            "o_orderstatus", "o_totalprice",
+        )
+    )
+    viol = Engine(spark).compile(
+        data,
+        [R.reconcile(o, on="o_orderkey",
+                     columns=["o_orderstatus", "o_totalprice"],
+                     abs_tol=30.0)],
+    )
+    return viol.select(
+        "rule_id", "key", "column", "diff_type", "invalid", "expected",
+        F.round("deviation", 2).alias("deviation_r"),
+        F.round("expected_num", 2).alias("expected_num_r"),
+    ).orderBy("diff_type", "key", "column")
+
+
 def q_tdigest_profile(spark, sf_dir):
     """Adaptive mergeable quantile sketch (stats.py t-digest, round 5):
     lineitem l_extendedprice — a continuous wide-range column where no
@@ -1353,8 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: first the 2 newest (sampled_validation,
-    # partition_anomaly_lang), then the 11 queries new since r04 (quarantine_rows,
+    # 5 rotation: first the 3 newest (sampled_validation,
+    # partition_anomaly_lang, reconcile_orders), then the 11 queries
+    # new since r04 (quarantine_rows,
     # tdigest_profile, audio_features, audio_neardup, audio_knn,
     # transcript_rate, audio_dedup_groups, knn_distributed,
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
@@ -1362,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sampled_validation": q_sampled_validation,
         "partition_anomaly_lang": q_partition_anomaly_lang,
+        "reconcile_orders": q_reconcile_orders,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
@@ -1956,6 +2001,51 @@ def oracle_sql() -> dict[str, str]:
                    round(p, 6) AS est_rate_r, round(upper, 6) AS rate_upper_r,
                    upper <= 0.25 AS passed
             FROM u ORDER BY rule_id
+        """,
+        "reconcile_orders": f"""
+            WITH o AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), data AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 89 = 0 THEN 'Z'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice + (CASE WHEN o_orderkey % 97 = 0
+                                          THEN CAST(o_orderkey % 7 AS DOUBLE) * 20.0 - 60.0
+                                          ELSE 0.0 END) AS o_totalprice
+              FROM o WHERE o_orderkey % 131 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+              FROM o WHERE o_orderkey % 211 = 0
+            ), j AS (
+              SELECT d.o_orderkey AS dk, r.o_orderkey AS rk,
+                     d.o_orderstatus AS ds, r.o_orderstatus AS rs,
+                     d.o_totalprice AS dp, r.o_totalprice AS rp
+              FROM data d FULL OUTER JOIN o r ON d.o_orderkey = r.o_orderkey
+            )
+            SELECT * FROM (
+              SELECT 'reconcile:o_orderkey' AS rule_id,
+                     CAST(rk AS VARCHAR) AS key, 'o_orderkey' AS column,
+                     'MISSING' AS diff_type, CAST(NULL AS VARCHAR) AS invalid,
+                     CAST(rk AS VARCHAR) AS expected,
+                     CAST(NULL AS DOUBLE) AS deviation_r,
+                     CAST(NULL AS DOUBLE) AS expected_num_r
+              FROM j WHERE dk IS NULL
+              UNION ALL
+              SELECT 'reconcile:o_orderkey', CAST(dk AS VARCHAR), 'o_orderkey',
+                     'EXTRA', CAST(dk AS VARCHAR), NULL, NULL, NULL
+              FROM j WHERE rk IS NULL
+              UNION ALL
+              SELECT 'reconcile:o_orderkey', CAST(dk AS VARCHAR),
+                     'o_orderstatus', 'INVALID', ds, rs, NULL, NULL
+              FROM j WHERE dk IS NOT NULL AND rk IS NOT NULL AND ds <> rs
+              UNION ALL
+              SELECT 'reconcile:o_orderkey', CAST(dk AS VARCHAR),
+                     'o_totalprice', 'DEVIATION',
+                     {_repr_sql('dp')}, {_repr_sql('rp')},
+                     round(dp - rp, 2), round(rp, 2)
+              FROM j WHERE dk IS NOT NULL AND rk IS NOT NULL
+                    AND NOT (dp = rp OR abs(dp - rp) <= 30.0)
+            ) ORDER BY diff_type, key, "column"
         """,
         "partition_anomaly_lang": """
             WITH per AS (

@@ -61,6 +61,8 @@ HEADLINE = [
     "quarantine_rows",
     "audio_features",
     "audio_neardup",
+    "sampled_validation",
+    "partition_anomaly_lang",
 ]
 
 

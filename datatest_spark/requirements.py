@@ -59,6 +59,7 @@ __all__ = [
     "sequence",
     "order",
     "mapping",
+    "reconcile",
     "ValidationContext",
 ]
 
@@ -1372,3 +1373,152 @@ def ref_approx(column, ref, on, ref_column, delta=None, places=7,
                rule_id=None, round_to=None):
     return RefApproxRule(column, ref, on, ref_column, delta, places,
                          rule_id, round_to)
+
+
+class ReconcileRule(Rule):
+    """Symmetric two-table reconciliation — the raw-vs-curated audit a
+    pipeline runs after every transform stage: keys missing from the
+    data are MISSING, unexpected keys are EXTRA, and rows present in
+    both tables diff per column (numeric drift beyond ``abs_tol`` →
+    DEVIATION, any other inequality → INVALID).  This is the
+    reference's "compare data against a reference mapping" semantics
+    (requirements.py:801-874) generalized to a whole table of
+    requirement rows; ref_match/ref_approx are its single-column,
+    one-directional specializations.
+
+    Spark plan: ONE full-outer sort-merge join on the key (broadcast
+    when ``broadcast_hint``), both sides pruned to key + compared
+    columns before the shuffle, then a single projection builds every
+    difference struct (Missing/Extra/N column diffs) as an array and
+    explodes the non-nulls — the whole audit is one join plus one
+    codegen'd pass regardless of how many columns reconcile.  AQE
+    handles skewed keys; keys are assumed unique per side (pair with
+    ``unique()`` — duplicate keys reconcile per join multiplicity).
+    """
+
+    kind = "plan"
+
+    def __init__(self, ref: DataFrame, on, columns: Optional[Sequence[str]] = None,
+                 abs_tol: float = 0.0, check_missing: bool = True,
+                 check_extra: bool = True, rule_id: Optional[str] = None,
+                 broadcast_hint: bool = False):
+        if isinstance(on, str):
+            on = [on]
+        super().__init__(rule_id or f"reconcile:{','.join(on)}")
+        self.ref = ref
+        self.on = list(on)
+        self.columns = list(columns) if columns is not None else None
+        self.abs_tol = float(abs_tol)
+        self.check_missing = check_missing
+        self.check_extra = check_extra
+        self.broadcast_hint = broadcast_hint
+
+    def _columns(self, ctx: ValidationContext) -> Sequence[str]:
+        if self.columns is not None:
+            return self.columns
+        shared = [c for c in ctx.df.columns
+                  if c in set(self.ref.columns) and c not in self.on]
+        return shared
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        cols = list(self._columns(ctx))
+        part_sel = (
+            [F.col(ctx.partition_col).cast("string").alias("_part")]
+            if ctx.partition_col else []
+        )
+        left = ctx.df.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(self.on)],
+            F.lit(True).alias("_in_data"),
+            *[F.col(c).alias(f"_a{j}") for j, c in enumerate(cols)],
+            *part_sel,
+        )
+        ref = self.ref.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(self.on)],
+            F.lit(True).alias("_in_ref"),
+            *[F.col(c).alias(f"_e{j}") for j, c in enumerate(cols)],
+        )
+        if self.broadcast_hint:
+            ref = F.broadcast(ref)
+        knames = [f"_k{i}" for i in range(len(self.on))]
+        j = left.join(ref, knames, "full_outer")
+
+        if len(self.on) == 1:
+            key_out = repr_col(F.col("_k0"))
+        else:
+            key_out = _render_tuple([F.col(k) for k in knames])
+        part_out = F.col("_part") if ctx.partition_col else F.lit(None).cast("string")
+
+        structs = []
+        if self.check_missing:
+            structs.append(
+                F.when(
+                    F.col("_in_data").isNull(),
+                    violation_struct(self.rule_id, F.lit(MISSING),
+                                     key=key_out,
+                                     column=",".join(self.on),
+                                     expected=key_out),
+                )
+            )
+        if self.check_extra:
+            structs.append(
+                F.when(
+                    F.col("_in_ref").isNull(),
+                    violation_struct(self.rule_id, F.lit(EXTRA),
+                                     key=key_out,
+                                     column=",".join(self.on),
+                                     invalid=key_out,
+                                     partition_id=part_out),
+                )
+            )
+        both = F.col("_in_data").isNotNull() & F.col("_in_ref").isNotNull()
+        ref_types = {f.name: f.dataType for f in self.ref.schema.fields}
+        for jx, c in enumerate(cols):
+            a, e = F.col(f"_a{jx}"), F.col(f"_e{jx}")
+            numeric = _numeric_dtype(ctx.dtype(c)) and isinstance(
+                ref_types.get(c), T.NumericType
+            )
+            if numeric:
+                ad, ed = a.cast("double"), e.cast("double")
+                bad = both & ~(
+                    a.eqNullSafe(e)
+                    | (ad.isNotNull() & ed.isNotNull()
+                       & (F.abs(ad - ed) <= F.lit(self.abs_tol)))
+                )
+                # null-vs-value has no numeric deviation — INVALID,
+                # like the reference's Invalid-for-incomparable rows
+                dtype_col = F.when(a.isNull() | e.isNull(), F.lit(INVALID)
+                                   ).otherwise(F.lit(DEVIATION))
+                nn = ad.isNotNull() & ed.isNotNull()
+                structs.append(
+                    F.when(
+                        bad,
+                        violation_struct(self.rule_id, dtype_col,
+                                         key=key_out, column=c,
+                                         invalid=repr_col(a),
+                                         expected=repr_col(e),
+                                         deviation=F.when(nn, ad - ed),
+                                         expected_num=F.when(nn, ed),
+                                         partition_id=part_out),
+                    )
+                )
+            else:
+                structs.append(
+                    F.when(
+                        both & ~a.eqNullSafe(e),
+                        violation_struct(self.rule_id, F.lit(INVALID),
+                                         key=key_out, column=c,
+                                         invalid=repr_col(a),
+                                         expected=repr_col(e),
+                                         partition_id=part_out),
+                    )
+                )
+
+        arr = F.array(*structs)
+        compact = F.filter(arr, lambda x: x.isNotNull())
+        return j.select(F.explode(compact).alias("_v")).select("_v.*")
+
+
+def reconcile(ref, on, columns=None, abs_tol=0.0, check_missing=True,
+              check_extra=True, rule_id=None, broadcast_hint=False):
+    return ReconcileRule(ref, on, columns, abs_tol, check_missing,
+                         check_extra, rule_id, broadcast_hint)
