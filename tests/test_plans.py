@@ -136,3 +136,47 @@ class TestAggregation:
         v = Engine(spark).compile(lineitem, [R.unique("l_orderkey")])
         plan = explain_str(v, "formatted")
         assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+class TestSamplingPlans:
+    def test_sampled_verdicts_single_scan_pruned(self, spark, lineitem):
+        """Row-rule sampled verdicts: ONE scan reading only the key +
+        rule columns, no Python eval stage, filter pushed to the scan."""
+        from datatest_spark.sampling import sampled_verdicts
+
+        out = sampled_verdicts(
+            lineitem,
+            [R.interval("l_quantity", 1, 49),
+             R.interval("l_discount", 0.0, 0.08)],
+            sample_key=["l_orderkey", "l_linenumber"],
+            fraction=1 / 16,
+        )
+        assert scan_count(out) == 1
+        schemas = read_schema_columns(out)
+        assert set(schemas[0]) == {
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+        }
+        plan = explain_str(out)
+        assert "BatchEvalPython" not in plan
+
+    def test_partition_anomaly_single_scan(self, spark, lineitem):
+        """Anomaly scoring: the table scan appears exactly once even
+        though median and MAD cascade two window passes."""
+        from datatest_spark.stats import partition_anomalies
+
+        out = partition_anomalies(lineitem, "l_returnflag")
+        assert scan_count(out) == 1
+        schemas = read_schema_columns(out)
+        assert set(schemas[0]) == {"l_returnflag"}
+
+    def test_reconcile_prunes_both_sides(self, spark, orders):
+        """Reconcile: both join inputs read only key + compared cols."""
+        ref = orders.select("o_orderkey", "o_totalprice")
+        v = Engine(spark).compile(
+            orders, [R.reconcile(ref, on="o_orderkey",
+                                 columns=["o_totalprice"])]
+        )
+        schemas = read_schema_columns(v)
+        assert schemas and all(
+            set(s) <= {"o_orderkey", "o_totalprice"} for s in schemas
+        ), schemas
