@@ -115,29 +115,103 @@ class Predicate:
         return f"Predicate({self.description})"
 
 
+CUSTOM_DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("passed", T.BooleanType(), True),
+        T.StructField("diff_type", T.StringType(), True),
+        T.StructField("invalid", T.StringType(), True),
+        T.StructField("expected", T.StringType(), True),
+        T.StructField("deviation", T.DoubleType(), True),
+        T.StructField("expected_num", T.DoubleType(), True),
+    ]
+)
+
+_CUSTOM_DIFF_COLS = [f.name for f in CUSTOM_DIFF_SCHEMA.fields]
+
+
+def _difference_fields(d) -> tuple:
+    """(diff_type, invalid, expected, deviation, expected_num) for a
+    difference object a helper function returned (reference
+    docs/how-to/customize-differences.rst: the returned difference is
+    used in place of the auto-generated one)."""
+    from numbers import Number
+
+    from .differences import Deviation, Extra, Missing
+    from .schema import py_repr
+
+    def _num(x):
+        return float(x) if isinstance(x, Number) and not isinstance(x, bool) else None
+
+    if isinstance(d, Deviation):
+        return ("DEVIATION", None, py_repr(d.expected),
+                _num(d.deviation), _num(d.expected))
+    if isinstance(d, Missing):
+        return ("MISSING", None, py_repr(d.args[0] if d.args else None),
+                None, None)
+    if isinstance(d, Extra):
+        return ("EXTRA", py_repr(d.args[0] if d.args else None), None,
+                None, None)
+    inv = getattr(d, "invalid", d.args[0] if d.args else None)
+    exp = getattr(d, "expected", None)
+    return ("INVALID", py_repr(inv), py_repr(exp), None, None)
+
+
 def _callable_predicate(f: Callable[[Any], Any]) -> Predicate:
     """Arrow-vectorized fallback for arbitrary Python callables.
 
     The batch loop runs once per Arrow batch (thousands of values), not
     per row — this is the engine's only Python execution path, mirroring
     reference predicate.py:120-122 but batched.
+
+    Reference parity for custom differences: a helper that returns a
+    difference object means FAIL-with-that-difference, never pass
+    (customize-differences.rst).  The boolean path maps it to False;
+    ``custom_expr`` (used by PredicateRule) returns the full struct so
+    the returned difference replaces the auto-generated violation.
     """
 
     def make_expr(col: Column, dtype: Optional[T.DataType]) -> Column:
         @F.pandas_udf(T.BooleanType())
         def _apply(s: pd.Series) -> pd.Series:
+            from .differences import BaseDifference
+
             def check(v: Any) -> bool:
                 try:
-                    return bool(f(v)) or v is f
+                    r = f(v)
                 except Exception:
                     return False
+                if isinstance(r, BaseDifference):
+                    return False  # a returned difference is a failure
+                return bool(r) or v is f
 
             return s.map(check).astype("boolean")
 
         return _apply(col)
 
+    def make_custom(col: Column, dtype: Optional[T.DataType]) -> Column:
+        @F.pandas_udf(CUSTOM_DIFF_SCHEMA)
+        def _apply(s: pd.Series) -> pd.DataFrame:
+            from .differences import BaseDifference
+
+            rows = []
+            for v in s:
+                try:
+                    r = f(v)
+                except Exception:
+                    rows.append((False, None, None, None, None, None))
+                    continue
+                if isinstance(r, BaseDifference):
+                    rows.append((False,) + _difference_fields(r))
+                    continue
+                rows.append((bool(r) or v is f, None, None, None, None, None))
+            return pd.DataFrame(rows, columns=_CUSTOM_DIFF_COLS)
+
+        return _apply(col)
+
     name = getattr(f, "__name__", repr(f))
-    return Predicate(make_expr, name, uses_python=True, obj=f)
+    p = Predicate(make_expr, name, uses_python=True, obj=f)
+    p.custom_expr = make_custom
+    return p
 
 
 def compile_predicate(obj: Any) -> Predicate:

@@ -198,6 +198,37 @@ class PredicateRule(Rule):
 
         col = F.col(self.column)
         dtype = ctx.dtype(self.column)
+
+        custom = getattr(self.pred, "custom_expr", None)
+        if custom is not None:
+            # Helper-function predicate: one Arrow stage returns
+            # (passed, custom difference fields); a returned difference
+            # object REPLACES the auto-generated violation (reference
+            # docs/how-to/customize-differences.rst).  Catalyst dedups
+            # the repeated struct references into a single UDF eval.
+            cd = custom(col, dtype)
+            default_expected = (
+                self._expected_col() if self.show_expected
+                else F.lit(None).cast("string")
+            )
+            has_custom = cd["diff_type"].isNotNull()
+            return F.when(
+                ~F.coalesce(cd["passed"], F.lit(False)),
+                violation_struct(
+                    self.rule_id,
+                    F.coalesce(cd["diff_type"], F.lit(INVALID)),
+                    key=ctx.key_expr(),
+                    column=self.column,
+                    invalid=F.when(has_custom, cd["invalid"])
+                    .otherwise(repr_col(col)),
+                    expected=F.when(has_custom, cd["expected"])
+                    .otherwise(default_expected),
+                    deviation=cd["deviation"],
+                    expected_num=cd["expected_num"],
+                    partition_id=ctx.partition_expr(),
+                ),
+            )
+
         passed = F.coalesce(self.pred.expr(col, dtype), F.lit(False))
 
         numeric_pair = _is_number(self.obj) and _numeric_dtype(dtype)

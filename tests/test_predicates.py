@@ -122,3 +122,82 @@ class TestTuplePredicate:
         pred = compile_predicate((..., 2))
         rows = df.filter(tuple_expr(pred, [F.col("a"), F.col("b")])).collect()
         assert [r["a"] for r in rows] == ["y"]
+
+
+class TestCustomDifferences:
+    """Helper functions may return a difference object instead of
+    False; it replaces the auto-generated one (reference
+    docs/how-to/customize-differences.rst)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("CAPE GIRARDEAU",), ("GREENE ",), ("JACKSON",), ("st. louis",)],
+            "county string",
+        )
+
+    def test_returned_invalid_replaces_default(self, spark):
+        from datatest_spark import Invalid, validate, ValidationError
+
+        def wellformed(x):
+            if x != " ".join(x.split()):
+                return Invalid(x, x.strip())  # custom: show the fix
+            return x.isupper()
+
+        with pytest.raises(ValidationError) as exc:
+            validate(self._df(spark), wellformed, column="county")
+        rows = {r.invalid: r for r in exc.value.violations_df.collect()}
+        custom = rows["GREENE "]
+        assert custom.diff_type == "INVALID" and custom.expected == "GREENE"
+        default = rows["st. louis"]
+        assert default.diff_type == "INVALID" and default.expected is None
+
+    def test_returned_deviation_carries_numbers(self, spark):
+        from datatest_spark import Deviation, validate, ValidationError
+
+        def near_hundred(x):
+            if abs(x - 100) <= 5:
+                return True
+            return Deviation(x - 100, 100)
+
+        df = spark.createDataFrame([(98,), (112,), (91,)], "v long")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, near_hundred, column="v")
+        rows = sorted(exc.value.violations_df.collect(),
+                      key=lambda r: r.deviation)
+        assert [r.diff_type for r in rows] == ["DEVIATION", "DEVIATION"]
+        assert rows[0].deviation == -9.0 and rows[0].expected_num == 100.0
+        assert rows[1].deviation == 12.0 and rows[1].expected == "100"
+
+    def test_returned_missing_extra_shapes(self, spark):
+        from datatest_spark import Extra, Missing, validate, ValidationError
+
+        def f(x):
+            if x == "m":
+                return Missing("wanted")
+            if x == "e":
+                return Extra(x)
+            return True
+
+        df = spark.createDataFrame([("m",), ("e",), ("ok",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, f, column="v")
+        by = {r.diff_type: r for r in exc.value.violations_df.collect()}
+        assert by["MISSING"].expected == "wanted" and by["MISSING"].invalid is None
+        assert by["EXTRA"].invalid == "e"
+
+    def test_difference_is_never_truthy_pass(self, spark):
+        from datatest_spark import Invalid, valid
+
+        df = spark.createDataFrame([("x",)], "v string")
+        assert valid(df, lambda x: Invalid(x), column="v") is False
+
+    def test_single_arrow_stage(self, spark):
+        from datatest_spark import Invalid
+        from datatest_spark import requirements as R
+        from datatest_spark.validation import Engine
+
+        df = spark.createDataFrame([("x",)], "v string")
+        v = Engine(spark).compile(df, [R.predicate("v", lambda s: Invalid(s))])
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan
