@@ -343,6 +343,22 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_segment_plan(spark, sf_dir):
+    """Training-window segmentation grid (audio.segment_plan, round 5
+    continuation): one row per (clip, chunk) from DECLARED durations —
+    sequence+explode inside the scan projection, zero decode, zero
+    Python, `bytes` never read (plan-tested).  max_chunks=8 caps the
+    grid so the fixture's poisoned 2e6-ms duration rows cannot explode
+    the output — the guard a 10^12-clip inventory needs.  Oracle:
+    chunk grid re-derived from clip_params in oracles.py."""
+    from datatest_spark.audio import segment_plan
+    from datatest_spark.fixtures import audio_clips_df
+
+    df = audio_clips_df(spark, 2000, parts=4)
+    return segment_plan(df, window_ms=2000, hop_ms=1000, min_ms=200,
+                        max_chunks=8)
+
+
 # --- non-SQL-expressible (rows-only checks) --------------------------------
 
 
@@ -1407,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_validation": q_sampled_validation,
         "partition_anomaly_lang": q_partition_anomaly_lang,
         "reconcile_orders": q_reconcile_orders,
+        "segment_plan": q_segment_plan,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
@@ -2248,6 +2265,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
         "audio_features": _oracles.audio_features_sql(n=2000, parts=4),
+        "segment_plan": _oracles.segment_plan_sql(
+            n=2000, window_ms=2000, hop_ms=1000, min_ms=200, max_chunks=8
+        ),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),

@@ -63,6 +63,7 @@ HEADLINE = [
     "audio_neardup",
     "sampled_validation",
     "partition_anomaly_lang",
+    "reconcile_orders",
 ]
 
 

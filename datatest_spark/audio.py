@@ -824,3 +824,130 @@ class AudioConsistencyRule(Rule):
 def audio_consistency(dur_tol_ms=50, check_snr=False, min_snr_db=30.0,
                       pcm_manifest=None):
     return AudioConsistencyRule(dur_tol_ms, check_snr, min_snr_db, pcm_manifest)
+
+
+# ---------------------------------------------------------------------------
+# Clip segmentation — fixed-window training chunks
+# ---------------------------------------------------------------------------
+
+SEGMENT_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("chunk_idx", T.LongType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("chunk_ms", T.LongType(), False),
+    ]
+)
+
+
+def segment_plan(df: DataFrame, window_ms: int = 5000,
+                 hop_ms: Optional[int] = None,
+                 min_ms: int = 1,
+                 max_chunks: Optional[int] = None) -> DataFrame:
+    """Chunk GRID from declared durations — zero decode, zero Python.
+
+    The planning half of training-window segmentation: one row per
+    (clip, chunk) with ``start_ms = k*hop`` and ``chunk_ms =
+    min(window, dur_ms - start)``, tail chunks shorter than ``min_ms``
+    dropped.  Entirely JVM-side (``sequence`` + ``explode`` inside the
+    scan projection, no shuffle), so a 10^12-clip chunk inventory —
+    counts, total training seconds, shard planning — costs one
+    metadata-column scan with ``bytes`` never read.  Pair with
+    :func:`segment_bytes` to materialize the audio.
+    """
+    window = int(window_ms)
+    hop = int(hop_ms or window_ms)
+    if window <= 0 or hop <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = F.col("dur_ms").cast("long")
+    n = F.when(dur > 0, F.ceil(dur / F.lit(hop)).cast("long")).otherwise(F.lit(0))
+    if max_chunks is not None:
+        # poisoned duration metadata (one bogus 2e9-ms row) must not
+        # explode the output 1000x — cap the grid, validate the column
+        n = F.least(n, F.lit(int(max_chunks)).cast("long"))
+    ks = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
+                ).otherwise(F.array().cast("array<long>"))
+    out = (
+        df.select("clip_id", dur.alias("_dur"), F.explode(ks).alias("chunk_idx"))
+        .select(
+            "clip_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * hop).alias("start_ms"),
+            F.least(F.lit(window).cast("long"),
+                    F.col("_dur") - F.col("chunk_idx") * hop).alias("chunk_ms"),
+        )
+        .where(F.col("chunk_ms") >= int(min_ms))
+    )
+    return out
+
+
+def encode_wav(sr: int, pcm: np.ndarray) -> bytes:
+    """Canonical 44-byte-header PCM WAV writer (mono int16) — the
+    normalized output container for segmented training chunks."""
+    data = np.asarray(pcm, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, int(sr), int(sr) * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+SEGMENT_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("chunk_idx", T.LongType(), True),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("chunk_ms", T.LongType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def segment_bytes(df: DataFrame, window_ms: int = 5000,
+                  hop_ms: Optional[int] = None,
+                  min_ms: int = 1) -> DataFrame:
+    """Materialized training chunks: decode once, slice the PCM on the
+    :func:`segment_plan` grid over the clip's TRUE duration, re-encode
+    every chunk as a normalized mono-int16 WAV.
+
+    One Arrow-batched decode pass (``mapInPandas`` over
+    ``(clip_id, bytes)`` only — column-pruned like every audio
+    operator); per-clip cost is the decode plus cheap array slices, and
+    output order inside a clip is chunk_idx — no shuffle introduced.
+    Undecodable clips surface as one ``ok=false`` row instead of
+    vanishing (route them to the decodability rule).  Chunk grids here
+    use the decoded sample count, so declared-duration drift never
+    yields short/padded training windows.
+    """
+    window = int(window_ms)
+    hop = int(hop_ms or window_ms)
+    if window <= 0 or hop <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    min_keep = int(min_ms)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SEGMENT_BYTES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None))
+                    continue
+                n = len(pcm)
+                win = window * sr // 1000
+                hop_n = hop * sr // 1000
+                k = 0
+                while k * hop_n < n:
+                    seg = pcm[k * hop_n: k * hop_n + win]
+                    ms = len(seg) * 1000 // sr
+                    if ms >= min_keep:
+                        out.append((row.clip_id, True, k,
+                                    k * hop_n * 1000 // sr, ms, sr,
+                                    encode_wav(sr, seg)))
+                    k += 1
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, SEGMENT_BYTES_SCHEMA)

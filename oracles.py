@@ -1357,3 +1357,40 @@ def video_suite_rows(n: int = 400, parts: int = 4) -> tuple:
 
 def video_suite_sql(n: int = 400, parts: int = 4) -> str:
     return violations_values_sql(video_suite_rows(n, parts))
+
+
+@lru_cache(maxsize=None)
+def segment_plan_rows(n: int = 2000, window_ms: int = 2000,
+                      hop_ms: int = 1000, min_ms: int = 200,
+                      max_chunks: int = 8) -> tuple:
+    """Expected chunk grid of audio.segment_plan over the fixture
+    table's DECLARED durations — re-derived from clip_params."""
+    import math
+
+    from datatest_spark.fixtures import clip_id_for, clip_params
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        dur = (clip_params(p.dup_of).decl_dur_ms
+               if p.dup_of is not None else p.decl_dur_ms)
+        if dur <= 0:
+            continue
+        cid = clip_id_for(i)
+        nch = min(math.ceil(dur / hop_ms), max_chunks)
+        for k in range(nch):
+            start = k * hop_ms
+            cms = min(window_ms, dur - start)
+            if cms >= min_ms:
+                out.append((cid, k, start, cms))
+    return tuple(out)
+
+
+def segment_plan_sql(n: int = 2000, window_ms: int = 2000,
+                     hop_ms: int = 1000, min_ms: int = 200,
+                     max_chunks: int = 8) -> str:
+    return values_sql(
+        segment_plan_rows(n, window_ms, hop_ms, min_ms, max_chunks),
+        ["clip_id", "chunk_idx", "start_ms", "chunk_ms"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+    )

@@ -419,3 +419,88 @@ class TestAudioDedupGroups:
                     if k == FX.clip_id_for(6)]
         assert any((s, c, k) in got for s, (c, k) in
                    ((ds, groups[ds]) for ds in dup_sigs))
+
+
+class TestSegmentation:
+    """Training-window segmentation: JVM-only grid planning plus the
+    Arrow-batched decode/slice/re-encode materializer."""
+
+    def test_segment_plan_grid(self, spark):
+        from datatest_spark.audio import segment_plan
+
+        df = spark.createDataFrame(
+            [("a", 12345), ("b", 4000), ("c", 0), ("d", -5)],
+            "clip_id string, dur_ms long",
+        )
+        rows = sorted(
+            (r.clip_id, r.chunk_idx, r.start_ms, r.chunk_ms)
+            for r in segment_plan(df, window_ms=5000, hop_ms=5000).collect()
+        )
+        assert rows == [
+            ("a", 0, 0, 5000), ("a", 1, 5000, 5000), ("a", 2, 10000, 2345),
+            ("b", 0, 0, 4000),
+        ]
+
+    def test_segment_plan_overlap_min_and_cap(self, spark):
+        from datatest_spark.audio import segment_plan
+
+        df = spark.createDataFrame([("a", 6000)], "clip_id string, dur_ms long")
+        rows = segment_plan(df, window_ms=4000, hop_ms=2000,
+                            min_ms=2500).collect()
+        # starts 0,2000,4000 -> chunk_ms 4000,4000,2000; min drops the tail
+        assert sorted(r.start_ms for r in rows) == [0, 2000]
+
+        poisoned = spark.createDataFrame(
+            [("p", 2_000_000_000)], "clip_id string, dur_ms long"
+        )
+        capped = segment_plan(poisoned, window_ms=1000, max_chunks=4).collect()
+        assert len(capped) == 4  # bogus metadata cannot explode output
+
+    def test_segment_plan_never_reads_bytes(self, spark, tmp_path):
+        from datatest_spark.audio import segment_plan
+        from datatest_spark.fixtures import audio_clips_df
+        from datatest_spark.plans.inspect import read_schema_columns
+
+        path = str(tmp_path / "clips.parquet")
+        audio_clips_df(spark, 50, parts=2).write.parquet(path)
+        out = segment_plan(spark.read.parquet(path), window_ms=1000)
+        schemas = read_schema_columns(out)
+        assert schemas and all(set(s) <= {"clip_id", "dur_ms"} for s in schemas)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_segment_bytes_roundtrip(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, segment_bytes
+        from datatest_spark.fixtures import make_wav, synth_pcm
+
+        sr = 16000
+        pcm = synth_pcm(3, sr, 2500)  # 40000 samples
+        df = spark.createDataFrame([("a", bytearray(make_wav(sr, pcm))),
+                                    ("bad", bytearray(b"notaudio"))],
+                                   "clip_id string, bytes binary")
+        rows = {(r.clip_id, r.chunk_idx): r
+                for r in segment_bytes(df, window_ms=1000).collect()}
+        assert rows[("bad", None)].ok is False
+        # 2500ms @ window 1000 -> chunks 1000,1000,500
+        chunks = [rows[("a", k)] for k in range(3)]
+        assert [c.chunk_ms for c in chunks] == [1000, 1000, 500]
+        for k, c in enumerate(chunks):
+            _, csr, cpcm = decode_bytes(bytes(c.bytes))
+            assert csr == sr
+            lo = k * sr  # hop = window = 1000ms = sr samples
+            np.testing.assert_array_equal(cpcm, pcm[lo:lo + sr])
+
+    def test_segment_bytes_true_duration_wins(self, spark):
+        # declared dur lies; the chunk grid follows the decoded PCM
+        from datatest_spark.audio import segment_bytes
+        from datatest_spark.fixtures import make_wav, synth_pcm
+
+        sr = 8000
+        df = spark.createDataFrame(
+            [("a", bytearray(make_wav(sr, synth_pcm(1, sr, 900))))],
+            "clip_id string, bytes binary",
+        )
+        rows = segment_bytes(df, window_ms=1000, min_ms=1).collect()
+        assert len(rows) == 1 and rows[0].chunk_ms == 900
