@@ -343,6 +343,30 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_schema_contract(spark, sf_dir):
+    """Declared-schema contract (requirements.SchemaRule, round 5
+    continuation): lineitem's columns + Spark SQL types checked
+    against a required mapping with one wrong type and one absent
+    column injected — Missing/Invalid violations from pure metadata,
+    zero scans of the table (plan-tested), so the contract gate is
+    free at 10^12 rows and safe to mark @mandatory."""
+    from datatest_spark import requirements as R
+    from datatest_spark.validation import Engine
+
+    li = _t(spark, sf_dir, "lineitem")
+    viol = Engine(spark).compile(
+        li,
+        [R.schema_matches({
+            "l_orderkey": "bigint",
+            "l_quantity": "string",        # actual: double -> INVALID
+            "l_shipmode": "string",        # absent column -> MISSING
+            "l_returnflag": "string",
+        })],
+    )
+    return viol.select("rule_id", "column", "diff_type",
+                       "invalid", "expected").orderBy("column")
+
+
 def q_segment_plan(spark, sf_dir):
     """Training-window segmentation grid (audio.segment_plan, round 5
     continuation): one row per (clip, chunk) from DECLARED durations —
@@ -1424,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_anomaly_lang": q_partition_anomaly_lang,
         "reconcile_orders": q_reconcile_orders,
         "segment_plan": q_segment_plan,
+        "schema_contract": q_schema_contract,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
         "audio_features": q_audio_features,
@@ -2018,6 +2043,15 @@ def oracle_sql() -> dict[str, str]:
                    round(p, 6) AS est_rate_r, round(upper, 6) AS rate_upper_r,
                    upper <= 0.25 AS passed
             FROM u ORDER BY rule_id
+        """,
+        "schema_contract": """
+            SELECT * FROM (VALUES
+              ('schema', 'l_quantity', 'INVALID',
+               'double', 'string'),
+              ('schema', 'l_shipmode', 'MISSING',
+               CAST(NULL AS VARCHAR), 'string')
+            ) AS t(rule_id, "column", diff_type, invalid, expected)
+            ORDER BY "column"
         """,
         "reconcile_orders": f"""
             WITH o AS (

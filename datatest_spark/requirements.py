@@ -60,6 +60,7 @@ __all__ = [
     "order",
     "mapping",
     "reconcile",
+    "schema_matches",
     "ValidationContext",
 ]
 
@@ -1553,3 +1554,60 @@ def reconcile(ref, on, columns=None, abs_tol=0.0, check_missing=True,
               check_extra=True, rule_id=None, broadcast_hint=False):
     return ReconcileRule(ref, on, columns, abs_tol, check_missing,
                          check_extra, rule_id, broadcast_hint)
+
+
+class SchemaRule(Rule):
+    """Declared-schema validation: the table's columns and Spark SQL
+    types against a required ``{column: type_name}`` mapping —
+    Missing for absent columns, Invalid for type mismatches, Extra
+    for unexpected columns (only when ``exact=True``).
+
+    The reference idiom is ``validate(data.columns, {...})``
+    (column-LAYOUT checks, docs/how-to/column-names.rst); this rule
+    adds the TYPE dimension an Iceberg-table contract needs
+    (input_hint: clip_id string, bytes binary, sr_hz int, ...).
+    Schema is driver-side metadata — the plan touches zero data rows,
+    so the check is free at any table size and safe to mark
+    @mandatory so a drifted contract gates every downstream rule.
+    """
+
+    kind = "plan"
+
+    def __init__(self, required: Mapping, exact: bool = False,
+                 rule_id: Optional[str] = None):
+        super().__init__(rule_id or "schema")
+        self.required = dict(required)
+        self.exact = exact
+
+    @staticmethod
+    def _norm(t: str) -> str:
+        t = t.strip().lower()
+        aliases = {"integer": "int", "long": "bigint", "short": "smallint",
+                   "byte": "tinyint", "str": "string", "bool": "boolean"}
+        return aliases.get(t, t)
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        from .schema import empty_violations
+
+        actual = {f.name: f.dataType.simpleString() for f in ctx.df.schema.fields}
+        rows = []
+        for col, want in self.required.items():
+            if col not in actual:
+                rows.append((self.rule_id, None, col, MISSING, None,
+                             self._norm(str(want)), None, None, None))
+            elif self._norm(str(want)) != self._norm(actual[col]):
+                rows.append((self.rule_id, None, col, INVALID,
+                             actual[col], self._norm(str(want)),
+                             None, None, None))
+        if self.exact:
+            for col in actual:
+                if col not in self.required:
+                    rows.append((self.rule_id, None, col, EXTRA,
+                                 actual[col], None, None, None, None))
+        if not rows:
+            return empty_violations(ctx.spark)
+        return ctx.spark.createDataFrame(rows, VIOLATION_SCHEMA)
+
+
+def schema_matches(required, exact=False, rule_id=None):
+    return SchemaRule(required, exact, rule_id)

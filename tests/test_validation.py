@@ -554,3 +554,63 @@ class TestLocalCollections:
         assert not valid(pdf, lambda v: v < 5)
         s = pd.Series(["a", "b"])
         assert valid(s, {"a", "b"})
+
+
+class TestSchemaRule:
+    """Declared-schema contract (requirements.schema_matches): the
+    typed extension of the reference's column-layout idiom
+    (docs/how-to/column-names.rst)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a", 1, 2.0)], "clip_id string, sr_hz int, score double"
+        )
+
+    def test_missing_and_type_mismatch(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark import validate, ValidationError
+
+        with pytest.raises(ValidationError) as exc:
+            validate(self._df(spark), rules=[R.schema_matches(
+                {"clip_id": "string", "sr_hz": "bigint", "bytes": "binary"}
+            )])
+        by = {(r.diff_type, r.column): r for r in exc.value.violations_df.collect()}
+        assert by[("MISSING", "bytes")].expected == "binary"
+        inv = by[("INVALID", "sr_hz")]
+        assert inv.invalid == "int" and inv.expected == "bigint"
+        assert len(by) == 2  # clip_id matches; score ignored (exact=False)
+
+    def test_exact_flags_extra_columns(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark import validate, ValidationError
+
+        with pytest.raises(ValidationError) as exc:
+            validate(self._df(spark), rules=[R.schema_matches(
+                {"clip_id": "string", "sr_hz": "int"}, exact=True
+            )])
+        rows = exc.value.violations_df.collect()
+        assert [(r.diff_type, r.column) for r in rows] == [("EXTRA", "score")]
+
+    def test_type_aliases_normalize(self, spark):
+        from datatest_spark import requirements as R
+        from datatest_spark import valid
+
+        ok = valid(self._df(spark), rules=[R.schema_matches(
+            {"clip_id": "str", "sr_hz": "integer", "score": "double"}
+        )])
+        assert ok is True
+
+    def test_metadata_only_no_input_scan(self, spark, tmp_path):
+        from datatest_spark import requirements as R
+        from datatest_spark.plans.inspect import scan_count
+        from datatest_spark.validation import Engine
+
+        path = str(tmp_path / "t.parquet")
+        self._df(spark).write.parquet(path)
+        v = Engine(spark).compile(
+            spark.read.parquet(path),
+            [R.schema_matches({"clip_id": "string", "nope": "int"})],
+        )
+        # schema is driver-side metadata: zero scans of the input table
+        assert scan_count(v) == 0
+        assert v.count() == 1  # the MISSING 'nope' row
