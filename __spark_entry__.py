@@ -1079,6 +1079,22 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs collapsed to canonical clusters: exact n-gram
+    Jaccard pairs (n=2, j>=0.1 — a deliberately dense graph: 70
+    multi-doc components, sizes up to 13 at sf0.01) fed through
+    large-star/small-star connected components, joined back over the
+    corpus.  Oracle: independent pure-Python pair recomputation +
+    DuckDB's own recursive-CTE label propagation (oracles.py)."""
+    from datatest_spark.operators import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", id_col="doc_id", n=2, min_jaccard=0.1, max_df=1000,
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
 # language-ID stopword spec shared by the Spark query and its SQL
 # oracle (part of the query definition, like _SEQ_REQUIRED above)
 _LANG_STOPWORDS = {
@@ -1444,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "dedup_clusters": q_dedup_clusters,
         "sampled_validation": q_sampled_validation,
         "partition_anomaly_lang": q_partition_anomaly_lang,
         "reconcile_orders": q_reconcile_orders,
@@ -2306,6 +2323,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "dedup_clusters": _oracles.dedup_clusters_sql(
+            n=2, min_jaccard=0.1, max_df=1000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(
             n=3, min_jaccard=0.3, max_df=1000),
         "fingerprint": _oracles.fingerprint_sql(shingle_len=8),

@@ -1,0 +1,205 @@
+"""Distributed connected components + dedup cluster collapse.
+
+The dedup operators in :mod:`.dedup` emit near-duplicate *pairs*
+(``minhash_neardup_pairs``, ``simhash_neardup_pairs``,
+``ngram_jaccard_pairs``, ``embedding_neardup_pairs``).  A curation
+pipeline needs *clusters*: the transitive closure of the pair graph,
+with one canonical document kept per cluster.  (Near-duplicate
+similarity is not transitive — A~B and B~C does not imply A~C — but
+keep-one-per-component is the standard curation semantics: the
+MinHash-dedup pipelines described for GPT-3 / The Pile / RefinedWeb
+all collapse LSH pairs with connected components.)
+
+:func:`connected_components` implements the alternating
+large-star / small-star algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC'14) — the shape that works
+at 10^12-edge scale:
+
+* Each round is two groupBy-min + join passes over the edge list; all
+  shuffles carry ``(id, id)`` rows only (16 bytes for long ids) — no
+  adjacency list is ever materialized per node, so a hub with 10^8
+  neighbours never concentrates on one task beyond a groupBy-min
+  (which map-side partial aggregation keeps flat).
+* Convergence is O(log^2 n) rounds worst-case and 3–6 rounds on real
+  near-dup graphs (star-shaped components form immediately); naive
+  min-label propagation is O(diameter) rounds, which a pathological
+  shingle chain can push to thousands.
+* Every round ends in an **eager localCheckpoint**: iterative
+  DataFrame plans otherwise nest the full lineage of every previous
+  round (exponential plan growth — the classic iterative-Spark trap).
+  At cluster scale swap localCheckpoint for ``df.checkpoint()`` on a
+  reliable checkpoint dir; the loop structure is unchanged.
+
+Reference lineage: datatest's RequiredUnique
+(`/root/reference/datatest/requirements.py`) *reports* duplicate rows
+as differences; this module is the at-scale generalization that
+*resolves* the duplicates the LSH rules detect into a curation
+decision (keep the canonical member of each cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+#: rounds after which non-convergence is a bug, not a big graph
+#: (large-star/small-star provably converges in O(log^2 n) rounds;
+#: real corpora converge single-digit)
+MAX_ROUNDS = 50
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → distinct (a, b) with a > b, no loops."""
+    return (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbour of each node to the
+    minimum of its neighbourhood (incl. itself).  Output edges are
+    (v, m) with v > u ≥ m — always (larger, smaller), loop-free."""
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = und.groupBy("a").agg(F.min("b").alias("mn"))
+    m = mins.select("a", F.least("a", "mn").alias("m"))
+    return (
+        und.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller neighbours of each node (and the node
+    itself) to the minimum of those neighbours."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (
+        edges.join(mins, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    selfe = mins.select(F.col("a"), F.col("m").alias("b"))
+    return _canonical(moved.union(selfe))
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    """(row count, order-insensitive content hash) of an edge list —
+    one tiny agg action; equality ⇒ the edge set is unchanged."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # XOR, not SUM: overflow-free under ANSI mode; edge rows are
+        # distinct so XOR cancellation cannot collide two sets
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         stats: Optional[dict] = None) -> DataFrame:
+    """Node → component labels for the undirected graph given as a
+    pair list.  The label is the component's minimum node id (any
+    orderable id type: long, string, ...).
+
+    Returns a DataFrame ``(node, component)`` with one row per node
+    that appears in ``pairs`` (isolated nodes never enter the edge
+    list — join the corpus back with ``coalesce`` for singletons, or
+    use :func:`dedup_clusters`, which does exactly that).
+
+    If ``stats`` (a dict) is passed it is filled with
+    ``{"rounds": r, "edges": n}`` after convergence — the round count
+    is the scale diagnostic (single-digit on real graphs; see module
+    docstring).
+    """
+    edges = _canonical(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    fp = _fingerprint(edges)
+
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > MAX_ROUNDS:
+            raise RuntimeError(
+                f"connected_components did not converge in {MAX_ROUNDS} "
+                "rounds — large-star/small-star converges in O(log^2 n); "
+                "this indicates corrupted input (e.g. NaN ids) or a bug"
+            )
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nfp = _fingerprint(nxt)
+        edges.unpersist()
+        edges = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges"] = fp[0]
+
+    # Fixpoint ⇒ the graph is a union of stars centred at each
+    # component's minimum: every edge is (member, root).  A member
+    # appears in exactly one edge; roots appear only on the right.
+    members = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    roots = edges.select(F.col("b").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    out = members.unionByName(roots)
+    out._cc_edges = edges  # keep the checkpointed frame reachable
+    return out
+
+
+def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", src: str = "id_a",
+                   dst: str = "id_b",
+                   stats: Optional[dict] = None) -> DataFrame:
+    """Collapse near-duplicate pairs into per-document curation rows.
+
+    Output: one row per corpus document —
+    ``(id_col, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the minimum document id of the connected
+    component (the document itself for singletons) and
+    ``is_canonical`` marks the one row per cluster a keep-one-per-
+    cluster pipeline retains (``df.where("is_canonical")``).
+
+    Scale shape: the component label frame is tiny relative to the
+    corpus (only documents that occur in a near-dup pair), so the
+    join back is a **broadcast hash join** candidate — AQE converts
+    it automatically when the pair graph is under the broadcast
+    threshold; corpora where *most* documents are duplicates shuffle
+    on the 8-byte id, which is the floor.  ``cluster_size`` comes
+    from a groupBy on the label frame (small) broadcast-joined back,
+    never a window over the corpus.
+    """
+    labels = connected_components(pairs, src=src, dst=dst, stats=stats)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    labeled = labels.join(sizes, "component").select(
+        F.col("node"), F.col("component"), F.col("__csize")
+    )
+    out = (
+        corpus.select(id_col)
+        .join(labeled, corpus[id_col] == labeled["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", id_col).alias("cluster_id"),
+            F.coalesce("__csize", F.lit(1)).alias("cluster_size"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+    out._cc_labels = labels  # keep checkpointed lineage reachable
+    return out

@@ -1166,6 +1166,46 @@ def ngram_jaccard_sql(sf_dir: str = SF001_DIR, n: int = 3,
                       ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def dedup_clusters_sql(sf_dir: str = SF001_DIR, n: int = 2,
+                       min_jaccard: float = 0.1,
+                       max_df: Optional[int] = 1000) -> str:
+    """Connected-components cluster collapse, verified two ways: the
+    edge list is the independent pure-Python shingle recomputation
+    (same spec as ngram_jaccard_sql), and the transitive closure is
+    DuckDB's OWN recursive-CTE label propagation — the engine's
+    large-star/small-star result must agree with an algorithm that
+    shares none of its code."""
+    rows = [(a, b) for a, b, _ in
+            ngram_jaccard_rows(sf_dir, n, min_jaccard, max_df)]
+    pairs = values_sql(rows, ["id_a", "id_b"], ["BIGINT", "BIGINT"])
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a <> id_b
+        ),
+        walk(node, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, w.label FROM edges e JOIN walk w ON e.a = w.node
+        ),
+        comp AS (
+          SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+               (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_canonical
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # fingerprint — full-text XXH64 + winnowed min-hash over 8-char shingles
 # (rolling-fingerprint family; pure-Python XXH64 spec, char-window twin
