@@ -1079,6 +1079,45 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs (doc_id % 17 != 0) vs the
+    eval slice (doc_id % 17 == 0), distinct 3-word-shingle overlap.
+    Oracle: pure SQL — DuckDB list_transform n-grams joined on the raw
+    shingle STRINGS, while the engine joins on xxhash64(shingle); the
+    counts agree unless a 64-bit collision lands inside one document
+    (probability ~1e-12 at this corpus size)."""
+    from datatest_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(tr, ev, column="text", id_col="doc_id", n=3)
+
+
+_DECONTAMINATE_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS ss
+      FROM w),
+    ev AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % 17 = 0),
+    tr AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id % 17 <> 0),
+    tot AS (SELECT doc_id, count(*) AS total_ngrams FROM tr GROUP BY doc_id),
+    ov AS (SELECT tr.doc_id, count(*) AS overlap_ngrams
+           FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+    SELECT t.doc_id,
+           t.total_ngrams,
+           COALESCE(o.overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(o.overlap_ngrams, 0) / t.total_ngrams AS contamination,
+           COALESCE(o.overlap_ngrams, 0) >= 1 AS contaminated
+    FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs collapsed to canonical clusters: exact n-gram
     Jaccard pairs (n=2, j>=0.1 — a deliberately dense graph: 70
@@ -1460,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "sampled_validation": q_sampled_validation,
         "partition_anomaly_lang": q_partition_anomaly_lang,
@@ -2323,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _oracles.dedup_clusters_sql(
             n=2, min_jaccard=0.1, max_df=1000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(

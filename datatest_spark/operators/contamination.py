@@ -1,0 +1,132 @@
+"""Benchmark decontamination: n-gram overlap of a training corpus
+against a held-out evaluation set.
+
+The standard LLM-training hygiene step (the GPT-3 appendix-C /
+PaLM / Llama recipe): a training document is *contaminated* if it
+shares at least ``min_overlap`` word n-grams with any document of the
+evaluation/benchmark set; contaminated documents are dropped or
+flagged before training.  This module gives the per-document evidence
+row — overlap counts, not just a verdict — so the flag threshold can
+be tuned after the expensive pass.
+
+Scale shape (train = 10^12 docs, eval = 10^4..10^7 docs):
+
+* Shingling is the same JVM-side ``transform``+``xxhash64`` path as
+  :mod:`.dedup` — no Python in the hot loop; each side is reduced to
+  **distinct 8-byte shingle hashes** before any join.
+* The eval side is tiny relative to train: its distinct-hash set is
+  **broadcast** when under ``broadcast_max`` hashes (one
+  count() action decides), so the train side is a single scan +
+  map-side semi-join — zero shuffle of train data.  Above the cap it
+  degrades to a shuffle hash join on the 8-byte key, which is the
+  floor.
+* Per-document totals and overlaps are two partial-aggregated
+  groupBys on ``(doc_id, hash)`` — the aggregate state is a count,
+  never a shingle list.
+* ``max_df`` (measured on the EVAL side) drops boilerplate shingles
+  that occur in more than ``max_df`` eval documents — the classic
+  guard against flagging every document that contains a common
+  header; it also bounds the per-hash join fan-out.
+
+Hashed comparison means a 64-bit collision can count one extra
+overlap shingle; at 10^10 distinct shingles the expected number of
+colliding *pairs* is < 3 — harmless for a flag with min_overlap >= 1
+and never a false *negative*.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _word_shingles
+
+__all__ = ["decontaminate", "eval_ngram_hashes"]
+
+
+def eval_ngram_hashes(eval_df: DataFrame, column: str, n: int = 3,
+                      id_col: Optional[str] = None,
+                      max_df: Optional[int] = None) -> DataFrame:
+    """Distinct xxhash64 word-``n``-gram hashes of the eval corpus —
+    one column ``h``.  With ``max_df`` (requires ``id_col``), shingles
+    occurring in more than ``max_df`` eval documents are dropped."""
+    eval_df = eval_df.where(F.col(column).isNotNull())
+    sh = F.explode(_word_shingles(F.col(column), n)).alias("s")
+    if max_df is not None:
+        if id_col is None:
+            raise ValueError("max_df requires id_col (document counts)")
+        per_doc = (
+            eval_df.select(F.col(id_col).alias("__id"), sh)
+            .select("__id", F.xxhash64("s", F.lit(42)).alias("h"))
+            .distinct()
+        )
+        return (
+            per_doc.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("h")
+        )
+    return (
+        eval_df.select(sh)
+        .select(F.xxhash64("s", F.lit(42)).alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  column: str = "text", id_col: str = "doc_id",
+                  n: int = 3, min_overlap: int = 1,
+                  max_df: Optional[int] = None,
+                  broadcast_max: int = 5_000_000) -> DataFrame:
+    """Per-train-document eval-set n-gram overlap.
+
+    Returns one row per train document with non-null text (a null
+    document has no n-grams to test; filter or impute upstream):
+    ``(id_col, total_ngrams, overlap_ngrams, contamination,
+    contaminated)`` where ``total_ngrams``/``overlap_ngrams`` count
+    DISTINCT word n-grams (overall / shared with the eval set),
+    ``contamination = overlap/total`` (total >= 1 always: a document
+    shorter than ``n`` words contributes its whole text as one
+    shingle) and ``contaminated = overlap_ngrams >= min_overlap``.
+
+    ``eval_df`` may share documents with ``train`` — callers split
+    first (:func:`datatest_spark.operators.split.hash_split` is the
+    deterministic way).  See the module docstring for the 100 TB plan
+    shape and the ``broadcast_max`` / ``max_df`` guards.
+    """
+    ev = eval_ngram_hashes(eval_df, column, n=n, id_col=id_col,
+                           max_df=max_df)
+    if ev.count() <= broadcast_max:  # tiny action on the small side
+        ev = F.broadcast(ev)
+
+    postings = (
+        train.where(F.col(column).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(_word_shingles(F.col(column), n)).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s", F.lit(42)).alias("h"))
+        .distinct()
+    )
+    totals = postings.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams")
+    )
+    overlaps = (
+        postings.join(ev, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        totals.join(overlaps, id_col, "left")
+        .select(
+            F.col(id_col),
+            "total_ngrams",
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0))
+             / F.col("total_ngrams")).alias("contamination"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap
+             ).alias("contaminated"),
+        )
+    )
