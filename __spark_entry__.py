@@ -1079,6 +1079,75 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# split layout shared by the Spark query and its SQL oracle (part of
+# the query definition, like _LANG_STOPWORDS)
+_SPLIT_FRACTIONS = {"train": 0.8, "eval": 0.1, "test": 0.1}
+_SPLIT_SALT = "v1"
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic hash split (md5-bucket thresholds — a pure
+    projection, reproducible on any engine) summarized per
+    (lang, split).  Oracle: the identical CASE expression in DuckDB
+    (hash_split_sql_case, generated from the same threshold layout)."""
+    from datatest_spark.operators import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", _SPLIT_FRACTIONS, salt=_SPLIT_SALT)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_pack_bins(spark, sf_dir):
+    """Greedy token-budget sequence packing (bin = tokens-before //
+    budget per lang shard) summarized per (lang, bin).  Oracle: the
+    identical window + integer division in DuckDB."""
+    from datatest_spark.operators import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.withColumn("tokens", F.size(F.split("text", " ")))
+    packed = pack_sequences(tok, "tokens", "doc_id", budget=2000,
+                            shard_col="lang")
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("tokens"),
+    )
+
+
+def _train_split_sql() -> str:
+    from datatest_spark.operators.split import hash_split_sql_case
+
+    case = hash_split_sql_case("doc_id", _SPLIT_FRACTIONS, _SPLIT_SALT)
+    return f"""
+        SELECT lang, {case} AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY lang, 2
+    """
+
+
+_PACK_BINS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT lang, tokens,
+             CAST(sum(tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - tokens AS BIGINT) // 2000 AS bin_id
+      FROM tok)
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS tokens
+    FROM b GROUP BY lang, bin_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs (doc_id % 17 != 0) vs the
     eval slice (doc_id % 17 == 0), distinct 3-word-shingle overlap.
@@ -1499,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "train_split": q_train_split,
+        "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "sampled_validation": q_sampled_validation,
@@ -2363,6 +2434,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "train_split": _train_split_sql(),
+        "pack_bins": _PACK_BINS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _oracles.dedup_clusters_sql(
             n=2, min_jaccard=0.1, max_df=1000),

@@ -1,0 +1,131 @@
+"""Deterministic corpus splits + token-budget sequence packing.
+
+Two training-pipeline primitives that must be *reproducible across
+engines and runs* — both are pure column expressions (zero UDFs, zero
+state), so the same document lands in the same split on any Spark
+version, any executor count, and any other engine that implements MD5
+(the oracle recomputes them in DuckDB verbatim).
+
+**hash_split** — the standard stable train/eval/test assignment:
+``bucket = md5(id || salt)[:4]`` (16 bits, uniform, engine-portable —
+hex-string comparison avoids any integer-parsing dialect difference),
+split by cumulative-fraction thresholds.  Properties that matter at
+10^12 rows:
+
+* assignment is a per-row projection — no shuffle, no sampling pass,
+  no driver state; appending data never reassigns existing rows;
+* changing ``salt`` re-rolls every assignment (fresh eval sets per
+  experiment) without touching the data;
+* per-stratum proportions hold in expectation (hash uniformity), the
+  right trade-off at corpus scale — exact per-stratum counts would
+  need a global per-stratum sort.
+
+**pack_sequences** — greedy token-budget packing: documents are laid
+out in a deterministic order within each shard and assigned
+``bin_id = tokens_before_this_doc // budget`` — the bin a greedy
+packer (fill until the budget spills) would start the document in.
+Scale shape: ONE window per shard (``partitionBy(shard)``), so
+parallelism = shard count and no global sort ever happens; shard by a
+hash bucket (``pmod(xxhash64(id), n_shards)``) when there is no
+natural stratum.  A document longer than the budget extends its bin
+(greedy semantics) — sequence-splitting belongs to the tokenizer, not
+the planner.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_bucket", "pack_sequences"]
+
+_BUCKETS = 1 << 16  # md5 prefix of 4 hex chars
+
+
+def split_bucket(id_col: Column, salt: str = "") -> Column:
+    """The 4-hex-char md5 bucket a row falls in — lowercase hex string,
+    lexicographically uniform over 0000..ffff.  Engine-portable: DuckDB
+    ``substr(md5(id || salt), 1, 4)`` computes the identical value."""
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 4
+    )
+
+
+def hash_split(df: DataFrame, id_col: str,
+               fractions: Mapping[str, float], salt: str = "",
+               split_col: str = "split") -> DataFrame:
+    """Add a deterministic split assignment column.
+
+    ``fractions`` maps split name -> fraction; fractions must sum to 1
+    (within 1e-9 — this operator assigns every row; use an explicit
+    "rest" split for leftovers).  Iteration order of ``fractions``
+    fixes the threshold layout, so pass an ordered mapping and keep it
+    stable across runs.  Null ids raise at runtime under ANSI mode in
+    neither engine — they land in the FIRST split (md5(null||salt) is
+    md5(salt) via concat null-skip); validate id completeness first
+    (RequiredPredicate) if that matters.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {total}); add an explicit "
+            "remainder split"
+        )
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    bucket = split_bucket(F.col(id_col), salt)
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])  # the final split takes everything left
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((name, format(int(cum * _BUCKETS), "04x")))
+    for name, threshold in reversed(cases):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql_case(id_expr: str, fractions: Mapping[str, float],
+                        salt: str = "") -> str:
+    """The ANSI-SQL twin of :func:`hash_split`'s assignment expression
+    (used by the DuckDB oracle; kept next to the implementation so the
+    two threshold layouts cannot drift)."""
+    names = list(fractions)
+    bucket = f"substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 4)"
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(
+            f"WHEN {bucket} < '{format(int(cum * _BUCKETS), '04x')}' "
+            f"THEN '{name}'"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def pack_sequences(df: DataFrame, tokens_col: str, order_col: str,
+                   budget: int, shard_col: str,
+                   bin_col: str = "bin_id") -> DataFrame:
+    """Assign each row the training bin a greedy token-budget packer
+    would start it in: ``bin_id = (cumulative tokens of all EARLIER
+    rows in the shard) // budget``, rows ordered by ``order_col``
+    within ``shard_col``.  Pure window arithmetic — deterministic,
+    engine-portable, one shuffle on the shard key."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    # `div` = exact integral division (no double rounding at 10^15+
+    # cumulative tokens); DuckDB's `//` is the oracle twin
+    return (
+        df.withColumn("__tokens_before", before)
+        .withColumn(bin_col, F.expr(f"__tokens_before div {int(budget)}"))
+        .drop("__tokens_before")
+    )
