@@ -1079,6 +1079,49 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# deterministic PII injection: one expression, valid in BOTH Spark SQL
+# and DuckDB (common dialect subset), so the positives under test are
+# identical by construction
+_PII_INJECT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user'"
+    " || CAST(doc_id AS STRING) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.'"
+    " || CAST(doc_id % 256 AS STRING) || '.1' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' call +1 415-555-0142' ELSE '' END"
+)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII screen over documents with deterministically injected
+    positives (emails/IPv4/SSN/phone appended by doc_id residue — the
+    injection expression is shared verbatim with the oracle).  Only
+    rows with at least one hit return.  Oracle: DuckDB
+    regexp_extract_all with the SAME portable pattern strings."""
+    from datatest_spark.operators import pii_scan
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_INJECT))
+    out = pii_scan(docs, "text", id_col="doc_id")
+    return out.where(F.col("pii_total") > 0)
+
+
+def _pii_scan_sql() -> str:
+    from datatest_spark.operators.pii import DEFAULT_PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{name}"
+        for name, p in DEFAULT_PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in DEFAULT_PII_PATTERNS)
+    return f"""
+        WITH t AS (SELECT doc_id, {_PII_INJECT} AS text FROM documents),
+        c AS (SELECT doc_id, {counts} FROM t)
+        SELECT *, {total} AS pii_total FROM c WHERE {total} > 0
+    """
+
+
 # split layout shared by the Spark query and its SQL oracle (part of
 # the query definition, like _LANG_STOPWORDS)
 _SPLIT_FRACTIONS = {"train": 0.8, "eval": 0.1, "test": 0.1}
@@ -1568,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "pii_scan": q_pii_scan,
         "train_split": q_train_split,
         "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
@@ -2434,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "pii_scan": _pii_scan_sql(),
         "train_split": _train_split_sql(),
         "pack_bins": _PACK_BINS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
