@@ -64,6 +64,8 @@ HEADLINE = [
     "sampled_validation",
     "partition_anomaly_lang",
     "reconcile_orders",
+    "dedup_clusters",
+    "decontaminate",
 ]
 
 

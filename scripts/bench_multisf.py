@@ -203,10 +203,37 @@ def main():
         results[label]["adedup_sec"] = sec
         results[label]["adedup_groups"] = groups
 
+    # round-5 curation operators over the same scaled documents: the
+    # disjoint replicas replicate the pair graph per replica, so true
+    # cluster/overlap structure grows linearly with input by
+    # construction (same argument as the pairwise ops above)
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators import (
+        decontaminate, dedup_clusters, ngram_jaccard_pairs,
+    )
+
+    def _clusters(df):
+        pairs = ngram_jaccard_pairs(
+            df, "text", id_col="doc_id", n=2, min_jaccard=0.1, max_df=1000)
+        return dedup_clusters(df, pairs)
+
+    def _decontam(df):
+        ev = df.where(F.col("doc_id") % 17 == 0)
+        return decontaminate(df.where(F.col("doc_id") % 17 != 0), ev, n=3)
+
+    for op, fn in (("clusters", _clusters), ("decontam", _decontam)):
+        fn(frames["1x"]).count()  # warm-up
+        unpersist_cached(blocking=True)
+        for label in ("1x", "5x"):
+            sec, rows = timed(fn, frames[label], runs=2)
+            results[label][f"{op}_sec"] = sec
+            results[label][f"{op}_rows"] = rows
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
         for op in ("minhash", "ngram", "simhash", "audio",
-                   "afeat", "adedup")
+                   "afeat", "adedup", "clusters", "decontam")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()
