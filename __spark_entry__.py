@@ -1093,6 +1093,56 @@ _PII_INJECT = (
 )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition signals (top / duplicated
+    word-n-gram fractions, n=2 and 3) — computed per row with a
+    sorted-array run-length aggregate, zero shuffle.  Oracle: DuckDB
+    recomputes the n-gram frequency tables the heavyweight way
+    (unnest + GROUP BY) — two entirely different algorithms, same
+    counts."""
+    from datatest_spark.operators import repetition_stats
+
+    return repetition_stats(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        ngrams=(2, 3),
+    )
+
+
+def _repetition_sql() -> str:
+    per_n = []
+    for n in (2, 3):
+        per_n.append(f"""
+        g{n} AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 1) + 1),
+                   i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+          FROM w),
+        f{n} AS (SELECT doc_id, s, count(*) AS c FROM g{n}
+                 GROUP BY doc_id, s),
+        a{n} AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS INT) AS ngrams_{n},
+                 CAST(max(c) AS INT) AS top_ngram_{n},
+                 CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INT)
+                   AS dup_ngrams_{n}
+          FROM f{n} GROUP BY doc_id)""")
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE text IS NOT NULL),
+        {", ".join(per_n)}
+        SELECT a2.doc_id,
+               a2.ngrams_2, a2.top_ngram_2, a2.dup_ngrams_2,
+               round(a2.top_ngram_2 * 1.0 / a2.ngrams_2, 4) AS top_frac_2_r,
+               round(a2.dup_ngrams_2 * 1.0 / a2.ngrams_2, 4) AS dup_frac_2_r,
+               a3.ngrams_3, a3.top_ngram_3, a3.dup_ngrams_3,
+               round(a3.top_ngram_3 * 1.0 / a3.ngrams_3, 4) AS top_frac_3_r,
+               round(a3.dup_ngrams_3 * 1.0 / a3.ngrams_3, 4) AS dup_frac_3_r
+        FROM a2 JOIN a3 USING (doc_id)
+    """
+
+
 def q_pii_scan(spark, sf_dir):
     """PII screen over documents with deterministically injected
     positives (emails/IPv4/SSN/phone appended by doc_id residue — the
@@ -1611,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "train_split": q_train_split,
         "pack_bins": q_pack_bins,
@@ -2478,6 +2529,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "repetition_stats": _repetition_sql(),
         "pii_scan": _pii_scan_sql(),
         "train_split": _train_split_sql(),
         "pack_bins": _PACK_BINS_SQL,

@@ -26,7 +26,13 @@ from .contamination import decontaminate, eval_ngram_hashes  # noqa: F401
 from .pii import pii_redact, pii_scan  # noqa: F401
 from .split import hash_split, pack_sequences, split_bucket  # noqa: F401
 from .graph import connected_components, dedup_clusters  # noqa: F401
-from .text import fingerprint, lang_id, text_quality, token_stats  # noqa: F401
+from .text import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    repetition_stats,
+    text_quality,
+    token_stats,
+)
 from .multimodal import decode_stub, extract_clip_features  # noqa: F401
 from .image import (  # noqa: F401
     ImageConsistencyRule,

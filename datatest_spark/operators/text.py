@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats",
     "text_quality",
+    "repetition_stats",
     "lang_id",
     "fingerprint",
 ]
@@ -82,6 +83,71 @@ def text_quality(df: DataFrame, column: str, id_col: str = "doc_id") -> DataFram
         ),
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio_r"),
     )
+
+
+def _ngram_rep_cols(toks: Column, n: int) -> list:
+    """max-frequency and duplicated-occurrence counts of word
+    ``n``-grams, computed per row with a sorted-array run-length
+    aggregate — pure JVM higher-order functions, so the repetition
+    signal costs a projection, not a (doc_id, shingle) shuffle.
+
+    State = (prev shingle, current run, max run, occurrences inside
+    runs >= 2).  On a sorted array, equal shingles are adjacent, so
+    run statistics are exactly per-shingle frequencies: a run of
+    length r >= 2 contributes r duplicated occurrences (+2 when the
+    run reaches 2, +1 per further repeat)."""
+    size = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.array_sort(F.transform(
+        F.sequence(F.lit(0), size - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    ))
+    st0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(st, x):
+        same = st["prev"].eqNullSafe(x)
+        run = F.when(same, st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(st["mx"], run).alias("mx"),
+            (st["dup"] + F.when(same & (run == 2), 2)
+             .when(same, 1).otherwise(0)).alias("dup"),
+        )
+
+    agg = F.aggregate(grams, st0, step)
+    return [
+        size.alias(f"ngrams_{n}"),
+        agg["mx"].alias(f"top_ngram_{n}"),
+        agg["dup"].alias(f"dup_ngrams_{n}"),
+        F.round(agg["mx"] / size, 4).alias(f"top_frac_{n}_r"),
+        F.round(agg["dup"] / size, 4).alias(f"dup_frac_{n}_r"),
+    ]
+
+
+def repetition_stats(df: DataFrame, column: str, id_col: str = "doc_id",
+                     ngrams: Sequence[int] = (2, 3)) -> DataFrame:
+    """Intra-document repetition signals (the Gopher / MassiveText
+    quality-filter family): per word-``n``-gram size, the frequency of
+    the MOST repeated n-gram and the number of n-gram occurrences
+    belonging to duplicated n-grams, plus their fractions of all
+    n-grams.  High values mark boilerplate loops, keyword stuffing and
+    degenerate generations.
+
+    One projection per row — no shuffle, no Python (plan-tested);
+    documents shorter than ``n`` words count their whole text as one
+    n-gram (top_frac is then 1 by definition, dup_frac 0: nothing
+    repeats).  Null text rows are dropped (no n-grams to measure).
+    """
+    toks = _tokens(F.col(column))
+    cols: list = [F.col(id_col)]
+    for n in ngrams:
+        cols += _ngram_rep_cols(toks, int(n))
+    return df.where(F.col(column).isNotNull()).select(*cols)
 
 
 _STOPWORDS = {

@@ -456,6 +456,65 @@ class TestTextOps:
         assert rows[0]["n_tokens"] == 2
         assert rows[0]["n_bpe_tokens"] == 2
 
+    def test_repetition_stats_counts(self, spark):
+        from datatest_spark.operators import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b a b a b c"),  # 2-grams ab:3 ba:2 bc:1
+                (1, "x y z w"),        # nothing repeats
+                (2, "hi"),             # shorter than n
+                (3, None),             # dropped
+            ],
+            "doc_id: long, text: string",
+        )
+        rows = {r["doc_id"]: r
+                for r in repetition_stats(df, "text", ngrams=(2,)).collect()}
+        assert set(rows) == {0, 1, 2}
+        assert rows[0]["ngrams_2"] == 6
+        assert rows[0]["top_ngram_2"] == 3
+        assert rows[0]["dup_ngrams_2"] == 5  # ab x3 + ba x2
+        assert rows[0]["top_frac_2_r"] == 0.5
+        assert rows[0]["dup_frac_2_r"] == 0.8333
+        assert rows[1]["dup_ngrams_2"] == 0
+        assert rows[2]["ngrams_2"] == 1 and rows[2]["dup_frac_2_r"] == 0.0
+
+    def test_repetition_stats_matches_counter(self, spark):
+        """Run-length-on-sorted-array must equal a Counter-based
+        frequency table on random word soup."""
+        import random
+        from collections import Counter
+
+        from datatest_spark.operators import repetition_stats
+
+        rng = random.Random(11)
+        texts = [
+            " ".join(rng.choice("aa bb cc dd".split())
+                     for _ in range(rng.randrange(1, 40)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id: long, text: string")
+        rows = {r["doc_id"]: r
+                for r in repetition_stats(df, "text", ngrams=(3,)).collect()}
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            grams = [" ".join(w[j:j + 3])
+                     for j in range(max(len(w) - 2, 1))]
+            freq = Counter(grams)
+            assert rows[i]["ngrams_3"] == len(grams), i
+            assert rows[i]["top_ngram_3"] == max(freq.values()), i
+            assert rows[i]["dup_ngrams_3"] == sum(
+                c for c in freq.values() if c >= 2), i
+
+    def test_repetition_stats_projection_only(self, spark, docs):
+        from datatest_spark.operators import repetition_stats
+
+        out = repetition_stats(docs, "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_text_quality_ttr(self, spark, docs):
         rows = {r["doc_id"]: r for r in text_quality(docs, "text").collect()}
         assert rows[0]["n_types"] == 8  # 'the' twice
