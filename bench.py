@@ -66,6 +66,7 @@ HEADLINE = [
     "reconcile_orders",
     "dedup_clusters",
     "decontaminate",
+    "repetition_stats",
 ]
 
 
