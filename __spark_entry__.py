@@ -770,6 +770,37 @@ def q_drift_ks(spark, sf_dir):
     )
 
 
+def q_drift_js(spark, sf_dir):
+    """Jensen–Shannon drift (bounded, symmetric): l_quantity vs the
+    shifted baseline sketch — same single bucket pass as PSI/KS, a
+    different statistic with portable thresholds."""
+    from datatest_spark.stats import DriftJSRule
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    shifted_baseline = [float(5 * i) + 30.0 for i in range(21)]
+    return Engine(spark).compile(
+        df,
+        [DriftJSRule("l_quantity", shifted_baseline, threshold=0.05,
+                     rule_id="drift_js:l_quantity")],
+    )
+
+
+def q_drift_chi2(spark, sf_dir):
+    """Pearson chi-square drift: l_quantity vs the shifted baseline —
+    the rare-bucket-sensitive statistic, same bucket pass."""
+    from datatest_spark.stats import DriftChi2Rule
+    from datatest_spark.validation import Engine
+
+    df = _t(spark, sf_dir, "lineitem")
+    shifted_baseline = [float(5 * i) + 30.0 for i in range(21)]
+    return Engine(spark).compile(
+        df,
+        [DriftChi2Rule("l_quantity", shifted_baseline, threshold=0.5,
+                       rule_id="drift_chi2:l_quantity")],
+    )
+
+
 def q_superset_grouped(spark, sf_dir):
     """Grouped RequiredSuperset: every region's nation set must contain
     three required nations → per-key Missing rows."""
@@ -1661,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "drift_js": q_drift_js,
+        "drift_chi2": q_drift_chi2,
         "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "train_split": q_train_split,
@@ -1803,6 +1836,24 @@ def _drift_sql(stat: str, threshold: float, rule_id: str) -> str:
         terms = [
             f"(({p}) - {q!r}) * ln(({p}) / {q!r})"
             for p, q in zip(ps, qs)
+        ]
+        value = " + ".join(f"({t})" for t in terms)
+    elif stat == "js":
+        # 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m=(p+q)/2 — same eps guards
+        # and left-to-right accumulation as stats.js_divergence
+        qs = [max(q, 1e-06) for q in props]
+        terms = [
+            f"0.5 * ({p}) * ln(({p}) / ((({p}) + {q!r}) / 2.0))"
+            f" + 0.5 * {q!r} * ln({q!r} / ((({p}) + {q!r}) / 2.0))"
+            for p, q in zip(ps, qs)
+        ]
+        value = " + ".join(f"({t})" for t in terms)
+    elif stat == "chi2":
+        # (p-q)^2/q with q eps-guarded, p raw — stats.chi_square twin
+        qs = [max(q, 1e-06) for q in props]
+        terms = [
+            f"((c{k} / n) - {q!r}) * ((c{k} / n) - {q!r}) / {q!r}"
+            for k, q in enumerate(qs)
         ]
         value = " + ".join(f"({t})" for t in terms)
     else:  # binned KS: max |cum_p - cum_q|, Python-accumulation order
@@ -2498,6 +2549,8 @@ def oracle_sql() -> dict[str, str]:
         # accumulation order
         "drift_psi": _drift_sql("psi", 0.05, "drift:l_quantity"),
         "drift_ks": _drift_sql("ks", 0.1, "drift_ks:l_quantity"),
+        "drift_js": _drift_sql("js", 0.05, "drift_js:l_quantity"),
+        "drift_chi2": _drift_sql("chi2", 0.5, "drift_chi2:l_quantity"),
         # minhash: all-pairs brute-force TRUE shingle Jaccard — checks
         # LSH recall and the verification join end to end
         "minhash_neardup": """

@@ -42,12 +42,18 @@ __all__ = [
     "psi",
     "ks_statistic",
     "binned_ks",
+    "js_divergence",
+    "chi_square",
     "DriftPSIRule",
     "DriftKSRule",
+    "DriftJSRule",
+    "DriftChi2Rule",
     "OutlierRule",
     "PartitionAnomalyRule",
     "drift_psi",
     "drift_ks",
+    "drift_js",
+    "drift_chi2",
     "outliers",
     "partition_anomaly",
     "partition_anomalies",
@@ -615,6 +621,38 @@ def binned_ks(current_props: Sequence[float], baseline_props: Sequence[float]) -
     return gap
 
 
+def js_divergence(current_props: Sequence[float],
+                  baseline_props: Sequence[float],
+                  eps: float = 1e-6) -> float:
+    """Jensen–Shannon divergence (natural log) over aligned bucket
+    proportions — PSI's bounded cousin: symmetric, always finite,
+    in [0, ln 2], so thresholds transfer between columns with very
+    different tail behavior.  Accumulated strictly left-to-right so
+    the SQL oracle's expression chain reproduces it bit-for-bit."""
+    total = 0.0
+    for p, q in zip(current_props, baseline_props):
+        p = max(p, eps)
+        q = max(q, eps)
+        m = (p + q) / 2.0
+        total += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    return total
+
+
+def chi_square(current_props: Sequence[float],
+               baseline_props: Sequence[float],
+               eps: float = 1e-6) -> float:
+    """Pearson chi-square distance sum((p-q)^2 / q) over aligned bucket
+    proportions — the classic goodness-of-fit drift statistic; heavily
+    weights buckets the baseline says should be rare.  Left-to-right
+    accumulation (oracle-reproducible)."""
+    total = 0.0
+    for p, q in zip(current_props, baseline_props):
+        q = max(q, eps)
+        d = p - q
+        total += d * d / q
+    return total
+
+
 class _BucketDriftRule(Rule):
     """Shared machinery for bucket-proportion drift statistics.
 
@@ -775,6 +813,28 @@ class DriftKSRule(_BucketDriftRule):
 
     def statistic(self, current, props):
         return binned_ks(current, props)
+
+
+class DriftJSRule(_BucketDriftRule):
+    """Jensen–Shannon-divergence drift vs a baseline sketch — bounded
+    in [0, ln 2] and symmetric, so one threshold works across columns;
+    shares the single bucket-count pass with DriftPSIRule."""
+
+    stat_name = "js"
+
+    def statistic(self, current, props):
+        return js_divergence(current, props)
+
+
+class DriftChi2Rule(_BucketDriftRule):
+    """Pearson chi-square drift vs a baseline sketch — the
+    goodness-of-fit classic, most sensitive to mass appearing in
+    buckets the baseline says are rare; same single bucket pass."""
+
+    stat_name = "chi2"
+
+    def statistic(self, current, props):
+        return chi_square(current, props)
 
 
 class OutlierRule(Rule):
@@ -959,3 +1019,11 @@ def drift_psi(column, baseline_quantiles, threshold=0.2, rule_id=None):
 
 def drift_ks(column, baseline_quantiles, threshold=0.2, rule_id=None):
     return DriftKSRule(column, baseline_quantiles, threshold, rule_id)
+
+
+def drift_js(column, baseline_quantiles, threshold=0.05, rule_id=None):
+    return DriftJSRule(column, baseline_quantiles, threshold, rule_id)
+
+
+def drift_chi2(column, baseline_quantiles, threshold=0.2, rule_id=None):
+    return DriftChi2Rule(column, baseline_quantiles, threshold, rule_id)

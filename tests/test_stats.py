@@ -5,9 +5,13 @@ import math
 import pytest
 
 from datatest_spark.stats import (
+    DriftChi2Rule,
+    DriftJSRule,
     DriftKSRule,
     DriftPSIRule,
     binned_ks,
+    chi_square,
+    js_divergence,
     ks_statistic,
     profile,
     psi,
@@ -69,6 +73,32 @@ class TestDriftStats:
         # all mass one bucket to the right → CDF gap of the moved mass
         assert binned_ks([0.0, 0.5, 0.5], [0.5, 0.5, 0.0]) == pytest.approx(0.5)
 
+    def test_js_identical_is_zero(self):
+        assert js_divergence([0.25, 0.25, 0.5], [0.25, 0.25, 0.5]) == (
+            pytest.approx(0.0)
+        )
+
+    def test_js_bounded_by_ln2(self):
+        # disjoint supports → the JS maximum, ln 2 (up to the eps guard)
+        v = js_divergence([1.0, 0.0], [0.0, 1.0])
+        assert 0.9 * math.log(2) < v <= math.log(2) + 1e-9
+
+    def test_js_symmetric(self):
+        a, b = [0.7, 0.2, 0.1], [0.2, 0.3, 0.5]
+        assert js_divergence(a, b) == pytest.approx(js_divergence(b, a))
+
+    def test_chi_square_identical_is_zero(self):
+        assert chi_square([0.25, 0.25, 0.5], [0.25, 0.25, 0.5]) == (
+            pytest.approx(0.0)
+        )
+
+    def test_chi_square_rare_bucket_dominates(self):
+        # mass appearing where the baseline is rare scores much higher
+        # than the same mass moving between common buckets
+        rare = chi_square([0.89, 0.01, 0.1], [0.89, 0.11, 0.0])
+        common = chi_square([0.79, 0.21, 0.0], [0.89, 0.11, 0.0])
+        assert rare > common
+
 
 class TestDriftRule:
     def test_no_drift_passes(self, spark):
@@ -106,6 +136,23 @@ class TestDriftRule:
         assert rows[0]["rule_id"].startswith("drift_ks")
         assert rows[0]["expected"] == "ks<=0.1"
         assert rows[0]["deviation"] > 0.5  # 80% of mass moved out of range
+
+    @pytest.mark.parametrize("cls,stat", [(DriftJSRule, "js"),
+                                          (DriftChi2Rule, "chi2")])
+    def test_js_chi2_rules_share_semantics(self, spark, cls, stat):
+        df = df_from(spark, list(range(1000)))
+        baseline = quantile_sketch(df, "value")
+        engine = Engine(spark)
+        assert engine.validate(df, [cls("value", baseline,
+                                        threshold=0.05)]).ok
+        shifted = df_from(spark, [v + 800 for v in range(1000)])
+        rows = engine.validate(
+            shifted, [cls("value", baseline, threshold=0.05)]
+        ).violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["rule_id"] == f"drift_{stat}:value"
+        assert rows[0]["expected"] == f"{stat}<=0.05"
+        assert rows[0]["deviation"] > 0
 
 
 class TestMergeableProfiles:
