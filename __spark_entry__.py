@@ -1124,6 +1124,40 @@ _PII_INJECT = (
 )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram-LM quality score (CCNet-style): top-500
+    vocabulary forces a real OOV tail at this SF.  Oracle: DuckDB
+    refits the same LM from raw tokens — counts, tie-broken top-K,
+    add-one smoothing and the per-doc mean — independently."""
+    from datatest_spark.operators import unigram_logprob
+
+    return unigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        vocab_size=500,
+    )
+
+
+_UNIGRAM_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v FROM cnt),
+    vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 500),
+    scored AS (
+      SELECT t.doc_id,
+             ln((coalesce(vb.c, 0) + 1) / (tot.n + tot.v + 1)) AS lp,
+             CASE WHEN vb.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab vb USING (tok), tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(oov) AS INT) AS n_oov,
+           round(avg(lp), 4) AS logprob_r,
+           round(exp(-avg(lp)), 2) AS ppl_r
+    FROM scored GROUP BY doc_id
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-document repetition signals (top / duplicated
     word-n-gram fractions, n=2 and 3) — computed per row with a
@@ -1692,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "unigram_logprob": q_unigram_logprob,
         "drift_js": q_drift_js,
         "drift_chi2": q_drift_chi2,
         "repetition_stats": q_repetition_stats,
@@ -2583,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
         "repetition_stats": _repetition_sql(),
+        "unigram_logprob": _UNIGRAM_SQL,
         "pii_scan": _pii_scan_sql(),
         "train_split": _train_split_sql(),
         "pack_bins": _PACK_BINS_SQL,

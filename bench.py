@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "repetition_stats",
+    "unigram_logprob",
 ]
 
 

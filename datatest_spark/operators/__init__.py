@@ -32,6 +32,7 @@ from .text import (  # noqa: F401
     repetition_stats,
     text_quality,
     token_stats,
+    unigram_logprob,
 )
 from .multimodal import decode_stub, extract_clip_features  # noqa: F401
 from .image import (  # noqa: F401

@@ -515,6 +515,38 @@ class TestTextOps:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_unigram_logprob_closed_form(self, spark):
+        import math
+
+        from datatest_spark.operators import unigram_logprob
+
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c"), (2, None)],
+            "doc_id: long, text: string",
+        )
+        # counts a:2 b:2 c:1 → N=5, V=3, denom=9; vocab_size=2 keeps
+        # {a, b} (count-desc, token-asc tie-break), c is OOV
+        rows = {r["doc_id"]: r
+                for r in unigram_logprob(df, "text", vocab_size=2).collect()}
+        assert set(rows) == {0, 1}
+        r0, r1 = rows[0], rows[1]
+        assert (r0["n_tokens"], r0["n_oov"]) == (3, 0)
+        assert r0["logprob_r"] == round(math.log(3 / 9), 4)
+        assert r0["ppl_r"] == 3.0
+        assert (r1["n_tokens"], r1["n_oov"]) == (2, 1)
+        mean1 = (math.log(3 / 9) + math.log(1 / 9)) / 2
+        assert r1["logprob_r"] == round(mean1, 4)
+        assert r1["ppl_r"] == round(math.exp(-mean1), 2)
+
+    def test_unigram_logprob_full_vocab_no_oov(self, spark, docs):
+        from datatest_spark.operators import unigram_logprob
+
+        out = unigram_logprob(docs, "text", vocab_size=100_000)
+        assert out.agg({"n_oov": "sum"}).first()[0] == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_text_quality_ttr(self, spark, docs):
         rows = {r["doc_id"]: r for r in text_quality(docs, "text").collect()}
         assert rows[0]["n_types"] == 8  # 'the' twice
