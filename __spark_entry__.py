@@ -343,6 +343,37 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_audio_feature_drift(spark, sf_dir):
+    """Distribution-drift checks ON THE AUDIO TABLE (the north-star
+    sentence, end-to-end): decode → spectral-centroid feature → bucket
+    vs baseline sketches → PSI fires against a fake high-centroid
+    baseline while JS passes against the fixture's true histogram.
+    The features frame is persisted so the two rules share ONE decode
+    pass; the drift verdicts are literal rows, so the persist is
+    dropped before returning.  Oracle: fully independent decode +
+    feature + statistic recompute (oracles.audio_drift_rows)."""
+    from datatest_spark.audio import audio_features
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.stats import DriftJSRule, DriftPSIRule
+    from datatest_spark.validation import Engine
+
+    from oracles import (AUDIO_DRIFT_EDGES, AUDIO_DRIFT_SHIFTED,
+                         AUDIO_DRIFT_TRUE)
+
+    feats = audio_features(audio_clips_df(spark, 2000, parts=4)).persist()
+    try:
+        return Engine(spark).compile(feats, [
+            DriftPSIRule.from_histogram(
+                "centroid_hz", AUDIO_DRIFT_EDGES, AUDIO_DRIFT_SHIFTED,
+                threshold=0.25, rule_id="drift_psi:centroid_hz"),
+            DriftJSRule.from_histogram(
+                "centroid_hz", AUDIO_DRIFT_EDGES, AUDIO_DRIFT_TRUE,
+                threshold=0.02, rule_id="drift_js:centroid_hz"),
+        ])
+    finally:
+        feats.unpersist()
+
+
 def q_schema_contract(spark, sf_dir):
     """Declared-schema contract (requirements.SchemaRule, round 5
     continuation): lineitem's columns + Spark SQL types checked
@@ -1726,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "audio_feature_drift": q_audio_feature_drift,
         "unigram_logprob": q_unigram_logprob,
         "drift_js": q_drift_js,
         "drift_chi2": q_drift_chi2,
@@ -2617,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
+        "audio_feature_drift": _oracles.audio_drift_sql(n=2000, parts=4),
         "repetition_stats": _repetition_sql(),
         "unigram_logprob": _UNIGRAM_SQL,
         "pii_scan": _pii_scan_sql(),

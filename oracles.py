@@ -396,6 +396,61 @@ def audio_features_sql(n: int = 2000, parts: int = 4) -> str:
                       _FEATURE_COLS, _FEATURE_CASTS)
 
 
+AUDIO_DRIFT_EDGES = [500.0, 750.0, 1000.0, 1500.0]
+AUDIO_DRIFT_SHIFTED = [50, 100, 150, 700, 1000]   # fake high-centroid corpus
+AUDIO_DRIFT_TRUE = [363, 584, 398, 366, 285]      # fixture's real histogram
+
+
+def audio_drift_rows(n: int = 2000, parts: int = 4) -> tuple:
+    """Expected violations of the audio-feature drift composition:
+    independent decode + independent centroid math (audio_features_rows)
+    → bucket by the fixed edges → PSI / JS recomputed inline (NOT via
+    datatest_spark.stats) → the engine's violation-row contract.  The
+    PSI rule's baseline claims a high-centroid corpus (fires); the JS
+    rule's baseline is the fixture's true histogram (passes, no row)."""
+    import math
+
+    feats = audio_features_rows(n, parts)
+    cents = [r[10] for r in feats if r[10] is not None]
+    counts = [0] * (len(AUDIO_DRIFT_EDGES) + 1)
+    for v in cents:
+        counts[sum(v > e for e in AUDIO_DRIFT_EDGES)] += 1
+    total = sum(counts) or 1
+    cur = [c / total for c in counts]
+
+    def psi_val(props):
+        eps, acc = 1e-6, 0.0
+        for p, q in zip(cur, props):
+            p, q = max(p, eps), max(q, eps)
+            acc += (p - q) * math.log(p / q)
+        return acc
+
+    def js_val(props):
+        eps, acc = 1e-6, 0.0
+        for p, q in zip(cur, props):
+            p, q = max(p, eps), max(q, eps)
+            m = (p + q) / 2.0
+            acc += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        return acc
+
+    out = []
+    for rule_id, stat, fn, baseline, thr in [
+        ("drift_psi:centroid_hz", "psi", psi_val, AUDIO_DRIFT_SHIFTED, 0.25),
+        ("drift_js:centroid_hz", "js", js_val, AUDIO_DRIFT_TRUE, 0.02),
+    ]:
+        bt = float(sum(int(x) for x in baseline)) or 1.0
+        value = fn([int(x) / bt for x in baseline])
+        if value > thr:
+            out.append((rule_id, None, "centroid_hz", "DEVIATION",
+                        f"{value:.6f}", f"{stat}<={thr}",
+                        float(value - thr), float(thr), None))
+    return tuple(out)
+
+
+def audio_drift_sql(n: int = 2000, parts: int = 4) -> str:
+    return violations_values_sql(audio_drift_rows(n, parts))
+
+
 @lru_cache(maxsize=None)
 def audio_neardup_rows(n: int = 600, parts: int = 4,
                        max_hamming: int = 3) -> tuple:

@@ -171,6 +171,36 @@ class TestAudioFeatures:
             assert row["rms_dbfs"] == exp[6]
             assert row["centroid_hz"] == exp[7]
 
+    def test_feature_drift_composition(self, spark):
+        """audio_features → DriftRule.from_histogram: a drifted
+        baseline fires, the true-distribution baseline passes —
+        distribution-drift checks over decoded audio, end-to-end."""
+        from datatest_spark.audio import audio_features
+        from datatest_spark.stats import DriftJSRule, DriftPSIRule
+        from datatest_spark.validation import Engine
+
+        feats = audio_features(FX.audio_clips_df(spark, 300, parts=2))
+        feats = feats.persist()
+        try:
+            edges = [500.0, 750.0, 1000.0, 1500.0]
+            eng = Engine(spark)
+            fired = eng.validate(feats, [DriftPSIRule.from_histogram(
+                "centroid_hz", edges, [10, 10, 10, 100, 200],
+                threshold=0.25)]).violations.collect()
+            assert len(fired) == 1
+            assert fired[0]["column"] == "centroid_hz"
+            assert fired[0]["diff_type"] == "DEVIATION"
+            # true histogram of this 300-clip slice → JS ≈ 0
+            counts = [0] * 5
+            for r in feats.select("centroid_hz").collect():
+                v = r[0]
+                if v is not None:
+                    counts[sum(v > e for e in edges)] += 1
+            assert Engine(spark).validate(feats, [DriftJSRule.from_histogram(
+                "centroid_hz", edges, counts, threshold=0.02)]).ok
+        finally:
+            feats.unpersist()
+
     def test_corrupt_clips_flagged_not_raised(self, spark):
         from datatest_spark.audio import audio_features
 
