@@ -343,6 +343,17 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_audio_label_conflicts(spark, sf_dir):
+    """Cross-modal label consistency: spectral-signature content groups
+    whose transcripts disagree (exact-dup audio with different labels =
+    labeling bug; same-pitch-profile content = review queue).  Oracle:
+    independent decode + signature + fixture-transcript recompute."""
+    from datatest_spark.audio import audio_transcript_conflicts
+    from datatest_spark.fixtures import audio_clips_df
+
+    return audio_transcript_conflicts(audio_clips_df(spark, 2000, parts=4))
+
+
 def q_audio_feature_drift(spark, sf_dir):
     """Distribution-drift checks ON THE AUDIO TABLE (the north-star
     sentence, end-to-end): decode → spectral-centroid feature → bucket
@@ -1757,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "audio_label_conflicts": q_audio_label_conflicts,
         "audio_feature_drift": q_audio_feature_drift,
         "unigram_logprob": q_unigram_logprob,
         "drift_js": q_drift_js,
@@ -2650,6 +2662,8 @@ def oracle_sql() -> dict[str, str]:
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
         "audio_feature_drift": _oracles.audio_drift_sql(n=2000, parts=4),
+        "audio_label_conflicts": _oracles.audio_label_conflicts_sql(
+            n=2000, parts=4),
         "repetition_stats": _repetition_sql(),
         "unigram_logprob": _UNIGRAM_SQL,
         "pii_scan": _pii_scan_sql(),

@@ -50,7 +50,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "AUDIO_FEATURES_SCHEMA", "spectral_signature",
            "spectral_signatures", "audio_neardup_pairs",
            "band_energies", "spectral_embedding", "spectral_embeddings",
-           "TranscriptRateRule", "transcript_rate", "audio_dedup_groups"]
+           "TranscriptRateRule", "transcript_rate", "audio_dedup_groups",
+           "audio_transcript_conflicts"]
 
 
 # ---------------------------------------------------------------------------
@@ -667,6 +668,47 @@ def audio_dedup_groups(df: DataFrame) -> DataFrame:
             F.min("clip_id").alias("keep_id"),
         )
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def audio_transcript_conflicts(df: DataFrame,
+                               transcript_col: str = "transcript",
+                               ) -> DataFrame:
+    """Cross-modal label-consistency check: content groups (same
+    spectral signature) whose transcripts DISAGREE — the speech-corpus
+    analogue of "one image, contradictory captions".  Exact-duplicate
+    audio with different labels is a labeling bug; near-identical
+    content (same tone/pitch profile) with different labels is the
+    review queue a curation pipeline actually triages.
+
+    Returns one row per conflicting group: ``(sig, n_clips, n_labels,
+    sample_id)`` with ``n_labels`` the number of distinct transcripts
+    (NULL transcript counts as its own label).
+
+    Plan: the one-decode-pass signature stage (shared with
+    :func:`audio_dedup_groups`), a thin ``(clip_id, transcript)``
+    projection deduplicated by clip_id (transcript is functionally
+    dependent on clip_id — enforced separately by the uniqueness rule),
+    one join keyed by clip_id, one groupBy on the 8-byte signature.
+    Every shuffled row is ~(8B sig + id + transcript); ``bytes`` never
+    leaves the scan stage.
+    """
+    sigs = spectral_signatures(df).filter(F.col("ok"))
+    labels = (
+        df.select("clip_id", F.col(transcript_col).alias("_label"))
+        .dropDuplicates(["clip_id"])
+    )
+    return (
+        sigs.join(labels, "clip_id")
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count_distinct(
+                F.coalesce(F.col("_label"), F.lit("\x00"))
+            ).alias("n_labels"),
+            F.min("clip_id").alias("sample_id"),
+        )
+        .filter(F.col("n_labels") > 1)
     )
 
 

@@ -617,6 +617,65 @@ def audio_dedup_groups_sql(n: int = 600, parts: int = 4) -> str:
 
 
 @lru_cache(maxsize=None)
+def audio_label_conflict_rows(n: int = 2000, parts: int = 4) -> tuple:
+    """Expected ``audio_transcript_conflicts(audio_clips_df(spark, n))``
+    rows — independent decode + signature recompute, transcripts from
+    the fixture definition (dup rows carry the SOURCE transcript),
+    grouped in plain Python.  NULL transcript is its own label."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    edges = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+    sig_cache = {}
+    groups = {}  # sig -> [n_rows, {labels}, min clip_id]
+    for i in range(n):
+        buf = synth_clip_bytes(i)
+        key = bytes(buf)
+        if key in sig_cache:
+            sig = sig_cache[key]
+        else:
+            try:
+                _, sr, pcm = _sim_decode_pcm(buf)
+            except ValueError:
+                sig_cache[key] = None
+                continue
+            mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+            freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+            en = np.array(
+                [mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                 for b in range(64)])
+            bits = np.zeros(64, dtype=np.uint64)
+            bits[:63] = en[:63] > en[1:]
+            bits[63] = en[63] > en[0]
+            u = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            sig = u - (1 << 64) if u >= (1 << 63) else u
+            sig_cache[key] = sig
+        if sig is None:
+            continue
+        p = clip_params(i)
+        src = clip_params(p.dup_of) if p.dup_of is not None else p
+        label = src.transcript if src.transcript is not None else "\x00"
+        cid = clip_id_for(i)
+        g = groups.setdefault(sig, [0, set(), cid])
+        g[0] += 1
+        g[1].add(label)
+        g[2] = min(g[2], cid)
+    return tuple(
+        (sig, n_rows, len(labels), cid)
+        for sig, (n_rows, labels, cid) in sorted(groups.items())
+        if len(labels) > 1
+    )
+
+
+def audio_label_conflicts_sql(n: int = 2000, parts: int = 4) -> str:
+    return values_sql(audio_label_conflict_rows(n, parts),
+                      ["sig", "n_clips", "n_labels", "sample_id"],
+                      ["BIGINT", "BIGINT", "BIGINT", "VARCHAR"])
+
+
+@lru_cache(maxsize=None)
 def audio_knn_rows(n: int = 600, k: int = 5,
                    n_queries: int = 5) -> tuple:
     """Expected ``knn_join`` output over spectral embeddings of the

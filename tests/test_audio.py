@@ -201,6 +201,38 @@ class TestAudioFeatures:
         finally:
             feats.unpersist()
 
+    def test_transcript_conflicts_match_bruteforce(self, spark):
+        """audio_transcript_conflicts == a local recompute with the
+        same primitives: per-signature distinct-label count over the
+        300-clip slice, byte-dup rows counted per row."""
+        from datatest_spark.audio import (audio_transcript_conflicts,
+                                          spectral_signature)
+
+        n = 300
+        df = FX.audio_clips_df(spark, n, parts=2)
+        got = {r["sig"]: (r["n_clips"], r["n_labels"], r["sample_id"])
+               for r in audio_transcript_conflicts(df).collect()}
+
+        groups = {}
+        for i in range(n):
+            p = FX.clip_params(i)
+            src_i = p.dup_of if p.dup_of is not None else i
+            try:
+                _, sr, pcm = decode_bytes(FX.synth_clip_bytes(src_i))
+            except ValueError:
+                continue
+            sig = spectral_signature(sr, pcm)
+            label = FX.clip_params(src_i).transcript
+            g = groups.setdefault(sig, [0, set(), FX.clip_id_for(i)])
+            g[0] += 1
+            g[1].add(label if label is not None else "\x00")
+            g[2] = min(g[2], FX.clip_id_for(i))
+        want = {sig: (c, len(labels), cid)
+                for sig, (c, labels, cid) in groups.items()
+                if len(labels) > 1}
+        assert got == want
+        assert want  # the slice really contains conflicting groups
+
     def test_corrupt_clips_flagged_not_raised(self, spark):
         from datatest_spark.audio import audio_features
 
