@@ -1302,6 +1302,43 @@ def q_train_split(spark, sf_dir):
     )
 
 
+_STRATA_FRACTIONS = {"en": 0.25, "fr": 1.0, "de": 0.5}
+_STRATA_DEFAULT = 0.1
+_STRATA_SALT = "mix1"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (training-mixture
+    control: 25% of en, all fr, half de, 10% of the rest), summarized
+    per lang.  Oracle: the identical md5-threshold predicate in DuckDB
+    (stratified_sample_sql_pred, generated from the same layout)."""
+    from datatest_spark.operators import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", "doc_id", _STRATA_FRACTIONS,
+                            default=_STRATA_DEFAULT, salt=_STRATA_SALT)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from datatest_spark.operators import stratified_sample_sql_pred
+
+    pred = stratified_sample_sql_pred(
+        "lang", "doc_id", _STRATA_FRACTIONS,
+        default=_STRATA_DEFAULT, salt=_STRATA_SALT)
+    return f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents WHERE {pred} GROUP BY lang
+    """
+
+
 def q_pack_bins(spark, sf_dir):
     """Greedy token-budget sequence packing (bin = tokens-before //
     budget per lang shard) summarized per (lang, bin).  Oracle: the
@@ -1768,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "stratified_sample": q_stratified_sample,
         "audio_label_conflicts": q_audio_label_conflicts,
         "audio_feature_drift": q_audio_feature_drift,
         "unigram_logprob": q_unigram_logprob,
@@ -2668,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_SQL,
         "pii_scan": _pii_scan_sql(),
         "train_split": _train_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "pack_bins": _PACK_BINS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _oracles.dedup_clusters_sql(

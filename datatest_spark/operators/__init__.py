@@ -24,7 +24,13 @@ from .dedup import (  # noqa: F401
 )
 from .contamination import decontaminate, eval_ngram_hashes  # noqa: F401
 from .pii import pii_redact, pii_scan  # noqa: F401
-from .split import hash_split, pack_sequences, split_bucket  # noqa: F401
+from .split import (  # noqa: F401
+    hash_split,
+    pack_sequences,
+    split_bucket,
+    stratified_sample,
+    stratified_sample_sql_pred,
+)
 from .graph import connected_components, dedup_clusters  # noqa: F401
 from .text import (  # noqa: F401
     fingerprint,

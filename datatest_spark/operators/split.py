@@ -39,7 +39,8 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_bucket", "pack_sequences"]
+__all__ = ["hash_split", "split_bucket", "pack_sequences",
+           "stratified_sample", "stratified_sample_sql_pred"]
 
 _BUCKETS = 1 << 16  # md5 prefix of 4 hex chars
 
@@ -86,6 +87,59 @@ def hash_split(df: DataFrame, id_col: str,
     for name, threshold in reversed(cases):
         expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: Mapping[str, float],
+                      default: float = 0.0, salt: str = "") -> DataFrame:
+    """Deterministic per-stratum downsampling — the training-mixture
+    control ("keep 20% of en, all of fr, drop the rest"): a row
+    survives iff its md5 bucket falls below its stratum's fraction
+    threshold.  Same engine-portable properties as :func:`hash_split`:
+    a pure projection predicate (no shuffle, no sampling pass, no RNG
+    state), append-stable (new rows never reassign old ones), salt
+    re-rolls every draw, and any MD5-capable engine reproduces the
+    exact row set.  Strata not in ``fractions`` are kept at
+    ``default`` (0 = dropped).  Per-stratum proportions hold in
+    expectation; exact quotas would need a per-stratum global sort —
+    the wrong trade at 10^12 rows.  NULL strata take ``default``."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default must be in [0,1]")
+    bucket = split_bucket(F.col(id_col), salt)
+
+    def keep(frac: float):
+        if frac >= 1.0:  # "ffff" < format(0x10000) fails lexically
+            return F.lit(True)
+        return bucket < F.lit(format(int(frac * _BUCKETS), "04x"))
+
+    pred = keep(default)
+    for name, frac in fractions.items():
+        pred = F.when(F.col(strata_col) == name, keep(frac)).otherwise(pred)
+    return df.where(pred)
+
+
+def stratified_sample_sql_pred(strata_expr: str, id_expr: str,
+                               fractions: Mapping[str, float],
+                               default: float = 0.0,
+                               salt: str = "") -> str:
+    """ANSI-SQL twin of :func:`stratified_sample`'s keep-predicate
+    (kept beside the implementation so the threshold layouts cannot
+    drift; the DuckDB oracle runs it verbatim)."""
+    bucket = f"substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 4)"
+
+    def keep(frac: float) -> str:
+        if frac >= 1.0:
+            return "TRUE"
+        return f"{bucket} < '{format(int(frac * _BUCKETS), '04x')}'"
+
+    whens = [
+        f"WHEN {strata_expr} = '{name}' THEN {keep(frac)}"
+        for name, frac in fractions.items()
+    ]
+    return "CASE " + " ".join(whens) + f" ELSE {keep(default)} END"
 
 
 def hash_split_sql_case(id_expr: str, fractions: Mapping[str, float],

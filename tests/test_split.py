@@ -53,6 +53,62 @@ class TestHashSplit:
         assert case.strip().endswith("ELSE 'b' END")
 
 
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def strata(self, spark):
+        rows = [(i, ["en", "fr", "de", "zz", None][i % 5])
+                for i in range(2000)]
+        return spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+    def test_matches_md5_spec(self, spark, strata):
+        from datatest_spark.operators import stratified_sample
+
+        fr = {"en": 0.25, "fr": 1.0, "de": 0.0}
+        kept = {r["doc_id"] for r in stratified_sample(
+            strata, "lang", "doc_id", fr, default=0.5, salt="m").collect()}
+        for i in range(2000):
+            lang = ["en", "fr", "de", "zz", None][i % 5]
+            bucket = hashlib.md5(f"{i}m".encode()).hexdigest()[:4]
+            frac = fr.get(lang, 0.5)
+            want = frac >= 1.0 or bucket < format(int(frac * 65536), "04x")
+            assert (i in kept) == want, (i, lang)
+
+    def test_full_keep_and_full_drop(self, spark, strata):
+        from datatest_spark.operators import stratified_sample
+
+        out = stratified_sample(strata, "lang", "doc_id",
+                                {"fr": 1.0}, default=0.0)
+        langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert langs == {"fr"}
+        assert out.count() == 400  # every fr row, nothing else
+
+    def test_determinism_and_salt(self, spark, strata):
+        from datatest_spark.operators import stratified_sample
+
+        fr = {"en": 0.5, "fr": 0.5}
+        a = stratified_sample(strata, "lang", "doc_id", fr, salt="v1")
+        b = stratified_sample(strata, "lang", "doc_id", fr, salt="v1")
+        assert a.subtract(b).count() == 0
+        c = stratified_sample(strata, "lang", "doc_id", fr, salt="v2")
+        assert a.subtract(c).count() > 0
+
+    def test_pure_projection_no_shuffle(self, spark, strata):
+        from datatest_spark.operators import stratified_sample
+
+        out = stratified_sample(strata, "lang", "doc_id", {"en": 0.3})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bad_fraction_raises(self, spark, strata):
+        from datatest_spark.operators import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(strata, "lang", "doc_id", {"en": 1.5})
+        with pytest.raises(ValueError):
+            stratified_sample(strata, "lang", "doc_id", {}, default=-0.1)
+
+
 class TestPackSequences:
     def test_greedy_bins(self, spark):
         rows = [("s", i, t) for i, t in
