@@ -343,6 +343,98 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+_TWO_SAMPLE_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]
+
+
+def q_drift_two_sample(spark, sf_dir):
+    """Table-vs-table drift (no pre-computed sketch): purchase-event
+    values vs live view-event values on shared fixed edges — PSI
+    compares the two honest distributions (near-identical generators →
+    expected pass), JS vs a 2x-scaled baseline fires.  Oracle: DuckDB
+    recomputes both sides' bucket vectors and the statistic chains."""
+    from datatest_spark.stats import TwoSampleDriftRule
+    from datatest_spark.validation import Engine
+
+    events = _t(spark, sf_dir, "events")
+    cur = events.where(F.col("event_type") == "purchase")
+    base = events.where(F.col("event_type") == "view")
+    shifted = base.select((F.col("value") * 2).alias("value"))
+    return Engine(spark).compile(cur, [
+        TwoSampleDriftRule("value", base, _TWO_SAMPLE_EDGES, stat="psi",
+                           threshold=0.1, rule_id="drift_2s_psi:value"),
+        TwoSampleDriftRule("value", shifted, _TWO_SAMPLE_EDGES, stat="js",
+                           threshold=0.05, rule_id="drift_2s_js:value"),
+    ])
+
+
+def _two_sample_term_chain(stat: str, ps, qs, raw_ps, raw_qs) -> str:
+    """The statistic as an explicit left-to-right SQL expression chain
+    over current/baseline bucket-proportion expressions — reproduces
+    stats.{psi,binned_ks,js_divergence,chi_square} bit-for-bit."""
+    if stat == "psi":
+        terms = [f"(({p}) - ({q})) * ln(({p}) / ({q}))"
+                 for p, q in zip(ps, qs)]
+        return " + ".join(f"({t})" for t in terms)
+    if stat == "js":
+        terms = [
+            f"0.5 * ({p}) * ln(({p}) / ((({p}) + ({q})) / 2.0))"
+            f" + 0.5 * ({q}) * ln(({q}) / ((({p}) + ({q})) / 2.0))"
+            for p, q in zip(ps, qs)
+        ]
+        return " + ".join(f"({t})" for t in terms)
+    if stat == "chi2":
+        terms = [f"(({p}) - ({q})) * (({p}) - ({q})) / ({q})"
+                 for p, q in zip(raw_ps, qs)]
+        return " + ".join(f"({t})" for t in terms)
+    # binned ks: raw (unguarded) cumulative proportions
+    gaps = []
+    for k in range(len(raw_ps)):
+        cp = " + ".join(f"({raw_ps[i]})" for i in range(k + 1))
+        cq = " + ".join(f"({raw_qs[i]})" for i in range(k + 1))
+        gaps.append(f"abs(({cp}) - ({cq}))")
+    return "greatest(" + ", ".join(gaps) + ")"
+
+
+def _two_sample_sql(stat: str, thr: float, rule_id: str,
+                    base_value: str) -> str:
+    edges = _TWO_SAMPLE_EDGES
+    nb = len(edges) + 1
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {v} > {e!r} THEN 1 ELSE 0 END)" for e in edges)
+
+    def counts(pre: str) -> str:
+        return ", ".join(
+            f"sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS {pre}{k}"
+            for k in range(nb))
+
+    raw_ps = [f"c{k} / n" for k in range(nb)]
+    raw_qs = [f"bc{k} / bn" for k in range(nb)]
+    ps = [f"greatest({p}, 1e-06)" for p in raw_ps]
+    qs = [f"greatest({q}, 1e-06)" for q in raw_qs]
+    value = _two_sample_term_chain(stat, ps, qs, raw_ps, raw_qs)
+    return f"""
+        WITH cur AS (SELECT ({bucket('value')}) AS b FROM events
+                     WHERE event_type = 'purchase' AND value IS NOT NULL),
+        ca AS (SELECT CAST(count(*) AS DOUBLE) AS n, {counts('c')} FROM cur),
+        bas AS (SELECT ({bucket(base_value)}) AS b FROM events
+                WHERE event_type = 'view'
+                  AND ({base_value}) IS NOT NULL),
+        bb AS (SELECT CAST(count(*) AS DOUBLE) AS bn, {counts('bc')}
+               FROM bas),
+        s AS (SELECT ({value}) AS v FROM ca, bb)
+        SELECT '{rule_id}' AS rule_id, CAST(NULL AS VARCHAR) AS key,
+               'value' AS "column", 'DEVIATION' AS diff_type,
+               printf('%.6f', v) AS invalid,
+               '2s_{stat}<={thr!r}' AS expected,
+               v - {thr!r} AS deviation,
+               CAST({thr!r} AS DOUBLE) AS expected_num,
+               CAST(NULL AS VARCHAR) AS partition_id
+        FROM s WHERE v > {thr!r}
+    """
+
+
 def q_audio_label_conflicts(spark, sf_dir):
     """Cross-modal label consistency: spectral-signature content groups
     whose transcripts disagree (exact-dup audio with different labels =
@@ -1805,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "drift_two_sample": q_drift_two_sample,
         "stratified_sample": q_stratified_sample,
         "audio_label_conflicts": q_audio_label_conflicts,
         "audio_feature_drift": q_audio_feature_drift,
@@ -2668,6 +2761,14 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks": _drift_sql("ks", 0.1, "drift_ks:l_quantity"),
         "drift_js": _drift_sql("js", 0.05, "drift_js:l_quantity"),
         "drift_chi2": _drift_sql("chi2", 0.5, "drift_chi2:l_quantity"),
+        "drift_two_sample": (
+            "SELECT * FROM ("
+            + _two_sample_sql("psi", 0.1, "drift_2s_psi:value", "value")
+            + ") UNION ALL SELECT * FROM ("
+            + _two_sample_sql("js", 0.05, "drift_2s_js:value",
+                              "(value * 2)")
+            + ")"
+        ),
         # minhash: all-pairs brute-force TRUE shingle Jaccard — checks
         # LSH recall and the verification join end to end
         "minhash_neardup": """

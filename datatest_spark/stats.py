@@ -48,6 +48,7 @@ __all__ = [
     "DriftKSRule",
     "DriftJSRule",
     "DriftChi2Rule",
+    "TwoSampleDriftRule",
     "OutlierRule",
     "PartitionAnomalyRule",
     "drift_psi",
@@ -813,6 +814,67 @@ class DriftKSRule(_BucketDriftRule):
 
     def statistic(self, current, props):
         return binned_ks(current, props)
+
+
+_DRIFT_STATS = {
+    "psi": psi,
+    "ks": binned_ks,
+    "js": js_divergence,
+    "chi2": chi_square,
+}
+
+
+class TwoSampleDriftRule(_BucketDriftRule):
+    """Two-sample drift: the CURRENT table vs a LIVE baseline table
+    (last month's partition, the raw side of a transform, a holdout
+    shard) — no pre-computed sketch required.  Both sides are bucketed
+    by the same caller-supplied fixed edges (domain knowledge or a
+    prior profile's ``hist_edges``), one count-aggregate each, then any
+    of the four statistics (``psi``/``ks``/``js``/``chi2``) over the
+    two tiny bucket vectors.
+
+    This completes the drift family: sketch-baseline
+    (:class:`DriftPSIRule` et al.), histogram/t-digest feeds
+    (``from_histogram``/``from_tdigest``), and now table-vs-table.
+    At 10^12 rows each side costs one scan + one ~n_buckets-row
+    shuffle; the baseline side's counts are computed once at plan time
+    (cache the rule, not the table, to amortize across runs).
+
+    ``baseline_column`` defaults to ``column`` (compare the same field
+    across tables); set it to compare differently-named fields.
+    """
+
+    def __init__(self, column: str, baseline_df: DataFrame,
+                 edges: Sequence[float], stat: str = "psi",
+                 threshold: float = 0.2,
+                 baseline_column: Optional[str] = None,
+                 rule_id: Optional[str] = None):
+        if stat not in _DRIFT_STATS:
+            raise ValueError(
+                f"stat must be one of {sorted(_DRIFT_STATS)} (got {stat!r})")
+        self.stat_name = f"2s_{stat}"  # shadows the class attr
+        super().__init__(column, [], threshold, rule_id)
+        self._hist_edges = sorted({float(e) for e in edges})
+        self._baseline_df = baseline_df
+        self._baseline_column = baseline_column or column
+        self._stat_fn = _DRIFT_STATS[stat]
+
+    def statistic(self, current, props):
+        return self._stat_fn(current, props)
+
+    def _edges_props(self):
+        if self._hist_props is None:
+            c = F.col(self._baseline_column).cast("double")
+            bucket = _bucket_index(c, self._hist_edges)
+            got = {
+                r["_b"]: r["count"]
+                for r in self._baseline_df.select(bucket.alias("_b"))
+                .where(c.isNotNull()).groupBy("_b").count().collect()
+            }
+            n = sum(got.values()) or 1
+            n_buckets = len(self._hist_edges) + 1
+            self._hist_props = [got.get(b, 0) / n for b in range(n_buckets)]
+        return list(self._hist_edges), list(self._hist_props)
 
 
 class DriftJSRule(_BucketDriftRule):

@@ -154,6 +154,48 @@ class TestDriftRule:
         assert rows[0]["expected"] == f"{stat}<=0.05"
         assert rows[0]["deviation"] > 0
 
+    def test_two_sample_same_table_passes(self, spark):
+        from datatest_spark.stats import TwoSampleDriftRule
+
+        df = df_from(spark, list(range(1000)))
+        edges = [200.0, 400.0, 600.0, 800.0]
+        engine = Engine(spark)
+        assert engine.validate(df, [TwoSampleDriftRule(
+            "value", df, edges, stat="psi", threshold=0.01)]).ok
+
+    @pytest.mark.parametrize("stat", ["psi", "ks", "js", "chi2"])
+    def test_two_sample_shifted_fires(self, spark, stat):
+        from datatest_spark.stats import TwoSampleDriftRule
+
+        cur = df_from(spark, list(range(1000)))
+        base = df_from(spark, [v + 800 for v in range(1000)])
+        edges = [400.0, 800.0, 1200.0, 1600.0]
+        rows = Engine(spark).validate(cur, [TwoSampleDriftRule(
+            "value", base, edges, stat=stat, threshold=0.05)]
+        ).violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["rule_id"] == f"drift_2s_{stat}:value"
+        assert rows[0]["expected"].startswith(f"2s_{stat}<=")
+        assert rows[0]["deviation"] > 0
+
+    def test_two_sample_baseline_column_rename(self, spark):
+        from datatest_spark.stats import TwoSampleDriftRule
+        from pyspark.sql import functions as SF
+
+        cur = df_from(spark, list(range(100)))
+        base = df_from(spark, list(range(100))).select(
+            SF.col("value").alias("other"))
+        assert Engine(spark).validate(cur, [TwoSampleDriftRule(
+            "value", base, [25.0, 50.0, 75.0], stat="js", threshold=0.01,
+            baseline_column="other")]).ok
+
+    def test_two_sample_bad_stat_raises(self, spark):
+        from datatest_spark.stats import TwoSampleDriftRule
+
+        df = df_from(spark, [1, 2, 3])
+        with pytest.raises(ValueError):
+            TwoSampleDriftRule("value", df, [1.0], stat="wasserstein")
+
 
 class TestMergeableProfiles:
     """partitioned_profile + merge_profiles: incremental profiling via
