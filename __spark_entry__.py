@@ -346,6 +346,35 @@ def q_audio_features(spark, sf_dir):
 _TWO_SAMPLE_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]
 
 
+def q_approx_unique(spark, sf_dir):
+    """Sketch-based uniqueness pre-gate (one aggregate, zero data-row
+    shuffle) on three keys: o_orderkey is clean (passes inside the
+    guard band), l_orderkey is inherently repeated (fires), and the
+    lineitem composite PK fires too — the fixture injects duplicate
+    PK rows for the exact RequiredUnique rule to find, and the cheap
+    gate flags the same table.  Rows-only driver check: the violation
+    row embeds Spark's HLL estimate, which no other engine reproduces
+    bit-for-bit — semantics are pytest-certified (TestApproxUnique)."""
+    from datatest_spark.stats import ApproxUniqueRule
+    from datatest_spark.validation import Engine
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    eng = Engine(spark)
+    fired = eng.compile(li, [
+        ApproxUniqueRule("l_orderkey", max_dup_rate=0.05,
+                         rule_id="approx_unique:l_orderkey"),
+        ApproxUniqueRule(["l_orderkey", "l_linenumber"],
+                         max_dup_rate=0.05,
+                         rule_id="approx_unique:pk"),
+    ])
+    clean = eng.compile(orders, [
+        ApproxUniqueRule("o_orderkey", max_dup_rate=0.0,
+                         rule_id="approx_unique:o_orderkey"),
+    ])
+    return fired.unionByName(clean)
+
+
 def q_drift_two_sample(spark, sf_dir):
     """Table-vs-table drift (no pre-computed sketch): purchase-event
     values vs live view-event values on shared fixed edges — PSI
@@ -1897,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "approx_unique": q_approx_unique,
         "drift_two_sample": q_drift_two_sample,
         "stratified_sample": q_stratified_sample,
         "audio_label_conflicts": q_audio_label_conflicts,

@@ -51,6 +51,8 @@ __all__ = [
     "TwoSampleDriftRule",
     "OutlierRule",
     "PartitionAnomalyRule",
+    "ApproxUniqueRule",
+    "approx_unique",
     "drift_psi",
     "drift_ks",
     "drift_js",
@@ -962,6 +964,80 @@ class OutlierRule(Rule):
                 partition_id=ctx.partition_expr(),
             )
         )
+
+
+class ApproxUniqueRule(Rule):
+    """Sketch-based uniqueness pre-gate: estimated duplicate rate
+    ``1 - approx_count_distinct/count`` over the key column(s), one
+    DEVIATION row when it exceeds ``max_dup_rate`` beyond the sketch's
+    own error band.
+
+    The at-scale companion to RequiredUnique: the exact check shuffles
+    every row by key; this gate is ONE aggregate whose partial HLL
+    states merge map-side — zero data-row shuffle, O(1) driver state —
+    so it can run ``@mandatory`` on every ingest at 10^12 rows, with
+    the exact check (and its violation rows) reserved for partitions
+    this gate flags.
+
+    HLL relative standard deviation is ``rsd`` (Spark default 0.05;
+    we default 0.01 ≈ 16 KB of sketch).  To avoid sketch-noise false
+    alarms the gate fires only when
+    ``dup_rate_est > max_dup_rate + guard_sigmas * rsd`` — at the
+    default 3 sigmas a pass/fail flip needs a true dup-rate within
+    ~3·rsd of the threshold.  NULL keys: count_distinct semantics drop
+    all-NULL tuples; pair with a completeness predicate if that
+    matters.
+    """
+
+    kind = "plan"
+
+    def __init__(self, columns, max_dup_rate: float = 0.0,
+                 rsd: float = 0.01, guard_sigmas: float = 3.0,
+                 rule_id: Optional[str] = None):
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        super().__init__(rule_id or f"approx_unique:{','.join(cols)}")
+        self.columns = cols
+        self.max_dup_rate = float(max_dup_rate)
+        self.rsd = float(rsd)
+        self.guard_sigmas = float(guard_sigmas)
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        key = [F.col(c) for c in self.columns]
+        row = ctx.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.struct(*key) if len(key) > 1 else key[0], self.rsd
+            ).alias("d"),
+        ).first()
+        n, d = int(row["n"]), int(row["d"])
+        est = 1.0 - (d / n) if n else 0.0
+        fire_at = self.max_dup_rate + self.guard_sigmas * self.rsd
+        if est <= fire_at:
+            from .schema import empty_violations
+
+            return empty_violations(ctx.spark)
+        return ctx.spark.createDataFrame(
+            [(
+                self.rule_id,
+                None,
+                ",".join(self.columns),
+                DEVIATION,
+                f"{est:.6f}",
+                f"dup_rate<={self.max_dup_rate} (+{self.guard_sigmas}rsd)",
+                float(est - self.max_dup_rate),
+                float(self.max_dup_rate),
+                None,
+            )],
+            "rule_id string, key string, column string, diff_type string, "
+            "invalid string, expected string, deviation double, "
+            "expected_num double, partition_id string",
+        )
+
+
+def approx_unique(columns, max_dup_rate=0.0, rsd=0.01, guard_sigmas=3.0,
+                  rule_id=None):
+    return ApproxUniqueRule(columns, max_dup_rate, rsd, guard_sigmas,
+                            rule_id)
 
 
 class PartitionAnomalyRule(Rule):

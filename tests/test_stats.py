@@ -197,6 +197,56 @@ class TestDriftRule:
             TwoSampleDriftRule("value", df, [1.0], stat="wasserstein")
 
 
+class TestApproxUnique:
+    """ApproxUniqueRule: the one-aggregate uniqueness pre-gate."""
+
+    def test_unique_data_passes(self, spark):
+        from datatest_spark.stats import ApproxUniqueRule
+
+        df = df_from(spark, list(range(5000)))
+        assert Engine(spark).validate(
+            df, [ApproxUniqueRule("value", max_dup_rate=0.01)]).ok
+
+    def test_duplicate_heavy_fires(self, spark):
+        from datatest_spark.stats import ApproxUniqueRule
+
+        # 5000 rows over 500 distinct values → true dup rate 0.9
+        df = df_from(spark, [i % 500 for i in range(5000)])
+        rows = Engine(spark).validate(
+            df, [ApproxUniqueRule("value", max_dup_rate=0.05)]
+        ).violations.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["diff_type"] == "DEVIATION"
+        assert r["rule_id"] == "approx_unique:value"
+        assert 0.7 < float(r["invalid"]) < 1.0  # est ≈ 0.9 ± sketch error
+        assert r["deviation"] > 0.5
+
+    def test_composite_key(self, spark):
+        from datatest_spark.stats import ApproxUniqueRule
+
+        df = spark.createDataFrame(
+            [(i % 10, i % 7) for i in range(3000)], "a long, b long")
+        # 70 distinct pairs of 3000 rows → fires on the composite key
+        rows = Engine(spark).validate(
+            df, [ApproxUniqueRule(["a", "b"], max_dup_rate=0.1)]
+        ).violations.collect()
+        assert len(rows) == 1
+        assert rows[0]["column"] == "a,b"
+        # ...but each single column alone also fires (sanity)
+        assert not Engine(spark).validate(
+            df, [ApproxUniqueRule("a", max_dup_rate=0.1)]).ok
+
+    def test_guard_band_suppresses_noise(self, spark):
+        from datatest_spark.stats import ApproxUniqueRule
+
+        # truly unique data must not fire even with a 0 threshold:
+        # the guard band absorbs sketch error
+        df = df_from(spark, list(range(20_000)))
+        assert Engine(spark).validate(
+            df, [ApproxUniqueRule("value", max_dup_rate=0.0)]).ok
+
+
 class TestMergeableProfiles:
     """partitioned_profile + merge_profiles: incremental profiling via
     union-mergeable HLL sketches (hll_sketch_agg/hll_union_agg)."""
