@@ -1561,6 +1561,84 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, id_col="doc_id")
 
 
+def q_canonical_by_quality(spark, sf_dir):
+    """End-to-end curation composition: near-dup pairs (exact n-gram
+    Jaccard) → connected components → keep the HIGHEST-quality member
+    per cluster, scored by the self-trained unigram LM (ties → min
+    id).  Oracle: independent pair recomputation + DuckDB recursive-CTE
+    components + an SQL LM refit + row_number argmax."""
+    from datatest_spark.operators import (dedup_clusters,
+                                          ngram_jaccard_pairs,
+                                          unigram_logprob)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", id_col="doc_id", n=2, min_jaccard=0.1, max_df=1000,
+    )
+    scores = unigram_logprob(docs, "text", id_col="doc_id", vocab_size=500)
+    return dedup_clusters(docs, pairs, id_col="doc_id",
+                          scores=scores, score_col="logprob_r")
+
+
+def _canonical_by_quality_sql() -> str:
+    import oracles as _o
+
+    rows = [(a, b) for a, b, _ in
+            _o.ngram_jaccard_rows(_o.SF001_DIR, 2, 0.1, 1000)]
+    pairs = _o.values_sql(rows, ["id_a", "id_b"], ["BIGINT", "BIGINT"])
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a <> id_b
+        ),
+        walk(node, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, w.label FROM edges e JOIN walk w ON e.a = w.node
+        ),
+        comp AS (
+          SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                       CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 500),
+        q AS (
+          SELECT t.doc_id, round(avg(
+            ln((coalesce(vb.c, 0) + 1) / (tot.n + tot.v + 1))), 4) AS score
+          FROM tok t LEFT JOIN vocab vb USING (tok), tot
+          GROUP BY t.doc_id),
+        keep AS (
+          SELECT cluster_id, node AS keep_id FROM (
+            SELECT c2.cluster_id, c2.node,
+                   row_number() OVER (
+                     PARTITION BY c2.cluster_id
+                     ORDER BY COALESCE(qq.score,
+                                       CAST('-infinity' AS DOUBLE)) DESC,
+                              c2.node ASC) AS rn
+            FROM comp c2 LEFT JOIN q qq ON qq.doc_id = c2.node
+          ) WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+               (CASE WHEN c.cluster_id IS NULL THEN TRUE
+                     ELSE d.doc_id = k.keep_id END) AS is_canonical
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+        LEFT JOIN keep k ON c.cluster_id = k.cluster_id
+    """
+
+
 # language-ID stopword spec shared by the Spark query and its SQL
 # oracle (part of the query definition, like _SEQ_REQUIRED above)
 _LANG_STOPWORDS = {
@@ -1926,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "canonical_by_quality": q_canonical_by_quality,
         "approx_unique": q_approx_unique,
         "drift_two_sample": q_drift_two_sample,
         "stratified_sample": q_stratified_sample,
@@ -2835,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
             n=2000, parts=4),
         "repetition_stats": _repetition_sql(),
         "unigram_logprob": _UNIGRAM_SQL,
+        "canonical_by_quality": _canonical_by_quality_sql(),
         "pii_scan": _pii_scan_sql(),
         "train_split": _train_split_sql(),
         "stratified_sample": _stratified_sample_sql(),

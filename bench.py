@@ -68,6 +68,9 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "unigram_logprob",
+    "stratified_sample",
+    "drift_two_sample",
+    "audio_label_conflicts",
 ]
 
 

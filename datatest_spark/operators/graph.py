@@ -165,6 +165,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", src: str = "id_a",
                    dst: str = "id_b",
+                   scores: Optional[DataFrame] = None,
+                   score_col: str = "score",
                    stats: Optional[dict] = None) -> DataFrame:
     """Collapse near-duplicate pairs into per-document curation rows.
 
@@ -174,6 +176,16 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
     component (the document itself for singletons) and
     ``is_canonical`` marks the one row per cluster a keep-one-per-
     cluster pipeline retains (``df.where("is_canonical")``).
+
+    By default the canonical member is the minimum id (deterministic,
+    join-free).  Pass ``scores`` — a ``(id_col, score_col)`` frame,
+    e.g. :func:`~datatest_spark.operators.text.unigram_logprob` or
+    ``text_quality`` output — to keep the HIGHEST-quality member
+    instead (ties broken by min id).  The argmax runs on the label
+    frame only (documents that occur in a pair — small next to the
+    corpus), via one ``max_by``-style struct aggregate, never a window
+    over the corpus; scores are pruned to the label frame before the
+    aggregate.
 
     Scale shape: the component label frame is tiny relative to the
     corpus (only documents that occur in a near-dup pair), so the
@@ -191,7 +203,7 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
     labeled = labels.join(sizes, "component").select(
         F.col("node"), F.col("component"), F.col("__csize")
     )
-    out = (
+    base = (
         corpus.select(id_col)
         .join(labeled, corpus[id_col] == labeled["node"], "left")
         .select(
@@ -199,7 +211,45 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
             F.coalesce("component", id_col).alias("cluster_id"),
             F.coalesce("__csize", F.lit(1)).alias("cluster_size"),
         )
-        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+    if scores is None:
+        out = base.withColumn(
+            "is_canonical", F.col(id_col) == F.col("cluster_id"))
+    else:
+        # argmax(score, tie → min id) per component, computed on the
+        # small label frame; nulls score as -inf (never canonical
+        # unless the whole cluster is unscored, then min id wins)
+        sc = scores.select(
+            F.col(id_col).alias("node"),
+            F.coalesce(
+                F.col(score_col).cast("double"),
+                F.lit(float("-inf"))).alias("__q"),
+        )
+        scored = labels.join(sc, "node", "left").na.fill(
+            {"__q": float("-inf")})
+        best = scored.groupBy("component").agg(F.max("__q").alias("__bq"))
+        # min id among the max-score rows — exact float equality is
+        # safe (same value, same representation); works for string ids
+        # too, where a numeric negation tie-break would not
+        ranked = (
+            scored.join(best, "component")
+            .where(F.col("__q") == F.col("__bq"))
+            .groupBy("component")
+            .agg(F.min("node").alias("__keep"))
+            .select(
+                F.col("component").alias("cluster_id"), F.col("__keep"))
+        )
+        out = (
+            base.join(F.broadcast(ranked), "cluster_id", "left")
+            .select(
+                F.col(id_col),
+                F.col("cluster_id"),
+                F.col("cluster_size"),
+                F.coalesce(
+                    F.col(id_col) == F.col("__keep"),
+                    F.col(id_col) == F.col("cluster_id"),
+                ).alias("is_canonical"),
+            )
+        )
     out._cc_labels = labels  # keep checkpointed lineage reachable
     return out

@@ -110,3 +110,34 @@ class TestDedupClusters:
             .where(F.col("mn") != F.col("cluster_id")).count()
         )
         assert bad == 0
+
+    def test_quality_scored_canonical(self, spark):
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(8)], "doc_id: long")
+        pairs = spark.createDataFrame(
+            [(1, 4), (4, 6), (2, 7)], "id_a: long, id_b: long")
+        # cluster {1,4,6}: best score at 4; cluster {2,7}: tie → min id 2;
+        # doc 6 unscored (null) → -inf
+        scores = spark.createDataFrame(
+            [(1, 0.1), (4, 0.9), (6, None), (2, 0.5), (7, 0.5), (0, 9.9)],
+            "doc_id: long, score: double")
+        rows = {r["doc_id"]: r for r in dedup_clusters(
+            corpus, pairs, scores=scores).collect()}
+        assert [d for d in (1, 4, 6) if rows[d]["is_canonical"]] == [4]
+        assert [d for d in (2, 7) if rows[d]["is_canonical"]] == [2]
+        for d in (0, 3, 5):  # singletons stay canonical regardless
+            assert rows[d]["is_canonical"]
+        # exactly one canonical per cluster
+        kept = [d for d, r in rows.items() if r["is_canonical"]]
+        assert sorted(kept) == [0, 2, 3, 4, 5]
+
+    def test_quality_all_unscored_falls_back_to_min_id(self, spark):
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(4)], "doc_id: long")
+        pairs = spark.createDataFrame(
+            [(1, 3)], "id_a: long, id_b: long")
+        scores = spark.createDataFrame(
+            [(0, 1.0)], "doc_id: long, score: double")  # cluster unscored
+        rows = {r["doc_id"]: r for r in dedup_clusters(
+            corpus, pairs, scores=scores).collect()}
+        assert rows[1]["is_canonical"] and not rows[3]["is_canonical"]

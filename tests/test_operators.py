@@ -538,6 +538,39 @@ class TestTextOps:
         assert r1["logprob_r"] == round(mean1, 4)
         assert r1["ppl_r"] == round(math.exp(-mean1), 2)
 
+    def test_unigram_logprob_matches_counter_lm(self, spark):
+        """Engine LM == a pure-Python refit (Counter + add-one
+        smoothing + top-K tie-broken vocab) on random word soup."""
+        import math
+        import random
+        from collections import Counter
+
+        from datatest_spark.operators import unigram_logprob
+
+        rng = random.Random(23)
+        words = "aa bb cc dd ee ff gg hh".split()
+        texts = [" ".join(rng.choice(words)
+                          for _ in range(rng.randrange(1, 30)))
+                 for _ in range(40)]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id: long, text: string")
+        k = 4
+        rows = {r["doc_id"]: r
+                for r in unigram_logprob(df, "text", vocab_size=k).collect()}
+
+        freq = Counter(t for x in texts for t in x.split(" "))
+        n_total, v_full = sum(freq.values()), len(freq)
+        denom = n_total + v_full + 1
+        vocab = dict(sorted(freq.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:k])
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            lps = [math.log((vocab.get(w, 0) + 1) / denom) for w in toks]
+            r = rows[i]
+            assert r["n_tokens"] == len(toks), i
+            assert r["n_oov"] == sum(w not in vocab for w in toks), i
+            assert r["logprob_r"] == round(sum(lps) / len(lps), 4), i
+
     def test_unigram_logprob_full_vocab_no_oov(self, spark, docs):
         from datatest_spark.operators import unigram_logprob
 
