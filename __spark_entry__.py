@@ -464,6 +464,27 @@ def _two_sample_sql(stat: str, thr: float, rule_id: str,
     """
 
 
+def q_audio_analysis(spark, sf_dir):
+    """One-pass combined waveform analysis (features + dedup signature
+    + ANN-embedding probes) — one decode, one rfft per clip, where the
+    three single operators would cost three decodes.  The embedding is
+    probed by its first component and a left-fold sum (full-vector
+    parity is certified separately via audio_knn).  Oracle: independent
+    decode + integer-exact feature math + spectral recompute."""
+    from datatest_spark.audio import audio_analysis
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = audio_analysis(audio_clips_df(spark, 2000, parts=4))
+    return out.select(
+        "clip_id", "ok", "dec_sr_hz", "n_samples", "peak_abs",
+        "clipping_ratio", "silence_ratio", "zero_crossings", "zcr",
+        "rms_dbfs", "centroid_hz", "sig",
+        F.element_at("embedding", 1).alias("emb_0"),
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x).alias("emb_sum"),
+    )
+
+
 def q_audio_label_conflicts(spark, sf_dir):
     """Cross-modal label consistency: spectral-signature content groups
     whose transcripts disagree (exact-dup audio with different labels =
@@ -2004,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_recall, profile_hist_merge, streaming_drift), then the 7
     # whose last driver row is r03, then the 50 certified in r04.
     return {
+        "audio_analysis": q_audio_analysis,
         "canonical_by_quality": q_canonical_by_quality,
         "approx_unique": q_approx_unique,
         "drift_two_sample": q_drift_two_sample,
@@ -2912,6 +2934,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_feature_drift": _oracles.audio_drift_sql(n=2000, parts=4),
         "audio_label_conflicts": _oracles.audio_label_conflicts_sql(
             n=2000, parts=4),
+        "audio_analysis": _oracles.audio_analysis_sql(n=2000, parts=4),
         "repetition_stats": _repetition_sql(),
         "unigram_logprob": _UNIGRAM_SQL,
         "canonical_by_quality": _canonical_by_quality_sql(),

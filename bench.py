@@ -71,6 +71,7 @@ HEADLINE = [
     "stratified_sample",
     "drift_two_sample",
     "audio_label_conflicts",
+    "audio_analysis",
 ]
 
 

@@ -51,7 +51,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "spectral_signatures", "audio_neardup_pairs",
            "band_energies", "spectral_embedding", "spectral_embeddings",
            "TranscriptRateRule", "transcript_rate", "audio_dedup_groups",
-           "audio_transcript_conflicts"]
+           "audio_transcript_conflicts", "audio_analysis",
+           "AUDIO_ANALYSIS_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +281,8 @@ SILENCE_THRESHOLD = 327
 
 
 def pcm_features(sr: int, pcm: np.ndarray,
-                 silence_threshold: int = SILENCE_THRESHOLD) -> tuple:
+                 silence_threshold: int = SILENCE_THRESHOLD,
+                 mag: Optional[np.ndarray] = None) -> tuple:
     """Quality features of one int16 PCM buffer.
 
     Counting features (peak, clipping/silence counts, zero crossings,
@@ -309,7 +311,8 @@ def pcm_features(sr: int, pcm: np.ndarray,
         20.0 * math.log10(math.sqrt(sum_sq / n) / 32768.0)
         if sum_sq > 0 else None
     )
-    mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+    if mag is None:  # callers with the rfft in hand pass |rfft| in
+        mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
     den = float(np.sum(mag))
     if den > 0.0:
         num = float(np.sum(mag * np.fft.rfftfreq(n, d=1.0 / sr)))
@@ -511,18 +514,23 @@ def transcript_rate(min_wps: float = 1.0, max_wps: float = 8.0,
 SPECTRAL_BAND_EDGES = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
 
 
-def band_energies(sr: int, pcm: np.ndarray) -> np.ndarray:
+def band_energies(sr: int, pcm: np.ndarray,
+                  mag2: Optional[np.ndarray] = None) -> np.ndarray:
     """Power-spectrum energy in the 64 log-spaced bands (60 Hz-6 kHz),
     the shared basis of :func:`spectral_signature` and
-    :func:`spectral_embeddings`."""
-    mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    :func:`spectral_embeddings`.  Pass ``mag2`` (= ``|rfft|**2``) to
+    reuse an rfft computed once per clip."""
+    if mag2 is None:
+        mag2 = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    mag = mag2
     freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr) if len(pcm) else np.zeros(0)
     e = SPECTRAL_BAND_EDGES
     return np.array([mag[(freqs >= e[b]) & (freqs < e[b + 1])].sum()
                      for b in range(64)])
 
 
-def spectral_signature(sr: int, pcm: np.ndarray) -> int:
+def spectral_signature(sr: int, pcm: np.ndarray,
+                       en: Optional[np.ndarray] = None) -> int:
     """64-bit spectral fingerprint of one PCM buffer (Haitsma-Kalker
     style): power-spectrum energy in 64 log-spaced bands (60 Hz-6 kHz),
     bit b = ``E[b] > E[b+1]`` (bit 63 wraps to band 0).  Energy-slope
@@ -530,7 +538,8 @@ def spectral_signature(sr: int, pcm: np.ndarray) -> int:
     sample-rate- and duration-invariant for stationary content —
     perceptually-same clips land within a small Hamming distance.
     Returns a SIGNED 64-bit int (Spark LongType)."""
-    en = band_energies(sr, pcm)
+    if en is None:
+        en = band_energies(sr, pcm)
     bits = np.zeros(64, dtype=np.uint64)
     bits[:63] = en[:63] > en[1:]
     bits[63] = en[63] > en[0]
@@ -578,13 +587,16 @@ def spectral_signatures(df: DataFrame) -> DataFrame:
         gen, SPECTRAL_SIG_SCHEMA)
 
 
-def spectral_embedding(sr: int, pcm: np.ndarray) -> list:
+def spectral_embedding(sr: int, pcm: np.ndarray,
+                       en: Optional[np.ndarray] = None) -> list:
     """64-dim content embedding of one PCM buffer: ``log1p`` of the
     log-band energies, L2-normalized, rounded to 6 decimals (rounding
     makes the vector reproducible across summation orders, and the
     round-6 cosine downstream in ann.knn_join absorbs the residual
     ulps)."""
-    v = np.log1p(band_energies(sr, pcm))
+    if en is None:
+        en = band_energies(sr, pcm)
+    v = np.log1p(en)
     n = float(np.linalg.norm(v))
     if n == 0.0:
         return [0.0] * 64
@@ -621,6 +633,71 @@ def spectral_embeddings(df: DataFrame) -> DataFrame:
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, SPECTRAL_EMB_SCHEMA)
+
+
+AUDIO_ANALYSIS_SCHEMA = T.StructType(
+    list(AUDIO_FEATURES_SCHEMA.fields) + [
+        T.StructField("sig", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def audio_analysis(df: DataFrame,
+                   silence_threshold: int = SILENCE_THRESHOLD) -> DataFrame:
+    """EVERYTHING a curation pipeline derives from the waveform —
+    quality features, the 64-bit dedup signature and the 64-dim ANN
+    embedding — in ONE Arrow decode pass and ONE rfft per clip.
+
+    Run separately, :func:`audio_features`, :func:`spectral_signatures`
+    and :func:`spectral_embeddings` each decode every clip and the
+    latter two each run their own FFT — at 10^12 clips that is 3×
+    the decode I/O and 3× the transform compute for byte-identical
+    outputs.  This operator shares the decode and the spectrum:
+    ``|rfft|`` feeds the centroid, ``|rfft|²`` feeds the band energies
+    that both the signature bits and the embedding are derived from —
+    every emitted value is bit-identical to its single-operator twin
+    (asserted in tests).  Persist the result and all downstream
+    operators (drift rules, Hamming LSH, kNN joins, label-conflict
+    groups) run without touching ``bytes`` again.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = (None,) * 9
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False) + nulls + (None, None))
+                    continue
+                if len(pcm) == 0:  # features degrade like pcm_features;
+                    # sig/embedding undefined on an empty spectrum
+                    out.append((row.clip_id, True, sr)
+                               + pcm_features(sr, pcm) + (None, None))
+                    continue
+                mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+                feats = pcm_features(sr, pcm, silence_threshold, mag=mag)
+                en = band_energies(sr, pcm, mag2=mag ** 2)
+                out.append(
+                    (row.clip_id, True, sr) + feats
+                    + (spectral_signature(sr, pcm, en=en),
+                       spectral_embedding(sr, pcm, en=en))
+                )
+            names = [f.name for f in AUDIO_ANALYSIS_SCHEMA.fields]
+            data = {name: [r[i] for r in out]
+                    for i, name in enumerate(names)}
+            # nullable exact ints built from the RAW python values (see
+            # spectral_signatures: a row-wise DataFrame constructor
+            # coerces mixed None+int columns to float64 first, which
+            # destroys the low ~11 bits of a 64-bit sig)
+            for c in ("n_samples", "peak_abs", "zero_crossings", "sig"):
+                data[c] = pd.array(data[c], dtype="Int64")
+            yield pd.DataFrame(data)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, AUDIO_ANALYSIS_SCHEMA)
 
 
 def audio_neardup_pairs(df: DataFrame, max_hamming: int = 3,

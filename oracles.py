@@ -104,7 +104,11 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return repr(v)
+        # QUOTED: DuckDB parses a bare numeric literal as DECIMAL
+        # before any cast, silently rounding the last bits of a
+        # boundary double (7.9582749999999995 → 7.958275); the
+        # string→DOUBLE path round-trips repr() exactly
+        return "'" + repr(v) + "'"
     if isinstance(v, int):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
@@ -667,6 +671,60 @@ def audio_label_conflict_rows(n: int = 2000, parts: int = 4) -> tuple:
         for sig, (n_rows, labels, cid) in sorted(groups.items())
         if len(labels) > 1
     )
+
+
+@lru_cache(maxsize=None)
+def audio_analysis_rows(n: int = 2000, parts: int = 4) -> tuple:
+    """Expected ``audio_analysis(audio_clips_df(spark, n, parts))``
+    rows (features + signature + embedding probes) — the feature
+    columns come from audio_features_rows (independent decode +
+    integer-exact math), the signature and embedding from the same
+    independent spectral recompute the knn/dedup oracles use.
+    ``emb_sum`` is a left-fold over the rounded components, matching
+    the engine's F.aggregate accumulation order."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_params, synth_clip_bytes
+
+    feats = audio_features_rows(n, parts)
+    edges = 60.0 * (6000.0 / 60.0) ** (np.arange(65) / 64.0)
+    cache = {}
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        key = bytes(synth_clip_bytes(src))
+        if key not in cache:
+            try:
+                _, sr, pcm = _sim_decode_pcm(key)
+                mag = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+                freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+                en = np.array(
+                    [mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                     for b in range(64)])
+                bits = np.zeros(64, dtype=np.uint64)
+                bits[:63] = en[:63] > en[1:]
+                bits[63] = en[63] > en[0]
+                u = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                sig = u - (1 << 64) if u >= (1 << 63) else u
+                v = np.log1p(en)
+                nv = float(np.linalg.norm(v))
+                emb = ([float(x) for x in np.round(v / nv, 6)]
+                       if nv > 0.0 else [0.0] * 64)
+                acc = 0.0
+                for x in emb:
+                    acc += x
+                cache[key] = (sig, emb[0], acc)
+            except ValueError:
+                cache[key] = (None, None, None)
+        out.append(feats[i] + cache[key])
+    return tuple(out)
+
+
+def audio_analysis_sql(n: int = 2000, parts: int = 4) -> str:
+    return values_sql(audio_analysis_rows(n, parts),
+                      _FEATURE_COLS + ["sig", "emb_0", "emb_sum"],
+                      _FEATURE_CASTS + ["BIGINT", "DOUBLE", "DOUBLE"])
 
 
 def audio_label_conflicts_sql(n: int = 2000, parts: int = 4) -> str:

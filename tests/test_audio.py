@@ -201,6 +201,46 @@ class TestAudioFeatures:
         finally:
             feats.unpersist()
 
+    def test_audio_analysis_matches_single_ops(self, spark):
+        """audio_analysis (one decode + one rfft) must be bit-identical
+        to audio_features + spectral_signatures + spectral_embeddings
+        run separately, including the undecodable rows."""
+        from datatest_spark.audio import (audio_analysis, audio_features,
+                                          spectral_embeddings,
+                                          spectral_signatures)
+
+        df = FX.audio_clips_df(spark, 600, parts=2)
+        combined = audio_analysis(df).collect()
+        assert len(combined) == 600
+        feats = {(r["clip_id"], r["n_samples"]): r
+                 for r in audio_features(df).collect()}
+        sigs = {r["clip_id"]: r["sig"]
+                for r in spectral_signatures(df).collect()}
+        embs = {r["clip_id"]: r["embedding"]
+                for r in spectral_embeddings(df).collect()}
+        n_undecodable = 0
+        for r in combined:
+            f = feats[(r["clip_id"], r["n_samples"])]
+            for c in ("ok", "dec_sr_hz", "peak_abs", "clipping_ratio",
+                      "silence_ratio", "zero_crossings", "zcr",
+                      "rms_dbfs", "centroid_hz"):
+                assert r[c] == f[c], (r["clip_id"], c)
+            assert r["sig"] == sigs[r["clip_id"]], r["clip_id"]
+            assert r["embedding"] == embs[r["clip_id"]], r["clip_id"]
+            n_undecodable += not r["ok"]
+        assert n_undecodable > 0  # the corrupt injections went through
+
+    def test_audio_analysis_single_python_stage(self, spark, tmp_path):
+        from datatest_spark.audio import audio_analysis
+
+        src = str(tmp_path / "clips")
+        FX.audio_clips_df(spark, 50, parts=1).write.parquet(src)
+        plan = audio_analysis(spark.read.parquet(src)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1  # one decode stage
+        assert "Exchange" not in plan
+        assert "ReadSchema: struct<clip_id:string,bytes:binary>" in plan
+
     def test_transcript_conflicts_match_bruteforce(self, spark):
         """audio_transcript_conflicts == a local recompute with the
         same primitives: per-signature distinct-label count over the
