@@ -2017,13 +2017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: first the 3 newest (sampled_validation,
-    # partition_anomaly_lang, reconcile_orders), then the 11 queries
-    # new since r04 (quarantine_rows,
-    # tdigest_profile, audio_features, audio_neardup, audio_knn,
-    # transcript_rate, audio_dedup_groups, knn_distributed,
-    # ivf_recall, profile_hist_merge, streaming_drift), then the 7
-    # whose last driver row is r03, then the 50 certified in r04.
+    # 5 rotation: first everything new since the r04 driver run (the
+    # audio/curation/drift additions through audio_analysis /
+    # canonical_by_quality / approx_unique), then the 7 whose last
+    # driver row is r03, then the 50 certified in r04.  Every entry is
+    # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "audio_analysis": q_audio_analysis,
         "canonical_by_quality": q_canonical_by_quality,
