@@ -1542,6 +1542,22 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, column="text", id_col="doc_id", n=3)
 
 
+def q_decontaminate_neardup(spark, sf_dir):
+    """Fuzzy decontamination: train docs near-duplicating an eval doc
+    (cross-corpus MinHash LSH candidates + TRUE shingle-Jaccard
+    verify).  Oracle: pure-Python signature recompute + banded-bucket
+    candidacy emulation + brute Jaccard (oracles.py) — recall AND
+    verification both checked."""
+    from datatest_spark.operators import decontaminate_neardup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate_neardup(tr, ev, column="text", id_col="doc_id",
+                                 num_hashes=32, bands=16, shingle_k=3,
+                                 min_jaccard=0.3)
+
+
 _DECONTAMINATE_SQL = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w
@@ -2023,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
         "canonical_by_quality": q_canonical_by_quality,
         "approx_unique": q_approx_unique,
@@ -2941,6 +2958,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "pack_bins": _PACK_BINS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "decontaminate_neardup": _oracles.decontaminate_neardup_sql(
+            min_jaccard=0.3),
         "dedup_clusters": _oracles.dedup_clusters_sql(
             n=2, min_jaccard=0.1, max_df=1000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(

@@ -22,7 +22,11 @@ from .dedup import (  # noqa: F401
     simhash_neardup_pairs,
     simhash_signatures,
 )
-from .contamination import decontaminate, eval_ngram_hashes  # noqa: F401
+from .contamination import (  # noqa: F401
+    decontaminate,
+    decontaminate_neardup,
+    eval_ngram_hashes,
+)
 from .pii import pii_redact, pii_scan  # noqa: F401
 from .split import (  # noqa: F401
     hash_split,

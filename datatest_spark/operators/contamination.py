@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .dedup import _word_shingles
 
-__all__ = ["decontaminate", "eval_ngram_hashes"]
+__all__ = ["decontaminate", "decontaminate_neardup",
+           "eval_ngram_hashes"]
 
 
 def eval_ngram_hashes(eval_df: DataFrame, column: str, n: int = 3,
@@ -130,3 +131,78 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
              ).alias("contaminated"),
         )
     )
+
+
+def decontaminate_neardup(train: DataFrame, eval_df: DataFrame,
+                          column: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 32, bands: int = 16,
+                          shingle_k: int = 3,
+                          min_jaccard: float = 0.35,
+                          max_bucket_size: Optional[int] = 10_000,
+                          ) -> DataFrame:
+    """FUZZY decontamination: training documents that NEAR-duplicate an
+    eval document (paraphrases, truncations, light edits — the leakage
+    exact n-gram overlap under-weights and the Dolma/Llama recipes
+    chase with fuzzy matching).  Cross-corpus MinHash LSH: both sides
+    share the hash families, candidates come from banded-bucket
+    equality ACROSS the corpora, then a verification join computes the
+    TRUE shingle Jaccard — the output is evidence, not an estimate.
+
+    Returns ``(train_id, eval_id, jaccard)`` with ``jaccard >=
+    min_jaccard``.
+
+    Scale shape (train = 10^12 docs, eval small): the eval side's
+    banded frame and shingle sets are **broadcast** (eval/benchmark
+    sets are small by construction — for a large eval side fall back
+    to :func:`datatest_spark.operators.dedup.minhash_neardup_pairs` on
+    the union), so the train side is one signature scan plus a
+    map-side join — zero train shuffle before the candidate distinct.
+    ``max_bucket_size`` drops degenerate train buckets (boilerplate)
+    before pairing, the same skew guard as the self-join path.
+    Recall is the standard banded-LSH curve; candidacy is
+    deterministic given the seeded families, and the oracle emulates
+    it exactly.
+    """
+    from ..caching import CacheHandle
+    from .dedup import (_HANDLES, _banded, _drop_oversized_buckets,
+                        _word_shingles, minhash_signatures)
+
+    handle = CacheHandle(_HANDLES)
+    rows_per_band = num_hashes // bands
+    tr = train.where(F.col(column).isNotNull())
+    ev = eval_df.where(F.col(column).isNotNull())
+
+    tb = _banded(
+        minhash_signatures(tr, column, id_col, num_hashes, shingle_k),
+        id_col, bands, rows_per_band,
+    ).drop("minhash")
+    tb = handle.register(tb.persist())
+    tb = _drop_oversized_buckets(tb, max_bucket_size)
+    eb = _banded(
+        minhash_signatures(ev, column, id_col, num_hashes, shingle_k),
+        id_col, bands, rows_per_band,
+    ).drop("minhash")
+
+    cand = (
+        tb.select("band", "bucket", F.col(id_col).alias("train_id"))
+        .join(F.broadcast(
+            eb.select("band", "bucket", F.col(id_col).alias("eval_id"))),
+            ["band", "bucket"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sh = F.array_distinct(_word_shingles(F.col(column), shingle_k))
+    sh_t = tr.select(F.col(id_col).alias("train_id"), sh.alias("_sa"))
+    sh_e = ev.select(F.col(id_col).alias("eval_id"), sh.alias("_sb"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        / F.size(F.array_union(F.col("_sa"), F.col("_sb"))),
+        4,
+    )
+    out = (
+        cand.join(sh_t, "train_id")
+        .join(F.broadcast(sh_e), "eval_id")
+        .select("train_id", "eval_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return handle.attach(out)

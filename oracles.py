@@ -985,6 +985,63 @@ def minhash_estimated_rows(sf_dir: str = SF001_DIR, num_hashes: int = 32,
     return tuple(out)
 
 
+@lru_cache(maxsize=None)
+def decontaminate_neardup_rows(sf_dir: str = SF001_DIR,
+                               num_hashes: int = 32, bands: int = 16,
+                               shingle_k: int = 3,
+                               min_jaccard: float = 0.35,
+                               max_bucket_size: int = 10_000) -> tuple:
+    """Expected ``decontaminate_neardup(train, eval)`` rows for the
+    doc_id%17 split — pure-Python signature recompute, cross-corpus
+    banded-bucket candidacy emulation (incl. the train-side bucket
+    cap), TRUE shingle Jaccard on candidates."""
+    docs = [(d, t) for d, t in _read_docs(sf_dir) if t is not None]
+    tr = [(d, t) for d, t in docs if d % 17 != 0]
+    ev = [(d, t) for d, t in docs if d % 17 == 0]
+    rows_per_band = num_hashes // bands
+
+    def buckets(side):
+        out: dict = {}
+        for d, t in side:
+            sig = _minhash_signature(t, num_hashes, shingle_k)
+            for b in range(bands):
+                h = 42
+                for r in range(rows_per_band):
+                    h = _h_long(sig[b * rows_per_band + r], h)
+                out.setdefault((b, _signed64(h)), []).append(d)
+        return out
+
+    tb, eb = buckets(tr), buckets(ev)
+    tb = {k: v for k, v in tb.items() if len(v) <= max_bucket_size}
+    cands = sorted({
+        (t, e)
+        for key in tb.keys() & eb.keys()
+        for t in tb[key] for e in eb[key]
+    })
+    sets = {
+        d: set(_word_shingles_py(t, shingle_k)) for d, t in tr + ev
+    }
+    out = []
+    for t, e in cands:
+        sa, sb = sets[t], sets[e]
+        inter = len(sa & sb)
+        j = _round_half_up4(inter / (len(sa) + len(sb) - inter))
+        if j >= min_jaccard:
+            out.append((t, e, j))
+    return tuple(out)
+
+
+def decontaminate_neardup_sql(sf_dir: str = SF001_DIR,
+                              num_hashes: int = 32, bands: int = 16,
+                              shingle_k: int = 3,
+                              min_jaccard: float = 0.35) -> str:
+    return values_sql(
+        decontaminate_neardup_rows(sf_dir, num_hashes, bands, shingle_k,
+                                   min_jaccard),
+        ["train_id", "eval_id", "jaccard"],
+        ["BIGINT", "BIGINT", "DOUBLE"])
+
+
 def minhash_estimated_sql(sf_dir: str = SF001_DIR, num_hashes: int = 32,
                           bands: int = 16, shingle_k: int = 3,
                           min_jaccard: float = 0.35) -> str:

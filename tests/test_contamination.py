@@ -78,3 +78,64 @@ class TestDecontaminate:
         _, evl = _frames(spark)
         n = eval_ngram_hashes(evl, "text", n=3).count()
         assert n == 4  # 3 trigrams + the short doc's whole-text shingle
+
+
+class TestDecontaminateNeardup:
+    """decontaminate_neardup: cross-corpus MinHash LSH + true Jaccard."""
+
+    def test_exact_copy_and_truncation_found(self, spark):
+        from datatest_spark.operators import decontaminate_neardup
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        train = spark.createDataFrame(
+            [
+                (0, base),                               # exact leak
+                (1, base.rsplit(" ", 3)[0] + " extra"),  # near-dup leak
+                (2, "totally different words in this unrelated text row"),
+                (3, None),
+            ],
+            "doc_id: long, text: string",
+        )
+        evl = spark.createDataFrame(
+            [(100, base), (101, "nothing in common here at all")],
+            "doc_id: long, text: string",
+        )
+        rows = {(r["train_id"], r["eval_id"]): r["jaccard"]
+                for r in decontaminate_neardup(
+                    train, evl, min_jaccard=0.3).collect()}
+        assert rows[(0, 100)] == 1.0          # exact copy
+        assert 0.3 <= rows[(1, 100)] < 1.0    # truncated+edited copy
+        assert all(t != 2 for t, _ in rows)   # unrelated never pairs
+
+    def test_true_jaccard_matches_python(self, spark):
+        from datatest_spark.operators import decontaminate_neardup
+
+        def shingles(t, k=3):
+            w = t.split(" ")
+            return {" ".join(w[i:i + k])
+                    for i in range(max(len(w) - k + 1, 1))}
+
+        base = "one two three four five six seven eight nine ten"
+        variant = "one two three four five six seven eight different ones"
+        train = spark.createDataFrame(
+            [(0, variant)], "doc_id: long, text: string")
+        evl = spark.createDataFrame(
+            [(9, base)], "doc_id: long, text: string")
+        rows = decontaminate_neardup(train, evl, min_jaccard=0.1).collect()
+        assert len(rows) == 1
+        sa, sb = shingles(variant), shingles(base)
+        want = round(len(sa & sb) / len(sa | sb), 4)
+        assert rows[0]["jaccard"] == want
+
+    def test_no_python_udf_and_eval_broadcast(self, spark):
+        from datatest_spark.operators import decontaminate_neardup
+
+        train = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+            "doc_id: long, text: string")
+        evl = train.limit(5)
+        out = decontaminate_neardup(train, evl, min_jaccard=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
