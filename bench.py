@@ -72,6 +72,8 @@ HEADLINE = [
     "drift_two_sample",
     "audio_label_conflicts",
     "audio_analysis",
+    "canonical_by_quality",
+    "decontaminate_neardup",
 ]
 
 
