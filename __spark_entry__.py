@@ -1905,6 +1905,47 @@ def q_streaming_rowrules(spark, sf_dir):
     return spark.read.parquet(viol_dir).drop("batch_id")
 
 
+def q_streaming_audio(spark, sf_dir):
+    """STREAMING audio validation (the graft cell's two axes met): the
+    fixture table split into files, streamed one file per micro-batch,
+    each batch decoded through AudioConsistencyRule inside foreachBatch
+    with idempotent per-batch writes and partition attribution.  The
+    audio rules are per-row, so the union over micro-batches equals
+    the batch suite — the oracle is the independently re-derived
+    audio:* subset of the suite's VALUES rows, hash-verified."""
+    import os
+    import tempfile
+
+    from datatest_spark.audio import AudioConsistencyRule
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.streaming import validate_stream
+
+    src = audio_clips_df(spark, 1000, parts=4)
+    tmp = tempfile.mkdtemp(prefix="dts_astream_")
+    in_dir = os.path.join(tmp, "in")
+    viol_dir = os.path.join(tmp, "viol")
+    ckpt = os.path.join(tmp, "ckpt")
+    # one file per part: explicit appends, because AQE would coalesce
+    # a single small repartition(4) write into one file = one batch
+    for p in range(4):
+        (src.where(F.col("part_id") == p).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = validate_stream(
+        stream,
+        [AudioConsistencyRule(check_snr=False)],
+        violations_path=viol_dir,
+        checkpoint_path=ckpt,
+        partition_col="part_id",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(viol_dir).drop("batch_id")
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal image pipeline (REAL decode, no codec libs): the
     deterministic PPM/BMP fixture table through decode + channel means
@@ -2039,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
         "canonical_by_quality": q_canonical_by_quality,
@@ -2960,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "decontaminate_neardup": _oracles.decontaminate_neardup_sql(
             min_jaccard=0.3),
+        "streaming_audio": _oracles.streaming_audio_sql(n=1000, parts=4),
         "dedup_clusters": _oracles.dedup_clusters_sql(
             n=2, min_jaccard=0.1, max_df=1000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(

@@ -902,6 +902,16 @@ def audio_suite_sql(n: int = 2000, parts: int = 4) -> str:
     return violations_values_sql(audio_suite_rows(n, parts))
 
 
+def streaming_audio_sql(n: int = 1000, parts: int = 4) -> str:
+    """Expected violations of the STREAMING audio run: the decode-rule
+    family only (audio:*) — per-row rules, so the union over
+    micro-batches must equal the batch result, partition attribution
+    included."""
+    rows = [r for r in audio_suite_rows(n, parts)
+            if r[0].startswith("audio:")]
+    return violations_values_sql(rows)
+
+
 # ---------------------------------------------------------------------------
 # minhash_estimated — the default (exact=False) MinHash+LSH path:
 # per-seed signature families chained through Spark's multi-argument

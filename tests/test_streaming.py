@@ -68,6 +68,47 @@ class TestValidateStream:
         assert got.select("batch_id").distinct().count() == 2
 
 
+class TestStreamingAudio:
+    def test_decode_rules_per_microbatch_equal_batch(self, spark,
+                                                     stream_dirs):
+        """AudioConsistencyRule inside foreachBatch: the union over
+        micro-batches equals the batch engine on the same table
+        (per-row rules), multiple batches actually happen, and
+        partition attribution survives the streaming path."""
+        import datatest_spark.fixtures as FX
+        from datatest_spark.audio import AudioConsistencyRule
+        from datatest_spark.validation import Engine
+
+        src, out, ckpt = stream_dirs
+        df = FX.audio_clips_df(spark, 400, parts=4)
+        # one file per part (explicit appends: AQE would coalesce a
+        # single small repartition(4) write into one file = one batch)
+        for p in range(4):
+            (df.where(F.col("part_id") == p).coalesce(1)
+             .write.mode("append").parquet(src))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = validate_stream(
+            stream, [AudioConsistencyRule(check_snr=False)], out, ckpt,
+            partition_col="part_id",
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out)
+        assert got.select("batch_id").distinct().count() > 1
+        batch = Engine(spark).compile(
+            spark.read.parquet(src),
+            [AudioConsistencyRule(check_snr=False)],
+            partition_col="part_id",
+        )
+        streamed = got.drop("batch_id")
+        assert streamed.count() == batch.count()
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        assert got.where(F.col("partition_id").isNull()).count() == 0
+
+
 class TestStreamingDedup:
     """All-of-history stateful dedup (streaming/stateful.py,
     applyInPandasWithState): one state cell per content hash."""
