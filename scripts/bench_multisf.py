@@ -230,10 +230,51 @@ def main():
             results[label][f"{op}_sec"] = sec
             results[label][f"{op}_rows"] = rows
 
+    # end-of-round-5 additions: combined one-pass analysis and the
+    # transcript label-conflict groups on the cached clip tables
+    # (both linear-output), fuzzy cross-corpus decontamination and
+    # quality-scored canonical selection on the scaled documents
+    from datatest_spark.audio import audio_analysis, \
+        audio_transcript_conflicts
+    from datatest_spark.operators import (decontaminate_neardup,
+                                          unigram_logprob)
+
+    audio_analysis(
+        spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{AUDIO_1X}"))
+    ).count()  # warm-up
+    for label, n in (("1x", AUDIO_1X), ("5x", SCALE * AUDIO_1X)):
+        df = spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{n}"))
+        sec, rows = timed(audio_analysis, df, runs=2)
+        results[label]["analysis_sec"] = sec
+        sec, rows = timed(audio_transcript_conflicts, df, runs=2)
+        results[label]["labelconf_sec"] = sec
+        results[label]["labelconf_groups"] = rows
+
+    def _fuzzy_decon(df):
+        ev = df.where(F.col("doc_id") % 17 == 0)
+        return decontaminate_neardup(
+            df.where(F.col("doc_id") % 17 != 0), ev, min_jaccard=0.3)
+
+    def _canonical(df):
+        pairs = ngram_jaccard_pairs(
+            df, "text", id_col="doc_id", n=2, min_jaccard=0.1, max_df=1000)
+        scores = unigram_logprob(df, "text", vocab_size=500)
+        return dedup_clusters(df, pairs, scores=scores,
+                              score_col="logprob_r")
+
+    for op, fn in (("fuzzydecon", _fuzzy_decon), ("canonical", _canonical)):
+        fn(frames["1x"]).count()  # warm-up
+        unpersist_cached(blocking=True)
+        for label in ("1x", "5x"):
+            sec, rows = timed(fn, frames[label], runs=2)
+            results[label][f"{op}_sec"] = sec
+            results[label][f"{op}_rows"] = rows
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
         for op in ("minhash", "ngram", "simhash", "audio",
-                   "afeat", "adedup", "clusters", "decontam")
+                   "afeat", "adedup", "clusters", "decontam",
+                   "analysis", "labelconf", "fuzzydecon", "canonical")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()
