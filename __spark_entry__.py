@@ -1241,6 +1241,19 @@ def q_ann_ivf(spark, sf_dir):
                     train_vectors=train)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: deterministic spherical-k-means bucketing (8 anchor
+    clusters) + within-cluster cosine pruning at 0.35, keep-min-id.
+    Oracle: the identical anchor-assignment + within-cluster
+    smallest-dominator rule in pure SQL (list_dot_product)."""
+    from datatest_spark.operators import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "embedding", id_col="vec_id",
+        n_clusters=8, threshold=0.35,
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Random-hyperplane LSH over embeddings + exact cosine within
     buckets.  Oracle: pure-Python recomputation with the engine's
@@ -2080,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "semantic_dedup": q_semantic_dedup,
         "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
@@ -2460,6 +2474,56 @@ def oracle_sql() -> dict[str, str]:
                          / len(string_split(text, ' ')), 4)
                        AS stopword_ratio_r
             FROM documents
+        """,
+        "semantic_dedup": """
+            WITH anch AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS aid,
+                     embedding::DOUBLE[] AS av
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+            ),
+            scored AS (
+              SELECT e.vec_id, a.aid,
+                     list_dot_product(e.embedding::DOUBLE[], a.av)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(a.av, a.av))) AS cs
+              FROM embeddings e CROSS JOIN anch a
+            ),
+            assigned AS (
+              SELECT vec_id, aid AS cluster_id FROM (
+                SELECT vec_id, aid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, aid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT ai.vec_id AS i_id, aj.vec_id AS j_id,
+                     list_dot_product(ei.embedding::DOUBLE[],
+                                      ej.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(ei.embedding::DOUBLE[],
+                                              ei.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(ej.embedding::DOUBLE[],
+                                                ej.embedding::DOUBLE[])))
+                         AS cs
+              FROM assigned ai
+              JOIN assigned aj ON ai.cluster_id = aj.cluster_id
+                              AND aj.vec_id < ai.vec_id
+              JOIN embeddings ei ON ei.vec_id = ai.vec_id
+              JOIN embeddings ej ON ej.vec_id = aj.vec_id
+            ),
+            firstdup AS (
+              SELECT i_id, min(j_id) AS dup_of FROM pairs
+              WHERE cs >= 0.35 GROUP BY i_id
+            )
+            SELECT a.vec_id, a.cluster_id,
+                   (f.i_id IS NOT NULL) AS is_dup,
+                   f.dup_of,
+                   round(p.cs, 4) AS sim_r
+            FROM assigned a
+            LEFT JOIN firstdup f ON f.i_id = a.vec_id
+            LEFT JOIN pairs p ON p.i_id = a.vec_id AND p.j_id = f.dup_of
         """,
         "ann_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

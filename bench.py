@@ -74,6 +74,7 @@ HEADLINE = [
     "audio_analysis",
     "canonical_by_quality",
     "decontaminate_neardup",
+    "semantic_dedup",
 ]
 
 
