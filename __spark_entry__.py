@@ -315,6 +315,24 @@ def q_transcript_rate(spark, sf_dir):
         df, [TranscriptRateRule(min_wps=1.0, max_wps=8.0)])
 
 
+def q_audio_semantic_dedup(spark, sf_dir):
+    """SemDeDup ON AUDIO CONTENT: one decode pass → 64-dim spectral
+    embedding → semantic_dedup (anchor k-means bucketing + within-
+    cluster cosine dominator rule).  The tone fixture's content space
+    is dense (median pairwise cosine 0.99), so the threshold sits in
+    the top tail — 0.9995.  Oracle: independent decode + embedding
+    recompute + the assignment/dominator rule replayed in numpy with
+    F.round HALF_UP semantics reproduced via Decimal."""
+    from datatest_spark.audio import spectral_embeddings
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators import semantic_dedup
+
+    emb = spectral_embeddings(audio_clips_df(spark, 600, parts=4)) \
+        .filter(F.col("ok")).dropDuplicates(["clip_id"])
+    return semantic_dedup(emb, "embedding", id_col="clip_id",
+                          n_clusters=6, threshold=0.9995)
+
+
 def q_audio_knn(spark, sf_dir):
     """Similarity search ON AUDIO CONTENT: one decode pass → 64-dim
     spectral embedding (audio.spectral_embeddings) → the generic batch
@@ -2094,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "semantic_dedup": q_semantic_dedup,
+        "audio_semantic_dedup": q_audio_semantic_dedup,
         "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
@@ -3050,6 +3069,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
+        "audio_semantic_dedup": _oracles.audio_semantic_dedup_sql(
+            n=600, n_clusters=6, threshold=0.9995),
         "transcript_rate": _oracles.transcript_rate_sql(n=2000),
         "audio_dedup_groups": _oracles.audio_dedup_groups_sql(n=600, parts=4),
         "audio_feature_drift": _oracles.audio_drift_sql(n=2000, parts=4),

@@ -207,7 +207,7 @@ def semantic_dedup(df: DataFrame, column: str = "embedding",
         cid = int(pdf["cluster_id"].iloc[0])
 
         is_dup = np.zeros(m, dtype=bool)
-        dup_of = np.full(m, -1, dtype=np.int64)
+        dup_of: list = [None] * m  # id-typed (long OR string ids)
         sim = np.full(m, np.nan)
         block = 1024
         for lo in range(1, m, block):
@@ -220,14 +220,14 @@ def semantic_dedup(df: DataFrame, column: str = "embedding",
                 if len(hits):
                     j = int(hits[0])  # earliest in keep order
                     is_dup[i] = True
-                    dup_of[i] = ids[j]
+                    v = ids[j]
+                    dup_of[i] = v.item() if isinstance(v, np.generic) else v
                     sim[i] = S[r, j]
         return pd.DataFrame({
             id_col: ids,
             "cluster_id": np.full(m, cid, dtype=np.int32),
             "is_dup": is_dup,
-            "dup_of": pd.array(
-                [v if v >= 0 else None for v in dup_of], dtype="Int64"),
+            "dup_of": pd.Series(dup_of, dtype=object),
             "sim": sim,
         })
 

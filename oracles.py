@@ -733,13 +733,10 @@ def audio_label_conflicts_sql(n: int = 2000, parts: int = 4) -> str:
                       ["BIGINT", "BIGINT", "BIGINT", "VARCHAR"])
 
 
-@lru_cache(maxsize=None)
-def audio_knn_rows(n: int = 600, k: int = 5,
-                   n_queries: int = 5) -> tuple:
-    """Expected ``knn_join`` output over spectral embeddings of the
-    first ``n`` fixture clips with the first ``n_queries`` clip ids as
-    queries — independent decode + an independently-written embedding
-    recompute + brute-force round-6 cosine, ties by neighbor id."""
+def _spectral_emb_by_id(n: int) -> dict:
+    """Independent recompute of the per-clip 64-dim spectral embedding
+    (first occurrence per clip_id, undecodable skipped) — shared by the
+    audio_knn and audio_semantic_dedup oracles."""
     import numpy as np
 
     from datatest_spark.fixtures import clip_id_for, synth_clip_bytes
@@ -762,7 +759,21 @@ def audio_knn_rows(n: int = 600, k: int = 5,
         nv = float(np.linalg.norm(v))
         emb_by_id[cid] = (np.round(v / nv, 6) if nv > 0.0
                           else np.zeros(64))
+    return emb_by_id
 
+
+@lru_cache(maxsize=None)
+def audio_knn_rows(n: int = 600, k: int = 5,
+                   n_queries: int = 5) -> tuple:
+    """Expected ``knn_join`` output over spectral embeddings of the
+    first ``n`` fixture clips with the first ``n_queries`` clip ids as
+    queries — independent decode + an independently-written embedding
+    recompute + brute-force round-6 cosine, ties by neighbor id."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for
+
+    emb_by_id = _spectral_emb_by_id(n)
     ids = sorted(emb_by_id)
     mat = np.array([emb_by_id[c] for c in ids])
     norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
@@ -782,6 +793,55 @@ def audio_knn_sql(n: int = 600, k: int = 5) -> str:
     return values_sql(audio_knn_rows(n, k),
                       ["query_id", "neighbor_id", "cosine"],
                       ["VARCHAR", "VARCHAR", "DOUBLE"])
+
+
+@lru_cache(maxsize=None)
+def audio_semantic_dedup_rows(n: int = 600, n_clusters: int = 6,
+                              threshold: float = 0.9995) -> tuple:
+    """Expected ``semantic_dedup(spectral_embeddings(clips))`` output:
+    independent decode + embedding recompute, then the SemDeDup anchor
+    assignment and within-cluster earliest-dominator rule replayed in
+    plain numpy loops.  ``sim_r`` reproduces Spark's ``F.round``
+    HALF_UP-on-shortest-repr semantics via Decimal(repr(x))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    emb_by_id = _spectral_emb_by_id(n)
+    ids = sorted(emb_by_id)
+    X = np.array([emb_by_id[c] for c in ids])
+    norms = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+    anch = X[:n_clusters]
+    an = np.maximum(np.linalg.norm(anch, axis=1), 1e-12)
+    assign = np.argmax((X @ anch.T) / (norms[:, None] * an[None, :]),
+                       axis=1)
+
+    def r4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                               ROUND_HALF_UP))
+
+    out = []
+    for c in range(n_clusters):
+        members = [i for i in range(len(ids)) if assign[i] == c]
+        for pos, i in enumerate(members):
+            dup = None
+            for j in members[:pos]:
+                cs = float(X[i] @ X[j]) / (norms[i] * norms[j])
+                if cs >= threshold:
+                    dup = (ids[j], r4(cs))
+                    break
+            out.append((ids[i], int(c), dup is not None,
+                        dup[0] if dup else None,
+                        dup[1] if dup else None))
+    return tuple(out)
+
+
+def audio_semantic_dedup_sql(n: int = 600, n_clusters: int = 6,
+                             threshold: float = 0.9995) -> str:
+    return values_sql(
+        audio_semantic_dedup_rows(n, n_clusters, threshold),
+        ["clip_id", "cluster_id", "is_dup", "dup_of", "sim_r"],
+        ["VARCHAR", "INTEGER", "BOOLEAN", "VARCHAR", "DOUBLE"])
 
 
 @lru_cache(maxsize=None)

@@ -112,6 +112,24 @@ class TestSemanticDedup:
         key = lambda r: r["vec_id"]
         assert sorted(a, key=key) == sorted(b, key=key)
 
+    def test_string_ids(self, spark):
+        X, _ = make_corpus(seed=13, n=60, n_dups=15)
+        rows = [(f"doc-{i:04d}", [float(v) for v in X[i]])
+                for i in range(len(X))]
+        df = spark.createDataFrame(
+            rows, "doc_id string, embedding array<double>").repartition(3)
+        got = {r["doc_id"]: r
+               for r in semantic_dedup(df, "embedding", id_col="doc_id",
+                                       n_clusters=4,
+                                       threshold=0.9).collect()}
+        want = ref_semdedup(X, 0.9, 4, order_key=lambda i: i)
+        assert len(got) == len(X)
+        for i, (c, dup) in want.items():
+            r = got[f"doc-{i:04d}"]
+            assert r["cluster_id"] == c and r["is_dup"] == (dup is not None)
+            if dup is not None:
+                assert r["dup_of"] == f"doc-{dup[0]:04d}"
+
     def test_max_cluster_size_raises(self, spark):
         X, _ = make_corpus()
         with pytest.raises(Exception, match="max_cluster_size"):
