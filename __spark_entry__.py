@@ -1272,6 +1272,74 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_recall(spark, sf_dir):
+    """Measured recall of bucketed SemDeDup per cluster count (2/4/8)
+    vs the exact all-pairs rule at threshold 0.35 — evidence of what
+    the bucketing loses, mirroring ivf_recall.  At sf0.01 this reads
+    0.68/0.46/0.38 for k=2/4/8: the fixture threshold sits far below
+    real SemDeDup operating points (>=0.95, where near-parallel pairs
+    co-cluster with high probability), so the numbers deliberately
+    show the worst case — recall decays with k when the threshold is
+    loose.  Oracle: the identical exact + per-k bucketed dup counts in
+    pure SQL; the recall ratio is an unrounded IEEE division so the
+    value-hash is bit-exact."""
+    from datatest_spark.operators import semantic_dedup_recall
+
+    return semantic_dedup_recall(
+        _t(spark, sf_dir, "embeddings"), "embedding", id_col="vec_id",
+        threshold=0.35, n_clusters_list=(2, 4, 8))
+
+
+def _semantic_recall_oracle(threshold: float, ks=(2, 4, 8)) -> str:
+    """Generated SQL twin of q_semantic_recall: one assignment + dup
+    count block per cluster count, plus the exact (k=1) block."""
+    cos = ("list_dot_product(ei.embedding::DOUBLE[], ej.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(ei.embedding::DOUBLE[],"
+           " ei.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(ej.embedding::DOUBLE[],"
+           " ej.embedding::DOUBLE[])))")
+    blocks = [f"""
+        dup_exact AS (
+          SELECT count(DISTINCT ei.vec_id) AS n
+          FROM embeddings ei JOIN embeddings ej ON ej.vec_id < ei.vec_id
+          WHERE {cos} >= {threshold})"""]
+    selects = []
+    for k in ks:
+        blocks.append(f"""
+        anch_{k} AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS aid,
+                 embedding::DOUBLE[] AS av
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {k})),
+        asg_{k} AS (
+          SELECT vec_id, aid AS cluster_id FROM (
+            SELECT e.vec_id, a.aid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.embedding::DOUBLE[], a.av)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(a.av, a.av))) DESC,
+                     a.aid) AS rn
+            FROM embeddings e CROSS JOIN anch_{k} a) WHERE rn = 1),
+        dup_{k} AS (
+          SELECT count(DISTINCT ai.vec_id) AS n
+          FROM asg_{k} ai
+          JOIN asg_{k} aj ON ai.cluster_id = aj.cluster_id
+                         AND aj.vec_id < ai.vec_id
+          JOIN embeddings ei ON ei.vec_id = ai.vec_id
+          JOIN embeddings ej ON ej.vec_id = aj.vec_id
+          WHERE {cos} >= {threshold})""")
+        selects.append(f"""
+        SELECT CAST({k} AS INTEGER) AS n_clusters,
+               (SELECT n FROM dup_exact) AS n_exact,
+               (SELECT n FROM dup_{k}) AS n_found,
+               CASE WHEN (SELECT n FROM dup_exact) = 0 THEN NULL
+                    ELSE CAST((SELECT n FROM dup_{k}) AS DOUBLE)
+                         / (SELECT n FROM dup_exact) END AS recall""")
+    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Random-hyperplane LSH over embeddings + exact cosine within
     buckets.  Oracle: pure-Python recomputation with the engine's
@@ -2113,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semantic_dedup": q_semantic_dedup,
         "audio_semantic_dedup": q_audio_semantic_dedup,
+        "semantic_recall": q_semantic_recall,
         "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
@@ -2494,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
                        AS stopword_ratio_r
             FROM documents
         """,
+        "semantic_recall": _semantic_recall_oracle(0.35, ks=(2, 4, 8)),
         "semantic_dedup": """
             WITH anch AS (
               SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1

@@ -36,7 +36,11 @@ from .split import (  # noqa: F401
     stratified_sample_sql_pred,
 )
 from .graph import connected_components, dedup_clusters  # noqa: F401
-from .semantic import kmeans_assign, semantic_dedup  # noqa: F401
+from .semantic import (  # noqa: F401
+    kmeans_assign,
+    semantic_dedup,
+    semantic_dedup_recall,
+)
 from .text import (  # noqa: F401
     fingerprint,
     lang_id,

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["kmeans_assign", "semantic_dedup"]
+__all__ = ["kmeans_assign", "semantic_dedup", "semantic_dedup_recall"]
 
 
 def _anchor_matrix(df: DataFrame, column: str, id_col: str,
@@ -235,3 +235,41 @@ def semantic_dedup(df: DataFrame, column: str = "embedding",
            .groupBy("cluster_id")
            .applyInPandas(per_cluster, out_schema))
     return out.withColumn("sim_r", F.round("sim", 4)).drop("sim")
+
+
+def semantic_dedup_recall(df: DataFrame, column: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.9,
+                          n_clusters_list=(2, 4, 8),
+                          max_cluster_size: int = 100_000) -> DataFrame:
+    """Measured recall of the bucketed SemDeDup path per cluster count
+    — evidence (not an assertion) of what k-cluster bucketing costs.
+
+    The exact reference is ``semantic_dedup(n_clusters=1)``: a row is a
+    duplicate when ANY smaller-id row in the whole corpus is within
+    ``threshold``.  Bucketing can only *miss* duplicates (a row's
+    in-cluster dominator is always a global dominator), so the
+    flagged-row sets are nested and recall is the plain count ratio
+    ``n_found / n_exact``.  Output: one row per cluster count —
+    ``(n_clusters, n_exact, n_found, recall)``.
+
+    Like :func:`~datatest_spark.operators.ann.ivf_recall`, this is the
+    dev-scale quality harness: the exact pass is all-pairs within one
+    cluster, so run it on a sampled slice when the corpus exceeds
+    ``max_cluster_size``.  The recall ratio is a raw IEEE division
+    (no rounding) so oracle comparison is bit-exact.
+    """
+    spark = df.sparkSession
+    n_exact = (semantic_dedup(df, column, id_col, n_clusters=1,
+                              threshold=threshold,
+                              max_cluster_size=max_cluster_size)
+               .filter("is_dup").count())
+    rows = []
+    for k in n_clusters_list:
+        n_found = (semantic_dedup(df, column, id_col, n_clusters=int(k),
+                                  threshold=threshold,
+                                  max_cluster_size=max_cluster_size)
+                   .filter("is_dup").count())
+        rows.append((int(k), n_exact, n_found,
+                     (n_found / n_exact) if n_exact else None))
+    return spark.createDataFrame(
+        rows, "n_clusters int, n_exact long, n_found long, recall double")

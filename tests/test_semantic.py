@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from datatest_spark.operators.semantic import kmeans_assign, semantic_dedup
+from datatest_spark.operators.semantic import (
+    kmeans_assign,
+    semantic_dedup,
+    semantic_dedup_recall,
+)
 
 
 def make_corpus(seed=7, n=120, d=16, n_dups=25):
@@ -144,6 +148,23 @@ class TestSemanticDedup:
             semantic_dedup(df, "embedding", keep="random")
         with pytest.raises(ValueError, match="quality_col"):
             semantic_dedup(df, "embedding", keep="quality")
+
+
+class TestSemanticRecall:
+    def test_recall_bounds_and_exact_k1(self, spark):
+        X, _ = make_corpus(seed=17)
+        got = {r["n_clusters"]: r
+               for r in semantic_dedup_recall(
+                   to_df(spark, X), "embedding", id_col="vec_id",
+                   threshold=0.9, n_clusters_list=(1, 3, 6)).collect()}
+        assert got[1]["recall"] == 1.0  # k=1 IS the exact rule
+        n_exact = got[1]["n_exact"]
+        assert n_exact > 0
+        for k in (3, 6):
+            r = got[k]
+            assert r["n_exact"] == n_exact
+            assert 0 <= r["n_found"] <= n_exact  # bucketing only misses
+            assert r["recall"] == pytest.approx(r["n_found"] / n_exact)
 
 
 class TestKmeansAssign:
