@@ -1657,6 +1657,67 @@ def q_decontaminate_neardup(spark, sf_dir):
                                  min_jaccard=0.3)
 
 
+def q_pipeline_stages(spark, sf_dir):
+    """End-to-end curation funnel: validate (non-null text, language
+    whitelist) → exact dedup (min-id per text group) → benchmark
+    decontamination (3-gram overlap vs the doc_id%17 eval slice) →
+    deterministic 90/10 hash split, one evidence row per stage.
+    Oracle: every stage replayed in pure SQL — window-min dedup over
+    raw text, the shared shingle CTE, and hash_split's own SQL twin
+    (split.hash_split_sql_case), so the two threshold layouts cannot
+    drift."""
+    from datatest_spark.operators import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    valid = (F.col("text").isNotNull() & (F.length("text") > 0)
+             & F.col("lang").isin("en", "fr", "es", "zh", "de", "ru"))
+    return curation_funnel(tr, ev, valid_predicate=valid, n=3,
+                           min_overlap=1,
+                           fractions={"train": 0.9, "val": 0.1},
+                           keep_split="train")
+
+
+def _pipeline_oracle() -> str:
+    from datatest_spark.operators.split import hash_split_sql_case
+
+    case = hash_split_sql_case("doc_id", {"train": 0.9, "val": 0.1})
+    return f"""
+    WITH base AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+    valid AS (SELECT * FROM base WHERE text IS NOT NULL
+              AND length(text) > 0
+              AND lang IN ('en','fr','es','zh','de','ru')),
+    dedup AS (SELECT doc_id, text FROM (
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS keep
+        FROM valid) WHERE doc_id = keep),
+    evw AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 17 = 0 AND text IS NOT NULL),
+    evsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s FROM evw),
+    trsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM dedup)),
+    contam AS (SELECT doc_id FROM trsh JOIN evsh USING (s)
+               GROUP BY doc_id HAVING count(*) >= 1),
+    clean AS (SELECT * FROM dedup
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    tr_split AS (SELECT * FROM clean WHERE {case} = 'train')
+    SELECT 'valid' AS stage,
+           (SELECT count(*) FROM base) AS rows_in,
+           (SELECT count(*) FROM valid) AS rows_out
+    UNION ALL SELECT 'dedup_exact',
+           (SELECT count(*) FROM valid), (SELECT count(*) FROM dedup)
+    UNION ALL SELECT 'decontaminate',
+           (SELECT count(*) FROM dedup), (SELECT count(*) FROM clean)
+    UNION ALL SELECT 'split_train',
+           (SELECT count(*) FROM clean), (SELECT count(*) FROM tr_split)
+    """
+
+
 _DECONTAMINATE_SQL = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w
@@ -2182,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "audio_semantic_dedup": q_audio_semantic_dedup,
         "semantic_recall": q_semantic_recall,
+        "pipeline_stages": q_pipeline_stages,
         "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
@@ -2564,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "semantic_recall": _semantic_recall_oracle(0.35, ks=(2, 4, 8)),
+        "pipeline_stages": _pipeline_oracle(),
         "semantic_dedup": """
             WITH anch AS (
               SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1

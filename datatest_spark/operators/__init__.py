@@ -36,6 +36,7 @@ from .split import (  # noqa: F401
     stratified_sample_sql_pred,
 )
 from .graph import connected_components, dedup_clusters  # noqa: F401
+from .funnel import curation_funnel  # noqa: F401
 from .semantic import (  # noqa: F401
     kmeans_assign,
     semantic_dedup,

@@ -170,6 +170,11 @@ def semantic_dedup(df: DataFrame, column: str = "embedding",
     cluster; a cluster larger than ``max_cluster_size`` raises with
     the SemDeDup remedy (raise ``n_clusters``) instead of silently
     degrading.
+
+    ``id_col`` values must be unique (the keep order is a total
+    order); pre-deduplicate id collisions first — e.g.
+    ``dropDuplicates([id_col])`` after an exact content dedup, as the
+    audio composition does.
     """
     if keep not in ("min_id", "quality"):
         raise ValueError(f"semantic_dedup: unknown keep={keep!r}")

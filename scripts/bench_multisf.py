@@ -270,11 +270,42 @@ def main():
             results[label][f"{op}_sec"] = sec
             results[label][f"{op}_rows"] = rows
 
+    # round-5 semantic dedup over the clips' spectral embeddings
+    # (embeddings cached once per scale so the ratio isolates the
+    # SemDeDup stages, not the decode).  k=64 anchor clusters keep the
+    # max within-cluster size ~8% of the corpus (measured) — the
+    # quadratic stage is bounded by construction, and the fixture's
+    # ~constant content-group count makes output linear in input.
+    from datatest_spark.audio import spectral_embeddings
+    from datatest_spark.operators import semantic_dedup
+
+    for label, n in (("1x", AUDIO_1X), ("5x", SCALE * AUDIO_1X)):
+        path = os.path.join(CACHE, f"emb_n{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            clips = spark.read.parquet(
+                os.path.join(CACHE, f"audio_v2_n{n}"))
+            (spectral_embeddings(clips).filter(F.col("ok"))
+             .dropDuplicates(["clip_id"])
+             .write.mode("overwrite").parquet(path))
+        emb = spark.read.parquet(path)
+
+        def _semantic(df):
+            return semantic_dedup(df, "embedding", id_col="clip_id",
+                                  n_clusters=64, threshold=0.9995,
+                                  max_cluster_size=200_000)
+
+        if label == "1x":
+            _semantic(emb).count()  # warm-up
+        sec, rows = timed(_semantic, emb, runs=2)
+        results[label]["semantic_sec"] = sec
+        results[label]["semantic_rows"] = rows
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
         for op in ("minhash", "ngram", "simhash", "audio",
                    "afeat", "adedup", "clusters", "decontam",
-                   "analysis", "labelconf", "fuzzydecon", "canonical")
+                   "analysis", "labelconf", "fuzzydecon", "canonical",
+                   "semantic")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()
