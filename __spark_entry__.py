@@ -585,6 +585,35 @@ def q_segment_plan(spark, sf_dir):
                         max_chunks=8)
 
 
+def q_audio_packing(spark, sf_dir):
+    """Duration-budget packing of the training-window segment grid:
+    segment_plan chunks, sharded by the first md5 hex char of clip_id
+    (16 shards — engine-portable, no xxhash in the replay path),
+    greedily packed to 30 s bins per shard (pack_sequences on
+    chunk_ms), summarized per (shard, bin).  The audio twin of
+    pack_bins: parallelism = shard count, one window per shard, no
+    global sort.  Oracle: independent Python replay of grid + greedy
+    packing (oracles.audio_packing_rows)."""
+    from datatest_spark.audio import segment_plan
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators import pack_sequences
+
+    df = audio_clips_df(spark, 2000, parts=4)
+    seg = segment_plan(df, window_ms=2000, hop_ms=1000, min_ms=200,
+                       max_chunks=8)
+    seg = seg.withColumn(
+        "shard", F.substring(F.md5("clip_id"), 1, 1)
+    ).withColumn(
+        "__ord", F.concat_ws("#", "clip_id", F.lpad("chunk_idx", 2, "0"))
+    )
+    packed = pack_sequences(seg, "chunk_ms", "__ord", budget=30_000,
+                            shard_col="shard")
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_ms").alias("total_ms"),
+    )
+
+
 # --- non-SQL-expressible (rows-only checks) --------------------------------
 
 
@@ -1657,6 +1686,128 @@ def q_decontaminate_neardup(spark, sf_dir):
                                  min_jaccard=0.3)
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Corpus-level 3-gram overlap audit between two document snapshots
+    (even vs odd doc_id): distinct-shingle counts each side, common
+    count, Jaccard, and directional containments — one row.  Oracle:
+    DuckDB recomputes on raw shingle STRINGS (the engine uses xxhash64
+    keys; counts agree absent a 64-bit collision)."""
+    from datatest_spark.operators import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return corpus_overlap(a, b, column="text", n=3)
+
+
+_CORPUS_OVERLAP_SQL = """
+    WITH sh AS (
+      SELECT doc_id % 2 AS side,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE text IS NOT NULL)),
+    a AS (SELECT DISTINCT s FROM sh WHERE side = 0),
+    b AS (SELECT DISTINCT s FROM sh WHERE side = 1),
+    j AS (SELECT a.s AS sa, b.s AS sb
+          FROM a FULL OUTER JOIN b ON a.s = b.s),
+    c AS (SELECT count(sa) AS ngrams_a, count(sb) AS ngrams_b,
+                 count(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL
+                       THEN 1 END) AS ngrams_common
+          FROM j)
+    SELECT ngrams_a, ngrams_b, ngrams_common,
+           ngrams_common / (ngrams_a + ngrams_b - ngrams_common)
+             AS jaccard,
+           ngrams_common / ngrams_a AS containment_a,
+           ngrams_common / ngrams_b AS containment_b
+    FROM c
+"""
+
+
+_MIXTURE_WEIGHTS = {"en": 0.5, "fr": 0.2, "es": 0.2, "zh": 0.1}
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Strict-mixture water-filling plan over documents by lang:
+    largest corpus honoring target weights exactly is bound by the
+    scarcest stratum (N = min(available/weight)); per-stratum take =
+    floor(weight*N).  'de' carries no weight — audited with weight 0,
+    never silently dropped.  Oracle replays the same arithmetic in
+    SQL; division and floor are IEEE-identical in both engines."""
+    from datatest_spark.operators import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang", _MIXTURE_WEIGHTS)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Rows surviving the strict-mixture plan: keep iff
+    bucket * available < take * 65536 per stratum — int64 arithmetic
+    end-to-end, so the row set is engine-exact, not approximately
+    equal.  Oracle: the plan CTE + the identical integer predicate."""
+    from datatest_spark.operators import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (mixture_sample(docs, "lang", "doc_id", _MIXTURE_WEIGHTS)
+            .select("doc_id", "lang"))
+
+
+def _mixture_plan_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIXTURE_WEIGHTS.items())
+    return f"""
+    WITH avail AS (SELECT lang, count(*) AS available
+                   FROM documents GROUP BY lang),
+    w (lang, weight) AS (VALUES {vals}),
+    j AS (SELECT coalesce(avail.lang, w.lang) AS stratum,
+                 coalesce(available, 0) AS available,
+                 CAST(coalesce(weight, 0.0) AS DOUBLE) AS weight
+          FROM avail FULL OUTER JOIN w ON avail.lang = w.lang),
+    n AS (SELECT min(available / weight) AS n_total FROM j
+          WHERE weight > 0)
+    SELECT stratum, CAST(available AS BIGINT) AS available, weight,
+           CAST(floor(weight * n_total) AS BIGINT) AS take
+    FROM j, n
+    """
+
+
+def _mixture_sample_sql() -> str:
+    return f"""
+    WITH plan AS ({_mixture_plan_sql()})
+    SELECT doc_id, lang FROM documents
+    JOIN plan ON lang = plan.stratum
+    WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+               || ''), 1, 4)) AS INTEGER) AS BIGINT) * available
+          < take * 65536
+    """
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-proportional deterministic sampling: keep a document
+    with probability least(length(text),400)/400 — longer documents
+    survive more often — via bucket/65536 < weight (division by a
+    power of two is IEEE-exact, so both engines keep the identical
+    row set).  Oracle: weighted_sample_sql_pred, the operator's own
+    SQL twin."""
+    from datatest_spark.operators import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.length("text"), F.lit(400)) / F.lit(400.0)
+    return (weighted_sample(docs, w, "doc_id")
+            .select("doc_id", "lang", F.length("text").alias("text_len")))
+
+
+def _weighted_sample_sql() -> str:
+    from datatest_spark.operators import weighted_sample_sql_pred
+
+    pred = weighted_sample_sql_pred(
+        "least(length(text), 400) / 400.0", "doc_id")
+    return f"""
+    SELECT doc_id, lang, length(text) AS text_len
+    FROM documents WHERE {pred}
+    """
+
+
 def q_pipeline_stages(spark, sf_dir):
     """End-to-end curation funnel: validate (non-null text, language
     whitelist) → exact dedup (min-id per text group) → benchmark
@@ -2244,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_semantic_dedup": q_audio_semantic_dedup,
         "semantic_recall": q_semantic_recall,
         "pipeline_stages": q_pipeline_stages,
+        "corpus_overlap": q_corpus_overlap,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
+        "weighted_sample": q_weighted_sample,
         "streaming_audio": q_streaming_audio,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
@@ -2266,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_anomaly_lang": q_partition_anomaly_lang,
         "reconcile_orders": q_reconcile_orders,
         "segment_plan": q_segment_plan,
+        "audio_packing": q_audio_packing,
         "schema_contract": q_schema_contract,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
@@ -2627,6 +2783,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_recall": _semantic_recall_oracle(0.35, ks=(2, 4, 8)),
         "pipeline_stages": _pipeline_oracle(),
+        "corpus_overlap": _CORPUS_OVERLAP_SQL,
+        "mixture_plan": _mixture_plan_sql(),
+        "mixture_sample": _mixture_sample_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "semantic_dedup": """
             WITH anch AS (
               SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
@@ -3199,6 +3359,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _oracles.audio_features_sql(n=2000, parts=4),
         "segment_plan": _oracles.segment_plan_sql(
             n=2000, window_ms=2000, hop_ms=1000, min_ms=200, max_chunks=8
+        ),
+        "audio_packing": _oracles.audio_packing_sql(
+            n=2000, window_ms=2000, hop_ms=1000, min_ms=200,
+            max_chunks=8, budget_ms=30_000
         ),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),

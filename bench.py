@@ -75,6 +75,9 @@ HEADLINE = [
     "canonical_by_quality",
     "decontaminate_neardup",
     "semantic_dedup",
+    "pipeline_stages",
+    "corpus_overlap",
+    "mixture_sample",
 ]
 
 

@@ -23,6 +23,7 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .contamination import (  # noqa: F401
+    corpus_overlap,
     decontaminate,
     decontaminate_neardup,
     eval_ngram_hashes,
@@ -37,6 +38,13 @@ from .split import (  # noqa: F401
 )
 from .graph import connected_components, dedup_clusters  # noqa: F401
 from .funnel import curation_funnel  # noqa: F401
+from .mixture import (  # noqa: F401
+    bucket_int,
+    mixture_plan,
+    mixture_sample,
+    weighted_sample,
+    weighted_sample_sql_pred,
+)
 from .semantic import (  # noqa: F401
     kmeans_assign,
     semantic_dedup,

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _word_shingles
 
-__all__ = ["decontaminate", "decontaminate_neardup",
+__all__ = ["corpus_overlap", "decontaminate", "decontaminate_neardup",
            "eval_ngram_hashes"]
 
 
@@ -130,6 +130,53 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
             (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap
              ).alias("contaminated"),
         )
+    )
+
+
+def corpus_overlap(df_a: DataFrame, df_b: DataFrame,
+                   column: str = "text", n: int = 3) -> DataFrame:
+    """Corpus-LEVEL n-gram overlap between two corpora — the one-row
+    audit ("how much of snapshot B is already in snapshot A?") that
+    decides whether a new crawl / vendor drop is worth deduplicating
+    in, before any per-document work.
+
+    Returns a single row: ``(ngrams_a, ngrams_b, ngrams_common,
+    jaccard, containment_a, containment_b)`` over DISTINCT word
+    n-grams — ``containment_a = common / ngrams_a`` is the fraction of
+    corpus A's shingle vocabulary that corpus B also has.
+
+    Scale shape: each side reduces to distinct 8-byte xxhash64 shingle
+    keys (partial-aggregated), ONE full-outer join on the hash aligns
+    the two sets, and one global aggregate of three conditional counts
+    produces the row — the aggregate state is three longs, no shingle
+    list ever materializes.  Same 64-bit collision bound as
+    :func:`decontaminate` (module docstring): at 10^10 distinct
+    shingles the expected error is < 3 counts.
+    """
+    def hashes(df, side):
+        return (
+            df.where(F.col(column).isNotNull())
+            .select(F.explode(_word_shingles(F.col(column), n)).alias("s"))
+            .select(F.xxhash64("s", F.lit(42)).alias("h"))
+            .distinct()
+            .withColumn(side, F.lit(1))
+        )
+
+    j = hashes(df_a, "_a").join(hashes(df_b, "_b"), "h", "full_outer")
+    in_a = F.col("_a").isNotNull()
+    in_b = F.col("_b").isNotNull()
+    counts = j.agg(
+        F.sum(in_a.cast("long")).alias("ngrams_a"),
+        F.sum(in_b.cast("long")).alias("ngrams_b"),
+        F.sum((in_a & in_b).cast("long")).alias("ngrams_common"),
+    )
+    common = F.col("ngrams_common")
+    return counts.select(
+        "ngrams_a", "ngrams_b", "ngrams_common",
+        (common / (F.col("ngrams_a") + F.col("ngrams_b") - common)
+         ).alias("jaccard"),
+        (common / F.col("ngrams_a")).alias("containment_a"),
+        (common / F.col("ngrams_b")).alias("containment_b"),
     )
 
 

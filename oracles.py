@@ -1733,3 +1733,47 @@ def segment_plan_sql(n: int = 2000, window_ms: int = 2000,
         ["clip_id", "chunk_idx", "start_ms", "chunk_ms"],
         ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
     )
+
+
+def audio_packing_rows(n: int = 2000, window_ms: int = 2000,
+                       hop_ms: int = 1000, min_ms: int = 200,
+                       max_chunks: int = 8, budget_ms: int = 30_000,
+                       ) -> tuple:
+    """Expected (shard, bin) duration-packing summary: the segment
+    grid (segment_plan_rows), sharded by the first md5 hex char of
+    clip_id, greedily packed by cumulative chunk_ms // budget within
+    each shard ordered by (clip_id, chunk_idx) — an independent
+    replay of segment_plan -> pack_sequences."""
+    import hashlib
+    from collections import defaultdict
+
+    grid = segment_plan_rows(n, window_ms, hop_ms, min_ms, max_chunks)
+    shards = defaultdict(list)
+    for cid, k, _start, cms in grid:
+        shard = hashlib.md5(cid.encode()).hexdigest()[0]
+        shards[shard].append((cid, k, cms))
+    agg = {}
+    for shard, chunks in shards.items():
+        before = 0
+        for cid, k, cms in sorted(chunks):
+            b = before // budget_ms
+            key = (shard, b)
+            cnt, tot = agg.get(key, (0, 0))
+            agg[key] = (cnt + 1, tot + cms)
+            before += cms
+    return tuple(
+        (shard, b, cnt, tot)
+        for (shard, b), (cnt, tot) in sorted(agg.items())
+    )
+
+
+def audio_packing_sql(n: int = 2000, window_ms: int = 2000,
+                      hop_ms: int = 1000, min_ms: int = 200,
+                      max_chunks: int = 8,
+                      budget_ms: int = 30_000) -> str:
+    return values_sql(
+        audio_packing_rows(n, window_ms, hop_ms, min_ms, max_chunks,
+                           budget_ms),
+        ["shard", "bin_id", "n_chunks", "total_ms"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+    )

@@ -272,10 +272,13 @@ def main():
 
     # round-5 semantic dedup over the clips' spectral embeddings
     # (embeddings cached once per scale so the ratio isolates the
-    # SemDeDup stages, not the decode).  k=64 anchor clusters keep the
-    # max within-cluster size ~8% of the corpus (measured) — the
-    # quadratic stage is bounded by construction, and the fixture's
-    # ~constant content-group count makes output linear in input.
+    # SemDeDup stages, not the decode).  The cluster count scales with
+    # the corpus (k = n/1562 → expected cluster size ~1.5k constant) —
+    # the SemDeDup deployment discipline: the within-cluster pairwise
+    # stage is O(n * cluster_size * d), so a FIXED k would make it
+    # quadratic in n (measured: wall ratio 13.6 on 5x input at k=64);
+    # constant cluster size keeps it linear, and assignment stays
+    # cheap (n * k * d with k << n).
     from datatest_spark.audio import spectral_embeddings
     from datatest_spark.operators import semantic_dedup
 
@@ -288,10 +291,11 @@ def main():
              .dropDuplicates(["clip_id"])
              .write.mode("overwrite").parquet(path))
         emb = spark.read.parquet(path)
+        k = max(64, n // 1562)
 
-        def _semantic(df):
+        def _semantic(df, _k=k):
             return semantic_dedup(df, "embedding", id_col="clip_id",
-                                  n_clusters=64, threshold=0.9995,
+                                  n_clusters=_k, threshold=0.9995,
                                   max_cluster_size=200_000)
 
         if label == "1x":
