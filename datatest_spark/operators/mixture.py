@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .split import split_bucket
@@ -95,12 +95,16 @@ def _plan(df: DataFrame, strata_col: str,
         F.coalesce("available", F.lit(0).cast("long")).alias("available"),
         F.coalesce("weight", F.lit(0.0)).alias("weight"),
     )
-    n_total = (j.where(F.col("weight") > 0)
-               .agg(F.min(F.col("available") / F.col("weight"))
-                    .alias("n_total")))
-    return j.crossJoin(F.broadcast(n_total)).select(
+    # N from a global window over the k-row plan frame (one Exchange
+    # of k tiny rows) — NOT a separate aggregate + cross join, which
+    # would recompute the per-stratum counts and scan the corpus twice
+    n_total = F.min(
+        F.when(F.col("weight") > 0,
+               F.col("available") / F.col("weight"))
+    ).over(Window.partitionBy())
+    return j.select(
         "stratum", "available", "weight",
-        F.floor(F.col("weight") * F.col("n_total")).alias("take"),
+        F.floor(F.col("weight") * n_total).alias("take"),
     )
 
 
