@@ -15,11 +15,19 @@ Stage semantics (each optional, in fixed order):
    grouping as :func:`~datatest_spark.operators.dedup.exact_duplicates`
    (no document body ever enters the aggregate state; the join back
    is an equi-join on the hash pair + keep id).
-3. **decontaminate** — drop rows sharing ≥ ``min_overlap`` distinct
+3. **near_dedup** — optional caller-supplied frame transform
+   (``DataFrame -> DataFrame``) slotted between exact dedup and
+   decontamination: plug in the canonical-keep side of
+   :func:`~datatest_spark.operators.graph.dedup_clusters`,
+   :func:`~datatest_spark.operators.semantic.semantic_dedup`, or any
+   custom pruner; the funnel reports its attrition like every other
+   stage.  Must be a pure transformation (no actions) for
+   ``emit="data"`` to stay lazy.
+4. **decontaminate** — drop rows sharing ≥ ``min_overlap`` distinct
    word n-grams with ``eval_df``
    (:func:`~datatest_spark.operators.contamination.decontaminate`),
    as a broadcast/shuffle anti-join on contaminated ids.
-4. **split** — keep the ``keep_split`` assignment of the
+5. **split** — keep the ``keep_split`` assignment of the
    deterministic md5 :func:`~datatest_spark.operators.split.hash_split`.
 
 ``emit="report"`` runs the funnel (each stage frame persisted, counted
@@ -31,7 +39,7 @@ is a pure transformation at 100 TB.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Callable, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +51,8 @@ def curation_funnel(df: DataFrame, eval_df: Optional[DataFrame] = None,
                     text_col: str = "text", id_col: str = "doc_id",
                     valid_predicate: Optional[Column] = None,
                     n: int = 3, min_overlap: int = 1,
+                    near_dedup: Optional[
+                        Callable[[DataFrame], DataFrame]] = None,
                     fractions: Optional[Mapping[str, float]] = None,
                     keep_split: str = "train", salt: str = "",
                     emit: str = "report") -> DataFrame:
@@ -71,6 +81,11 @@ def curation_funnel(df: DataFrame, eval_df: Optional[DataFrame] = None,
         "left_semi")
     stages.append(("dedup_exact", cur, nxt))
     cur = nxt
+
+    if near_dedup is not None:
+        nxt = near_dedup(cur)
+        stages.append(("near_dedup", cur, nxt))
+        cur = nxt
 
     if eval_df is not None:
         from .contamination import decontaminate

@@ -96,6 +96,28 @@ class TestCurationFunnel:
         assert sorted(r["doc_id"] for r in out.collect()) \
             == sorted(d[0] for d in train)
 
+    def test_near_dedup_hook(self, spark):
+        df, ev = self.make_frames(spark)
+        docs, evals = corpus()
+        # the hook prunes every doc_id divisible by 5 — replay agrees
+        got = {r["stage"]: (r["rows_in"], r["rows_out"])
+               for r in curation_funnel(
+                   df, ev,
+                   valid_predicate=(F.col("text").isNotNull()
+                                    & (F.length("text") > 0)
+                                    & (F.col("lang") == "en")),
+                   near_dedup=lambda d: d.where(F.col("doc_id") % 5 != 0),
+                   fractions={"train": 0.9, "val": 0.1}).collect()}
+        want, _ = replay(docs, evals)
+        assert got["valid"] == want["valid"]
+        assert got["dedup_exact"] == want["dedup_exact"]
+        n_dedup = want["dedup_exact"][1]
+        assert got["near_dedup"][0] == n_dedup
+        assert got["near_dedup"][1] < n_dedup
+        assert got["decontaminate"][0] == got["near_dedup"][1]
+        assert list(got) == ["valid", "dedup_exact", "near_dedup",
+                             "decontaminate", "split_train"]
+
     def test_optional_stages_skipped(self, spark):
         df, _ = self.make_frames(spark)
         got = [r["stage"] for r in curation_funnel(df).collect()]
