@@ -585,6 +585,36 @@ def q_segment_plan(spark, sf_dir):
                         max_chunks=8)
 
 
+def q_audio_weighted_sample(spark, sf_dir):
+    """Quality-proportional sampling on the AUDIO axis: decode-derived
+    keep probability (1 - silence_ratio — mostly-silent clips rarely
+    survive) applied with the deterministic md5 predicate.  One Arrow
+    decode pass feeds weighted_sample directly; the engine-portable
+    predicate means the identical clip set survives on any MD5 engine.
+    Oracle: the independent-decode feature VALUES
+    (oracles.audio_features_rows — bit-exact silence_ratio) filtered
+    by weighted_sample's own SQL twin."""
+    from datatest_spark.audio import audio_features
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators import weighted_sample
+
+    feats = audio_features(audio_clips_df(spark, 2000, parts=4))
+    w = F.lit(1.0) - F.col("silence_ratio")
+    return (weighted_sample(feats.where(F.col("ok")), w, "clip_id")
+            .select("clip_id", "silence_ratio"))
+
+
+def _audio_weighted_sample_sql() -> str:
+    from datatest_spark.operators import weighted_sample_sql_pred
+
+    pred = weighted_sample_sql_pred("1.0 - silence_ratio", "clip_id")
+    return f"""
+    SELECT clip_id, silence_ratio
+    FROM ({_oracles.audio_features_sql(n=2000, parts=4)})
+    WHERE ok AND {pred}
+    """
+
+
 def q_audio_packing(spark, sf_dir):
     """Duration-budget packing of the training-window segment grid:
     segment_plan chunks, sharded by the first md5 hex char of clip_id
@@ -2422,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders": q_reconcile_orders,
         "segment_plan": q_segment_plan,
         "audio_packing": q_audio_packing,
+        "audio_weighted_sample": q_audio_weighted_sample,
         "schema_contract": q_schema_contract,
         "quarantine_rows": q_quarantine_rows,
         "tdigest_profile": q_tdigest_profile,
@@ -3364,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
             n=2000, window_ms=2000, hop_ms=1000, min_ms=200,
             max_chunks=8, budget_ms=30_000
         ),
+        "audio_weighted_sample": _audio_weighted_sample_sql(),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "audio_semantic_dedup": _oracles.audio_semantic_dedup_sql(
