@@ -102,6 +102,45 @@ class TestMixture:
         assert weighted_sample(df, F.lit(-1.0), "doc_id").count() == 0
 
 
+class TestMixtureProperties:
+    """Water-filling invariants under arbitrary weight vectors."""
+
+    def test_invariants_across_weightings(self, spark):
+        df = spark.createDataFrame(
+            corpus(), "doc_id long, text string, lang string")
+        cases = [
+            {"en": 0.9, "fr": 0.1},
+            {"en": 0.25, "fr": 0.25, "zh": 0.25, "de": 0.25},
+            {"zh": 1.0},
+            {"en": 0.34, "fr": 0.33, "zh": 0.33},
+        ]
+        avail = {r["lang"]: r["n"] for r in
+                 df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for weights in cases:
+            rows = mixture_plan(df, "lang", weights).collect()
+            got = {r["stratum"]: r for r in rows}
+            # every observed and every weighted stratum is audited
+            assert set(got) == set(avail) | set(weights)
+            n_total = min(avail.get(s, 0) / w for s, w in weights.items())
+            for s, r in got.items():
+                # take never exceeds availability (floor(w*N) <= avail)
+                assert 0 <= r["take"] <= r["available"]
+                assert r["take"] == math.floor(
+                    weights.get(s, 0.0) * n_total)
+            # the realized mixture is exact up to floor rounding
+            taken = sum(r["take"] for r in rows)
+            assert taken <= n_total + len(weights)
+            # sample size matches the plan in expectation: kept ids are
+            # a subset of the stratum and deterministic across calls
+            s1 = sorted(r["doc_id"] for r in
+                        mixture_sample(df, "lang", "doc_id", weights)
+                        .collect())
+            s2 = sorted(r["doc_id"] for r in
+                        mixture_sample(df, "lang", "doc_id", weights)
+                        .collect())
+            assert s1 == s2
+
+
 def shingles(text, n=3):
     w = text.split(" ")
     k = max(len(w) - n + 1, 1)
