@@ -22,7 +22,8 @@ Stage semantics (each optional, in fixed order):
    :func:`~datatest_spark.operators.semantic.semantic_dedup`, or any
    custom pruner; the funnel reports its attrition like every other
    stage.  Must be a pure transformation (no actions) for
-   ``emit="data"`` to stay lazy.
+   ``emit="data"`` to stay lazy, and must preserve ``id_col`` (report
+   mode joins survivors back by id).
 4. **decontaminate** — drop rows sharing ≥ ``min_overlap`` distinct
    word n-grams with ``eval_df``
    (:func:`~datatest_spark.operators.contamination.decontaminate`),
@@ -30,8 +31,10 @@ Stage semantics (each optional, in fixed order):
 5. **split** — keep the ``keep_split`` assignment of the
    deterministic md5 :func:`~datatest_spark.operators.split.hash_split`.
 
-``emit="report"`` runs the funnel (each stage frame persisted, counted
-once, then released) and returns the tiny stage-count frame;
+``emit="report"`` counts every stage boundary in ONE aggregate action
+over cumulative per-row survival flags — no full stage frame is ever
+persisted (caching N copies of a 100 TB corpus is the scale hazard
+the flag form removes) — and returns the tiny stage-count frame;
 ``emit="data"`` returns the final clean DataFrame fully lazily — no
 action, no persist, so it composes into a larger plan and the funnel
 is a pure transformation at 100 TB.
@@ -110,20 +113,75 @@ def curation_funnel(df: DataFrame, eval_df: Optional[DataFrame] = None,
         return cur
 
     spark = df.sparkSession
-    # count each stage boundary exactly once: persist every stage
-    # output (cache-manager plan matching makes the next stage's count
-    # read it instead of recomputing the chain), count in order,
-    # release after the report frame is materialized
-    persisted = []
+    # report mode: mark each row with a cumulative per-stage survival
+    # flag and count every boundary in ONE aggregate action — never a
+    # persist of a full stage frame (caching N copies of a 100 TB
+    # corpus is the scale hazard; the stage-defining side frames —
+    # dedup keys, near-dup survivors, contaminated ids — are joined in
+    # as flags instead, the same joins the staged chain runs, minus
+    # the materializations).  Side subplans re-scan the pruned input
+    # where the persisted chain would have read cache; at scale,
+    # pushed-down column-pruned scans beat corpus-sized cache churn.
+    flag = F.lit(True)
+    marked = df
+    flag_cols = []  # (stage_name, flag_col_name)
+
+    def add_stage(name, fr, fl):
+        col = f"__f{len(flag_cols)}"
+        flag_cols.append((name, col))
+        return fr.withColumn(col, fl), F.col(col)
+
+    for name, before, after in stages:
+        if name == "valid":
+            marked, flag = add_stage(name, marked,
+                                     flag & valid_predicate)
+        elif name == "dedup_exact":
+            # `keys` closes over the valid-filtered frame; a row joins
+            # its group's min SURVIVING id, so the flag needs no extra
+            # validity guard (ids are unique — see semantic_dedup's
+            # precondition note)
+            marked = marked.join(
+                keys,
+                (F.xxhash64(F.col(text_col)) == F.col("__h"))
+                & (F.length(text_col) == F.col("__l"))
+                & (F.col(id_col) == F.col("__keep")),
+                "left")
+            marked, flag = add_stage(
+                name, marked, flag & F.col("__keep").isNotNull())
+            marked = marked.drop("__h", "__l", "__keep")
+        elif name == "near_dedup":
+            survivors = (after.select(F.col(id_col).alias("__nd_id"))
+                         .distinct())
+            marked = marked.join(
+                survivors, marked[id_col] == F.col("__nd_id"), "left")
+            marked, flag = add_stage(
+                name, marked, flag & F.col("__nd_id").isNotNull())
+            marked = marked.drop("__nd_id")
+        elif name == "decontaminate":
+            cont = contaminated.select(F.col(id_col).alias("__ct_id"))
+            marked = marked.join(
+                cont, marked[id_col] == F.col("__ct_id"), "left")
+            marked, flag = add_stage(
+                name, marked, flag & F.col("__ct_id").isNull())
+            marked = marked.drop("__ct_id")
+        else:  # split_<keep_split>
+            from .split import hash_split
+
+            marked = hash_split(marked, id_col, fractions, salt=salt,
+                                split_col="__sp")
+            marked, flag = add_stage(
+                name, marked, flag & (F.col("__sp") == keep_split))
+            marked = marked.drop("__sp")
+
+    agg_row = marked.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[F.sum(F.col(c).cast("long")).alias(c) for _n, c in flag_cols],
+    ).collect()[0]
     rows = []
-    prev_count = stages[0][1].count()  # the funnel's input size
-    for name, _before, after in stages:
-        persisted.append(after.persist())
-        n_out = after.count()
-        rows.append((name, int(prev_count), int(n_out)))
-        prev_count = n_out
-    out = spark.createDataFrame(
+    prev = int(agg_row["__total"])
+    for name, col in flag_cols:
+        n_out = int(agg_row[col] or 0)
+        rows.append((name, prev, n_out))
+        prev = n_out
+    return spark.createDataFrame(
         rows, "stage string, rows_in long, rows_out long")
-    for p in persisted:
-        p.unpersist()
-    return out
