@@ -2109,6 +2109,52 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).select("text")
 
 
+def q_streaming_audio_dedup(spark, sf_dir):
+    """All-of-history AUDIO content dedup in the stream (both graft
+    axes in the stateful path): the fixture clips streamed
+    file-per-batch, deduplicated on the raw container bytes via
+    applyInPandasWithState — each distinct byte content is emitted
+    exactly once across the whole stream, state is ~20 bytes per
+    distinct content, never the audio itself.  The emitted CONTENT
+    set is batch-order-independent, so the query returns
+    (sha256(bytes), length) rows; oracle: independent fixture replay
+    with hashlib (oracles.streaming_audio_dedup_rows) — no xxhash in
+    the replay path."""
+    import os
+    import tempfile
+
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.streaming import streaming_dedup
+
+    src = audio_clips_df(spark, 1000, parts=4).select(
+        "clip_id", "bytes", "part_id")
+    tmp = tempfile.mkdtemp(prefix="dts_sadedup_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    for p in range(4):
+        (src.where(F.col("part_id") == p).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_dedup(stream, "bytes", id_col="clip_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        F.sha2("bytes", 256).alias("content_sha"),
+        F.length("bytes").alias("n_bytes"),
+    )
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Watermarked windowed streaming profile (streaming/windowed.py):
     per-day x event_type counts + value sum/min/max over the events
@@ -2430,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "streaming_audio": q_streaming_audio,
+        "streaming_audio_dedup": q_streaming_audio_dedup,
         "decontaminate_neardup": q_decontaminate_neardup,
         "audio_analysis": q_audio_analysis,
         "canonical_by_quality": q_canonical_by_quality,
@@ -3417,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_neardup": _oracles.decontaminate_neardup_sql(
             min_jaccard=0.3),
         "streaming_audio": _oracles.streaming_audio_sql(n=1000, parts=4),
+        "streaming_audio_dedup": _oracles.streaming_audio_dedup_sql(n=1000),
         "dedup_clusters": _oracles.dedup_clusters_sql(
             n=2, min_jaccard=0.1, max_df=1000),
         "ngram_jaccard": _oracles.ngram_jaccard_sql(

@@ -1777,3 +1777,29 @@ def audio_packing_sql(n: int = 2000, window_ms: int = 2000,
         ["shard", "bin_id", "n_chunks", "total_ms"],
         ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
     )
+
+
+def streaming_audio_dedup_rows(n: int = 1000) -> tuple:
+    """Expected distinct-content set of the streaming audio dedup:
+    one (sha256, byte-length) row per distinct container byte string
+    in the first ``n`` fixture clips — an independent replay (fixture
+    closed form + hashlib), no xxhash involved."""
+    import hashlib
+
+    from datatest_spark.fixtures import clip_params, synth_clip_bytes
+
+    seen = {}
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        buf = synth_clip_bytes(src)
+        seen[hashlib.sha256(buf).hexdigest()] = len(buf)
+    return tuple(sorted(seen.items()))
+
+
+def streaming_audio_dedup_sql(n: int = 1000) -> str:
+    return values_sql(
+        streaming_audio_dedup_rows(n),
+        ["content_sha", "n_bytes"],
+        ["VARCHAR", "BIGINT"],
+    )
