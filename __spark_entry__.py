@@ -2105,7 +2105,10 @@ def q_streaming_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s — "
+                           "refusing to read a partial output set")
     return spark.read.parquet(out_dir).select("text")
 
 
@@ -2127,14 +2130,16 @@ def q_streaming_audio_dedup(spark, sf_dir):
     from datatest_spark.streaming import streaming_dedup
 
     src = audio_clips_df(spark, 1000, parts=4).select(
-        "clip_id", "bytes", "part_id")
+        "clip_id", "bytes", "part_id").persist()
     tmp = tempfile.mkdtemp(prefix="dts_sadedup_")
     in_dir = os.path.join(tmp, "in")
     out_dir = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
+    # persist: one fixture-synthesis pass feeds all four staged files
     for p in range(4):
         (src.where(F.col("part_id") == p).coalesce(1)
          .write.mode("append").parquet(in_dir))
+    src.unpersist()
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2148,7 +2153,10 @@ def q_streaming_audio_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s — "
+                           "refusing to read a partial output set")
     return spark.read.parquet(out_dir).select(
         F.sha2("bytes", 256).alias("content_sha"),
         F.length("bytes").alias("n_bytes"),
@@ -2200,7 +2208,10 @@ def q_streaming_windowed(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s — "
+                           "refusing to read a partial output set")
     return spark.read.parquet(out_dir)
 
 
@@ -2240,7 +2251,10 @@ def q_streaming_drift(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300s — "
+                           "refusing to read a partial output set")
     scored = windowed_drift_psi(
         spark.read.parquet(out_dir),
         baseline_props=[0.25, 0.25, 0.25, 0.25], threshold=0.05,

@@ -158,6 +158,8 @@ def curation_funnel(df: DataFrame, eval_df: Optional[DataFrame] = None,
                 name, marked, flag & F.col("__nd_id").isNotNull())
             marked = marked.drop("__nd_id")
         elif name == "decontaminate":
+            # contaminated ids are unique by construction (decontaminate
+            # groups by id_col), so this left join cannot fan out
             cont = contaminated.select(F.col(id_col).alias("__ct_id"))
             marked = marked.join(
                 cont, marked[id_col] == F.col("__ct_id"), "left")

@@ -41,6 +41,7 @@ def main():
 
     results = {}
     violations = []
+    errors = []
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, SF_DIR)
@@ -48,8 +49,10 @@ def main():
                         .ExplainMode.fromString("formatted"))
             plan = df._jdf.queryExecution().explainString(jvm_mode)
         except Exception as e:  # noqa: BLE001 - audit must cover all
+            # "could not audit" is NOT "compiled BatchEvalPython" —
+            # kept in a separate list (both fail the exit code)
             results[name] = {"err": f"{type(e).__name__}: {e}"}
-            violations.append(name)
+            errors.append(name)
             continue
         # formatted mode lists each operator once as "(N) Op"
         ops = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
@@ -74,14 +77,15 @@ def main():
         "batch_eval_python_total": sum(
             r.get("batch_eval_python", 0) for r in results.values()),
         "violations": violations,
+        "errors": errors,
         "per_entry": results,
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"wrote {out_path}: {len(results)} entries, "
-          f"violations={violations}")
+          f"violations={violations}, errors={errors}")
     spark.stop()
-    sys.exit(1 if violations else 0)
+    sys.exit(1 if violations or errors else 0)
 
 
 if __name__ == "__main__":

@@ -127,18 +127,25 @@ class TestMixtureProperties:
                 assert 0 <= r["take"] <= r["available"]
                 assert r["take"] == math.floor(
                     weights.get(s, 0.0) * n_total)
-            # the realized mixture is exact up to floor rounding
-            taken = sum(r["take"] for r in rows)
-            assert taken <= n_total + len(weights)
-            # sample size matches the plan in expectation: kept ids are
-            # a subset of the stratum and deterministic across calls
-            s1 = sorted(r["doc_id"] for r in
-                        mixture_sample(df, "lang", "doc_id", weights)
-                        .collect())
-            s2 = sorted(r["doc_id"] for r in
-                        mixture_sample(df, "lang", "doc_id", weights)
-                        .collect())
-            assert s1 == s2
+            # the sample equals the integer-predicate replay exactly,
+            # per stratum (not just deterministic): kept ids are a
+            # subset of their stratum and strata with take=0 keep none
+            kept = {}
+            for r in (mixture_sample(df, "lang", "doc_id", weights)
+                      .collect()):
+                kept.setdefault(r["lang"], set()).add(r["doc_id"])
+            by_lang = {}
+            for i, _t, lang in corpus():
+                by_lang.setdefault(lang, set()).add(i)
+            for s, r in got.items():
+                want_ids = {
+                    i for i in by_lang.get(s, set())
+                    if bucket(i) * r["available"] < r["take"] * 65536
+                }
+                assert kept.get(s, set()) == want_ids, (weights, s)
+                assert kept.get(s, set()) <= by_lang.get(s, set())
+                if r["take"] == 0:
+                    assert s not in kept
 
 
 def shingles(text, n=3):
