@@ -1812,6 +1812,60 @@ def _mixture_sample_sql() -> str:
     """
 
 
+def q_mixture_tokens(spark, sf_dir):
+    """TOKEN-budget strict mixture (the unit real mixtures are
+    specified in): available = per-lang total n_chars, N and take in
+    characters; the same hash predicate keeps rows with probability
+    take/available so expected kept size hits the budget.  Returns the
+    plan plus the realized kept-size per stratum so the oracle checks
+    BOTH the water-filling arithmetic and the sampled row set."""
+    from datatest_spark.operators import mixture_plan, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, "lang", _MIXTURE_WEIGHTS,
+                        size_col="n_chars")
+    kept = (mixture_sample(docs, "lang", "doc_id", _MIXTURE_WEIGHTS,
+                           size_col="n_chars")
+            .groupBy("lang")
+            .agg(F.sum(F.col("n_chars").cast("long")).alias("kept_size"),
+                 F.count("*").alias("kept_rows")))
+    return (plan.join(kept, plan["stratum"] == kept["lang"], "left")
+            .select("stratum", "available", "weight", "take",
+                    F.coalesce("kept_size",
+                               F.lit(0).cast("long")).alias("kept_size"),
+                    F.coalesce("kept_rows",
+                               F.lit(0).cast("long")).alias("kept_rows")))
+
+
+def _mixture_tokens_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIXTURE_WEIGHTS.items())
+    return f"""
+    WITH avail AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+                   FROM documents GROUP BY lang),
+    w (lang, weight) AS (VALUES {vals}),
+    j AS (SELECT coalesce(avail.lang, w.lang) AS stratum,
+                 coalesce(available, 0) AS available,
+                 CAST(coalesce(weight, 0.0) AS DOUBLE) AS weight
+          FROM avail FULL OUTER JOIN w ON avail.lang = w.lang),
+    n AS (SELECT min(available / weight) AS n_total FROM j
+          WHERE weight > 0),
+    plan AS (SELECT stratum, available, weight,
+                    CAST(floor(weight * n_total) AS BIGINT) AS take
+             FROM j, n),
+    kept AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS kept_size,
+                    count(*) AS kept_rows
+             FROM documents JOIN plan ON lang = plan.stratum
+             WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS
+                   VARCHAR) || ''), 1, 4)) AS INTEGER) AS BIGINT)
+                   * available < take * 65536
+             GROUP BY lang)
+    SELECT stratum, available, weight, take,
+           coalesce(kept_size, 0) AS kept_size,
+           coalesce(kept_rows, 0) AS kept_rows
+    FROM plan LEFT JOIN kept ON plan.stratum = kept.lang
+    """
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional deterministic sampling: keep a document
     with probability least(length(text),400)/400 — longer documents
@@ -2488,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "mixture_tokens": q_mixture_tokens,
         "weighted_sample": q_weighted_sample,
         "streaming_audio": q_streaming_audio,
         "streaming_audio_dedup": q_streaming_audio_dedup,
@@ -2878,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap": _CORPUS_OVERLAP_SQL,
         "mixture_plan": _mixture_plan_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "mixture_tokens": _mixture_tokens_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "semantic_dedup": """
             WITH anch AS (

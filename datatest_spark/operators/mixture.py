@@ -43,7 +43,7 @@ discipline as hash_split.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,7 +73,8 @@ def bucket_int_sql(id_expr: str, salt: str = "") -> str:
 
 
 def _plan(df: DataFrame, strata_col: str,
-          weights: Mapping[str, float]) -> DataFrame:
+          weights: Mapping[str, float],
+          size_col: Optional[str] = None) -> DataFrame:
     spark = df.sparkSession
     total_w = sum(weights.values())
     if abs(total_w - 1.0) > 1e-9:
@@ -85,7 +86,12 @@ def _plan(df: DataFrame, strata_col: str,
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in weights.items()],
         f"{strata_col} string, weight double")
-    avail = df.groupBy(strata_col).agg(F.count("*").alias("available"))
+    # size_col switches the budget unit from rows to a per-row size
+    # (tokens, n_chars, dur_ms): the mixture real pipelines specify —
+    # token-hours, not document counts
+    size = (F.count("*") if size_col is None
+            else F.sum(F.col(size_col).cast("long")))
+    avail = df.groupBy(strata_col).agg(size.alias("available"))
     # full outer: observed-but-unweighted strata get weight 0 (audit
     # row, dropped by the mixture); weighted-but-absent strata get
     # available 0, which forces N = min(0 / w) = 0 — the honest
@@ -109,23 +115,40 @@ def _plan(df: DataFrame, strata_col: str,
 
 
 def mixture_plan(df: DataFrame, strata_col: str,
-                 weights: Mapping[str, float]) -> DataFrame:
+                 weights: Mapping[str, float],
+                 size_col: Optional[str] = None) -> DataFrame:
     """One audit row per observed-or-weighted stratum: ``(stratum,
     available, weight, take)`` — the strict-mixture water-filling plan
     (module docstring).  Strata not in ``weights`` get weight 0 /
     take 0; a weighted stratum with no data forces ``take = 0``
-    everywhere (the strict mixture is empty)."""
-    return _plan(df, strata_col, weights)
+    everywhere (the strict mixture is empty).
+
+    ``size_col`` switches the budget unit from ROW COUNTS to a per-row
+    size column (token count, ``n_chars``, ``dur_ms``): ``available``
+    becomes the stratum's total size and ``take`` the size budget the
+    mixture allots it — the form real training mixtures are specified
+    in (tokens / audio hours, not document counts)."""
+    return _plan(df, strata_col, weights, size_col=size_col)
 
 
 def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
                    weights: Mapping[str, float],
-                   salt: str = "") -> DataFrame:
+                   salt: str = "",
+                   size_col: Optional[str] = None) -> DataFrame:
     """Rows of ``df`` surviving the strict-mixture plan: a row is kept
     iff ``bucket * available < take * 65536`` for its stratum (int64
     arithmetic end-to-end; see module docstring).  Expectation-exact
-    per-stratum proportions; append-stable; salt re-rolls the draw."""
-    plan = _plan(df, strata_col, weights).withColumnRenamed(
+    per-stratum proportions; append-stable; salt re-rolls the draw.
+
+    With ``size_col`` the plan budgets SIZE (see :func:`mixture_plan`);
+    the same hash predicate then keeps each stratum's rows with
+    probability ``take/available``, so the kept rows' expected total
+    size equals the stratum's size budget (the md5 bucket is
+    independent of row size by construction).  Exact-to-the-unit size
+    quotas would need a per-stratum ordered scan — the wrong trade at
+    10^12 rows, exactly as for row quotas."""
+    plan = _plan(df, strata_col, weights,
+                 size_col=size_col).withColumnRenamed(
         "stratum", strata_col)
     b = bucket_int(F.col(id_col), salt)
     return (df.join(F.broadcast(plan.select(strata_col, "available",

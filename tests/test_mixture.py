@@ -85,6 +85,28 @@ class TestMixture:
         with pytest.raises(ValueError, match="positive"):
             mixture_plan(df, "lang", {"en": 1.2, "fr": -0.2})
 
+    def test_size_budget_plan_and_sample(self, spark):
+        df = self.make(spark)
+        sizes = {}
+        for i, t, lang in corpus():
+            sizes[lang] = sizes.get(lang, 0) + len(t)
+        n_total = min(sizes.get(s, 0) / w for s, w in WEIGHTS.items())
+        plan = {r["stratum"]: (r["available"], r["take"]) for r in
+                mixture_plan(df.withColumn("sz", F.length("text")),
+                             "lang", WEIGHTS, size_col="sz").collect()}
+        for s in set(sizes) | set(WEIGHTS):
+            assert plan[s] == (sizes.get(s, 0),
+                               math.floor(WEIGHTS.get(s, 0.0) * n_total))
+        # sample: same integer predicate, size-valued available/take
+        kept = sorted(r["doc_id"] for r in mixture_sample(
+            df.withColumn("sz", F.length("text")), "lang", "doc_id",
+            WEIGHTS, size_col="sz").collect())
+        want = sorted(
+            i for i, t, lang in corpus()
+            if bucket(i) * plan[lang][0] < plan[lang][1] * 65536
+        )
+        assert kept == want and kept
+
     def test_weighted_sample(self, spark):
         df = self.make(spark)
         w = F.least(F.length("text"), F.lit(40)) / F.lit(40.0)
