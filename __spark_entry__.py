@@ -615,6 +615,23 @@ def _audio_weighted_sample_sql() -> str:
     """
 
 
+def q_audio_mixture(spark, sf_dir):
+    """AUDIO-HOURS strict mixture: water-filling per codec over the
+    declared dur_ms column (the unit an audio training mixture is
+    specified in) — available/take are total milliseconds; the
+    fixture's invalid codec values surface as weight-0 audit rows
+    instead of disappearing.  Oracle: independent fixture replay of
+    the per-codec duration sums + the same arithmetic
+    (oracles.audio_mixture_rows)."""
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators import mixture_plan
+
+    clips = audio_clips_df(spark, 2000, parts=4)
+    return mixture_plan(clips, "codec",
+                        {"pcm_s16le": 0.6, "flac": 0.25, "opus": 0.15},
+                        size_col="dur_ms")
+
+
 def q_audio_packing(spark, sf_dir):
     """Duration-budget packing of the training-window segment grid:
     segment_plan chunks, sharded by the first md5 hex char of clip_id
@@ -2568,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders": q_reconcile_orders,
         "segment_plan": q_segment_plan,
         "audio_packing": q_audio_packing,
+        "audio_mixture": q_audio_mixture,
         "audio_weighted_sample": q_audio_weighted_sample,
         "schema_contract": q_schema_contract,
         "quarantine_rows": q_quarantine_rows,
@@ -3513,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
             max_chunks=8, budget_ms=30_000
         ),
         "audio_weighted_sample": _audio_weighted_sample_sql(),
+        "audio_mixture": _oracles.audio_mixture_sql(n=2000),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "audio_semantic_dedup": _oracles.audio_semantic_dedup_sql(

@@ -1803,3 +1803,40 @@ def streaming_audio_dedup_sql(n: int = 1000) -> str:
         ["content_sha", "n_bytes"],
         ["VARCHAR", "BIGINT"],
     )
+
+
+def audio_mixture_rows(n: int = 2000,
+                       weights=(("pcm_s16le", 0.6), ("flac", 0.25),
+                                ("opus", 0.15))) -> tuple:
+    """Expected audio-hours mixture plan over the fixture's DECLARED
+    codec/dur_ms columns: available = per-codec sum of declared dur_ms
+    (poisoned values included — the plan audits what the column says),
+    N = min(available/weight), take = floor(weight * N); codecs
+    outside the weight map (including the injected invalid values) are
+    audited with weight 0 / take 0."""
+    import math
+
+    from datatest_spark.fixtures import clip_params
+
+    wmap = dict(weights)
+    avail = {}
+    for i in range(n):
+        p = clip_params(i)
+        if p.dup_of is not None:  # dup rows carry the SOURCE's
+            p = clip_params(p.dup_of)  # declared codec + duration
+        avail[p.codec] = avail.get(p.codec, 0) + p.decl_dur_ms
+    n_total = min(avail.get(c, 0) / w for c, w in wmap.items())
+    strata = set(avail) | set(wmap)
+    return tuple(sorted(
+        (c, avail.get(c, 0), float(wmap.get(c, 0.0)),
+         math.floor(wmap.get(c, 0.0) * n_total))
+        for c in strata
+    ))
+
+
+def audio_mixture_sql(n: int = 2000) -> str:
+    return values_sql(
+        audio_mixture_rows(n),
+        ["stratum", "available", "weight", "take"],
+        ["VARCHAR", "BIGINT", "DOUBLE", "BIGINT"],
+    )
