@@ -615,6 +615,48 @@ def _audio_weighted_sample_sql() -> str:
     """
 
 
+def q_audio_corpus_overlap(spark, sf_dir):
+    """Content-identity overlap between two audio snapshots (even vs
+    odd clip index): distinct container byte contents per side keyed
+    by (xxhash64, salted xxhash64, length) — ~128-bit identity, the
+    streaming_dedup key discipline — ONE full-outer join + one
+    3-long aggregate, the corpus_overlap shape with whole-content
+    identity instead of shingles.  Audio bytes never shuffle: each
+    side reduces to 20-byte keys at the scan.  Oracle: independent
+    hashlib replay over the fixture (oracles.audio_corpus_overlap_rows)."""
+    from datatest_spark.fixtures import audio_clips_df
+
+    clips = audio_clips_df(spark, 2000, parts=4)
+    # even/odd of the SOURCE index: clip_id carries it (dup rows share
+    # the source's id), so engine and oracle split identically
+    idx = F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+
+    def side(par):
+        return (clips.where(idx % 2 == par)
+                .select(F.xxhash64("bytes").alias("h1"),
+                        F.xxhash64(F.lit("aco"), F.col("bytes")).alias("h2"),
+                        F.length("bytes").alias("l"))
+                .distinct()
+                .withColumn(f"_s{par}", F.lit(1)))
+
+    j = side(0).join(side(1), ["h1", "h2", "l"], "full_outer")
+    in_a = F.col("_s0").isNotNull()
+    in_b = F.col("_s1").isNotNull()
+    c = j.agg(
+        F.sum(in_a.cast("long")).alias("contents_a"),
+        F.sum(in_b.cast("long")).alias("contents_b"),
+        F.sum((in_a & in_b).cast("long")).alias("contents_common"),
+    )
+    common = F.col("contents_common")
+    return c.select(
+        "contents_a", "contents_b", "contents_common",
+        (common / (F.col("contents_a") + F.col("contents_b") - common)
+         ).alias("jaccard"),
+        (common / F.col("contents_a")).alias("containment_a"),
+        (common / F.col("contents_b")).alias("containment_b"),
+    )
+
+
 def q_audio_mixture(spark, sf_dir):
     """AUDIO-HOURS strict mixture: water-filling per codec over the
     declared dur_ms column (the unit an audio training mixture is
@@ -2586,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_plan": q_segment_plan,
         "audio_packing": q_audio_packing,
         "audio_mixture": q_audio_mixture,
+        "audio_corpus_overlap": q_audio_corpus_overlap,
         "audio_weighted_sample": q_audio_weighted_sample,
         "schema_contract": q_schema_contract,
         "quarantine_rows": q_quarantine_rows,
@@ -3532,6 +3575,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_weighted_sample": _audio_weighted_sample_sql(),
         "audio_mixture": _oracles.audio_mixture_sql(n=2000),
+        "audio_corpus_overlap": _oracles.audio_corpus_overlap_sql(n=2000),
         "audio_neardup": _oracles.audio_neardup_sql(n=600, parts=4),
         "audio_knn": _oracles.audio_knn_sql(n=600, k=5),
         "audio_semantic_dedup": _oracles.audio_semantic_dedup_sql(

@@ -1840,3 +1840,39 @@ def audio_mixture_sql(n: int = 2000) -> str:
         ["stratum", "available", "weight", "take"],
         ["VARCHAR", "BIGINT", "DOUBLE", "BIGINT"],
     )
+
+
+def audio_corpus_overlap_rows(n: int = 2000) -> tuple:
+    """Expected content-identity overlap between the even- and
+    odd-index halves of the fixture clips: distinct container byte
+    strings per side (dup rows inherit the source bytes), common
+    count, Jaccard and directional containments — an independent
+    hashlib replay of the engine's xxhash64-keyed set algebra."""
+    import hashlib
+
+    from datatest_spark.fixtures import clip_params, synth_clip_bytes
+
+    sides = ({}, {})
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        d = hashlib.sha256(synth_clip_bytes(src)).hexdigest()
+        # side by SOURCE index parity: clip_id carries the source
+        # index (dup rows share the source's id), so this is exactly
+        # the split the engine derives from the clip_id suffix
+        sides[src % 2][d] = True
+    a, b = set(sides[0]), set(sides[1])
+    common = len(a & b)
+    return ((len(a), len(b), common,
+             common / len(a | b),
+             common / len(a),
+             common / len(b)),)
+
+
+def audio_corpus_overlap_sql(n: int = 2000) -> str:
+    return values_sql(
+        audio_corpus_overlap_rows(n),
+        ["contents_a", "contents_b", "contents_common",
+         "jaccard", "containment_a", "containment_b"],
+        ["BIGINT", "BIGINT", "BIGINT", "DOUBLE", "DOUBLE", "DOUBLE"],
+    )
