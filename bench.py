@@ -78,6 +78,9 @@ HEADLINE = [
     "pipeline_stages",
     "corpus_overlap",
     "mixture_sample",
+    "mixture_tokens",
+    "audio_mixture",
+    "audio_corpus_overlap",
 ]
 
 
