@@ -31,6 +31,13 @@ Stage semantics (each optional, in fixed order):
 5. **split** — keep the ``keep_split`` assignment of the
    deterministic md5 :func:`~datatest_spark.operators.split.hash_split`.
 
+Reference lineage: the reference validates and *reports* (datatest's
+validate()/ValidationError, /root/reference/datatest/validation.py);
+it has no curation pipeline.  The funnel extends that evidence-first
+discipline — every stage emits auditable counts the way validate()
+emits difference rows — to the dedup/decontaminate/split composition
+a training pipeline runs around the validation step.
+
 ``emit="report"`` counts every stage boundary in ONE aggregate action
 over cumulative per-row survival flags — no full stage frame is ever
 persisted (caching N copies of a 100 TB corpus is the scale hazard
