@@ -123,6 +123,34 @@ class TestCurationFunnel:
         got = [r["stage"] for r in curation_funnel(df).collect()]
         assert got == ["dedup_exact"]
 
+    def test_report_agrees_with_data_mode_across_configs(self, spark):
+        """The flag-aggregate report and the staged data frame must
+        agree on the final count for every stage combination."""
+        df, ev = self.make_frames(spark)
+        valid = (F.col("text").isNotNull() & (F.length("text") > 0)
+                 & (F.col("lang") == "en"))
+        hook = lambda d: d.where(F.col("doc_id") % 5 != 0)  # noqa: E731
+        configs = [
+            dict(),
+            dict(valid_predicate=valid),
+            dict(eval_df=ev),
+            dict(fractions={"train": 0.8, "rest": 0.2}),
+            dict(valid_predicate=valid, near_dedup=hook),
+            dict(valid_predicate=valid, eval_df=ev, near_dedup=hook,
+                 fractions={"train": 0.8, "rest": 0.2}, salt="s1"),
+        ]
+        for kw in configs:
+            report = curation_funnel(df, **kw).collect()
+            n_data = curation_funnel(df, emit="data", **kw).count()
+            assert report[-1]["rows_out"] == n_data, kw
+            # boundaries chain: each stage's rows_in is the previous
+            # stage's rows_out, starting from the full input
+            prev = df.count()
+            for r in report:
+                assert r["rows_in"] == prev, (kw, r)
+                assert 0 <= r["rows_out"] <= r["rows_in"], (kw, r)
+                prev = r["rows_out"]
+
     def test_bad_emit_rejected(self, spark):
         df, _ = self.make_frames(spark)
         with pytest.raises(ValueError, match="emit"):
