@@ -361,6 +361,36 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_transcript_cer(spark, sf_dir):
+    """ASR transcript fidelity, character level: CER = levenshtein /
+    ref length against the reference manifest — fully JVM
+    (``F.levenshtein`` in codegen over one join).  Oracle: independent
+    pair recompute from the fixture definition, distance + ratio
+    computed by DuckDB's OWN levenshtein implementation."""
+    from datatest_spark.fixtures import (audio_clips_df,
+                                         reference_transcripts_df)
+    from datatest_spark.operators import transcript_cer
+
+    return transcript_cer(
+        audio_clips_df(spark, 2000, parts=4),
+        reference_transcripts_df(spark, 2000, with_pcm_sha=False),
+    )
+
+
+def q_transcript_wer(spark, sf_dir):
+    """Word level: word edit distance via ONE Arrow-batched pandas UDF
+    (vectorized two-row DP), counts and the ratio JVM-side.  Oracle:
+    independent textbook O(mn)-loop DP rendered as typed VALUES."""
+    from datatest_spark.fixtures import (audio_clips_df,
+                                         reference_transcripts_df)
+    from datatest_spark.operators import transcript_wer
+
+    return transcript_wer(
+        audio_clips_df(spark, 2000, parts=4),
+        reference_transcripts_df(spark, 2000, with_pcm_sha=False),
+    )
+
+
 _TWO_SAMPLE_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]
 
 
@@ -2594,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "transcript_cer": q_transcript_cer,
+        "transcript_wer": q_transcript_wer,
         "semantic_dedup": q_semantic_dedup,
         "audio_semantic_dedup": q_audio_semantic_dedup,
         "semantic_recall": q_semantic_recall,
@@ -2845,6 +2877,8 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
     )
     return {
+        "transcript_cer": _oracles.transcript_cer_sql(2000),
+        "transcript_wer": _oracles.transcript_wer_sql(2000),
         "set_orderstatus": f"""
             WITH actual AS (SELECT DISTINCT o_orderstatus AS v FROM orders),
             req AS (SELECT * FROM (VALUES ('O'), ('F'), ('X')) t(v))

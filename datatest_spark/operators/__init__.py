@@ -37,6 +37,13 @@ from .split import (  # noqa: F401
     stratified_sample_sql_pred,
 )
 from .graph import connected_components, dedup_clusters  # noqa: F401
+from .asr import (  # noqa: F401
+    TranscriptFidelityRule,
+    transcript_cer,
+    transcript_fidelity,
+    transcript_wer,
+    word_edit_distance,
+)
 from .funnel import curation_funnel  # noqa: F401
 from .mixture import (  # noqa: F401
     bucket_int,

@@ -1876,3 +1876,72 @@ def audio_corpus_overlap_sql(n: int = 2000) -> str:
          "jaccard", "containment_a", "containment_b"],
         ["BIGINT", "BIGINT", "BIGINT", "DOUBLE", "DOUBLE", "DOUBLE"],
     )
+
+
+# ---------------------------------------------------------------------------
+# ASR transcript fidelity (CER / WER) — independent pair recompute;
+# CER distances come from DuckDB's OWN levenshtein, WER from a plain
+# O(mn)-loop DP (purposely not the engine's vectorized two-row form)
+# ---------------------------------------------------------------------------
+
+
+def _word_dp(a: Sequence[str], b: Sequence[str]) -> int:
+    """Independent unit-cost word edit distance (textbook loops)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+@lru_cache(maxsize=None)
+def transcript_pair_rows(n: int = 2000) -> tuple:
+    """(clip_id, hypothesis, reference) per table row, straight from
+    the fixture parameter definition: dup rows carry the SOURCE row's
+    clip_id AND transcript; the manifest reference is keyed by the
+    underlying source index."""
+    from datatest_spark.fixtures import _transcript_words, clip_params
+
+    rows = []
+    for i in range(n):
+        p = clip_params(i)
+        idx = p.dup_of if p.dup_of is not None else i
+        rows.append((f"clip-{idx:012d}",
+                     clip_params(idx).transcript,
+                     _transcript_words(idx)))
+    return tuple(rows)
+
+
+def transcript_cer_sql(n: int = 2000) -> str:
+    pairs = values_sql(transcript_pair_rows(n),
+                       ["clip_id", "hyp", "ref_t"],
+                       ["VARCHAR", "VARCHAR", "VARCHAR"])
+    return f"""
+        SELECT clip_id,
+               CAST(length(ref_t) AS BIGINT) AS ref_chars,
+               CAST(levenshtein(coalesce(hyp, ''), ref_t) AS BIGINT)
+                   AS char_edits,
+               round(levenshtein(coalesce(hyp, ''), ref_t)
+                     / greatest(length(ref_t), 1), 6) AS cer
+        FROM ({pairs}) AS p
+    """
+
+
+@lru_cache(maxsize=None)
+def transcript_wer_rows(n: int = 2000) -> tuple:
+    rows = []
+    for cid, hyp, ref in transcript_pair_rows(n):
+        rw = len(ref.split())
+        wd = _word_dp((hyp or "").split(), ref.split())
+        rows.append((cid, rw, wd, round(wd / max(rw, 1), 6)))
+    return tuple(rows)
+
+
+def transcript_wer_sql(n: int = 2000) -> str:
+    return values_sql(transcript_wer_rows(n),
+                      ["clip_id", "ref_words", "word_edits", "wer"],
+                      ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE"])

@@ -1,0 +1,181 @@
+"""Transcript CER/WER metric + fidelity-rule tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import fixtures as FX
+from datatest_spark.operators.asr import (
+    TranscriptFidelityRule,
+    transcript_cer,
+    transcript_fidelity,
+    transcript_wer,
+    word_edit_distance,
+)
+from datatest_spark.validation import Engine
+
+N = 2100  # covers the 1%/0.5% transcript injections and a dup row
+
+
+def _ref_edit(a, b):
+    """Independent O(mn) word edit distance (plain dict DP)."""
+    m, n = len(a), len(b)
+    d = {(i, 0): i for i in range(m + 1)}
+    d.update({(0, j): j for j in range(n + 1)})
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[m, n]
+
+
+class TestWordEditDistance:
+    def test_known_cases(self):
+        assert word_edit_distance([], []) == 0
+        assert word_edit_distance(["a"], []) == 1
+        assert word_edit_distance([], ["a", "b"]) == 2
+        assert word_edit_distance(["a", "b", "c"], ["a", "b", "c"]) == 0
+        assert word_edit_distance(["a", "b", "c"], ["a", "x", "c"]) == 1
+        assert word_edit_distance(["a", "b"], ["b", "a"]) == 2
+        assert word_edit_distance(["hello", "world", "zz"],
+                                  ["hello", "world"]) == 1
+
+    def test_matches_reference_dp(self):
+        rng = np.random.RandomState(7)
+        vocab = ["a", "b", "c", "d", "e"]
+        for _ in range(200):
+            a = [vocab[k] for k in rng.randint(0, 5, rng.randint(0, 9))]
+            b = [vocab[k] for k in rng.randint(0, 5, rng.randint(0, 9))]
+            assert word_edit_distance(a, b) == _ref_edit(a, b)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = FX.audio_clips_df(spark, N, parts=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def manifest(spark):
+    df = FX.reference_transcripts_df(spark, N).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _expected_rates():
+    """Independent per-clip expectation from the fixture definition."""
+    import difflib  # noqa: F401  (keep stdlib-only)
+
+    exp = {}
+    for i in range(N):
+        p = FX.clip_params(i)
+        # dup rows reuse the SOURCE row's id AND transcript
+        # (fixtures.audio_clips_df), so they collapse to one entry
+        idx = p.dup_of if p.dup_of is not None else i
+        hyp = FX.clip_params(idx).transcript
+        ref = FX._transcript_words(idx)
+        h = hyp or ""
+        # char-level
+        cd = _ref_edit(list(h), list(ref))
+        # word-level
+        wd = _ref_edit(h.split(), ref.split())
+        exp[f"clip-{idx:012d}"] = (
+            len(ref), cd, round(cd / max(len(ref), 1), 6),
+            len(ref.split()), wd, round(wd / max(len(ref.split()), 1), 6),
+        )
+    return exp
+
+
+class TestTranscriptRates:
+    def test_cer_matches_independent_dp(self, clips, manifest):
+        exp = _expected_rates()
+        got = {r["clip_id"]: r for r in transcript_cer(
+            clips, manifest).collect()}
+        assert set(got) == set(exp)
+        for cid, (rc, cd, cer, _, _, _) in exp.items():
+            assert got[cid]["ref_chars"] == rc, cid
+            assert got[cid]["char_edits"] == cd, cid
+            assert got[cid]["cer"] == pytest.approx(cer, abs=1e-9), cid
+
+    def test_wer_matches_independent_dp(self, clips, manifest):
+        exp = _expected_rates()
+        got = {r["clip_id"]: r for r in transcript_wer(
+            clips, manifest).collect()}
+        assert set(got) == set(exp)
+        for cid, (_, _, _, rw, wd, wer) in exp.items():
+            assert got[cid]["ref_words"] == rw, cid
+            assert got[cid]["word_edits"] == wd, cid
+            assert got[cid]["wer"] == pytest.approx(wer, abs=1e-9), cid
+
+    def test_violations_exist(self, clips, manifest):
+        # the fixture injects ~1% " zz" suffixes, ~0.5% nulls and dups
+        cer = transcript_cer(clips, manifest)
+        n_bad = cer.filter(F.col("cer") > 0).count()
+        assert n_bad > 0
+        n_perfect = cer.filter(F.col("cer") == 0).count()
+        assert n_perfect > n_bad  # most clips match exactly
+
+    def test_null_hyp_is_total_failure(self, clips, manifest):
+        null_ids = [
+            FX.clip_id_for(i) for i in range(N)
+            if FX.clip_params(i).transcript is None
+            and FX.clip_params(i).dup_of is None
+        ]
+        assert null_ids
+        rows = (transcript_cer(clips, manifest)
+                .filter(F.col("clip_id").isin(null_ids)).collect())
+        assert rows and all(r["cer"] == pytest.approx(1.0) for r in rows)
+
+
+class TestFidelityRule:
+    def test_exact_grading_flags_injections(self, spark, clips, manifest):
+        viol = Engine(spark).compile(
+            clips, [transcript_fidelity(manifest, max_cer=0.0)])
+        rows = viol.collect()
+        assert rows
+        assert all(r["rule_id"] == "transcript_cer:cer" for r in rows)
+        assert all(r["diff_type"] == "DEVIATION" for r in rows)
+        exp = _expected_rates()
+        flagged = {r["key"] for r in rows}
+        assert flagged == {cid for cid, e in exp.items() if e[2] > 0}
+        # deviation = cer - 0.0 = cer
+        by_key = {r["key"]: r for r in rows}
+        for cid in flagged:
+            assert by_key[cid]["deviation"] == pytest.approx(
+                exp[cid][2], abs=1e-9)
+            assert by_key[cid]["expected_num"] == 0.0
+
+    def test_threshold_filters(self, spark, clips, manifest):
+        exp = _expected_rates()
+        thr = 0.5
+        viol = Engine(spark).compile(
+            clips, [transcript_fidelity(manifest, max_cer=thr)])
+        flagged = {r["key"] for r in viol.collect()}
+        assert flagged == {cid for cid, e in exp.items() if e[2] > thr}
+
+    def test_noref_rows_surface(self, spark, manifest):
+        extra = FX.audio_clips_df(spark, 50, parts=2).withColumn(
+            "clip_id", F.concat(F.lit("orphan-"), F.col("clip_id")))
+        viol = Engine(spark).compile(
+            extra, [transcript_fidelity(manifest, max_cer=1.0)])
+        rows = viol.collect()
+        assert len(rows) == 50
+        assert all(r["rule_id"] == "transcript_cer:noref" for r in rows)
+        assert all(r["diff_type"] == "INVALID" for r in rows)
+
+    def test_plan_is_jvm_only(self, spark, clips, manifest):
+        from datatest_spark.plans.inspect import explain_str
+
+        viol = Engine(spark).compile(
+            clips, [transcript_fidelity(manifest)])
+        plan = explain_str(viol, "formatted")
+        assert "BatchEvalPython" not in plan
+        # the CER rule adds no Arrow stage (fixture gen is MapInPandas,
+        # which is the table source, not the rule)
+        assert "ArrowEvalPython" not in plan
