@@ -97,8 +97,15 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     deterministic way).  See the module docstring for the 100 TB plan
     shape and the ``broadcast_max`` / ``max_df`` guards.
     """
-    ev = eval_ngram_hashes(eval_df, column, n=n, id_col=id_col,
-                           max_df=max_df)
+    from ..caching import CacheHandle
+    from .dedup import _HANDLES
+
+    handle = CacheHandle(_HANDLES)
+    # persist the eval hash set: the broadcast-decision count and the
+    # overlap join both read it (without this the distinct runs twice)
+    ev = handle.register(
+        eval_ngram_hashes(eval_df, column, n=n, id_col=id_col,
+                          max_df=max_df).persist())
     if ev.count() <= broadcast_max:  # tiny action on the small side
         ev = F.broadcast(ev)
 
@@ -119,7 +126,7 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
     )
-    return (
+    return handle.attach(
         totals.join(overlaps, id_col, "left")
         .select(
             F.col(id_col),

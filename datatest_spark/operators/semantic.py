@@ -21,9 +21,12 @@ Spark-first:
    shuffles during clustering.
 2. **Pairwise-prune within each cluster**: ``applyInPandas`` per
    cluster computes the cosine matrix in float64 blocks and marks a
-   row as a semantic duplicate when some *kept* earlier row (smaller
-   id, or higher quality with ``keep="quality"``) is within
-   ``threshold``.  O(m^2) per cluster is inherent to SemDeDup; the
+   row as a semantic duplicate when some row *earlier in the keep
+   order* (smaller id, or higher quality with ``keep="quality"``) is
+   within ``threshold`` — ANY earlier row, kept or itself a
+   duplicate: dominator sets are then monotone in cluster refinement,
+   which is what makes :func:`semantic_dedup_recall`'s nested-recall
+   measurement sound.  O(m^2) per cluster is inherent to SemDeDup; the
    ``max_cluster_size`` guard fails loudly (raise, never silent
    truncation) when a cluster outgrows the documented bound — the fix
    is more clusters, exactly as in the paper.

@@ -76,6 +76,13 @@ def hash_split(df: DataFrame, id_col: str,
         )
     if not fractions:
         raise ValueError("fractions must not be empty")
+    if any(f <= 0 for f in fractions.values()):
+        # a 0 fraction pushes an intermediate threshold to 0x10000,
+        # whose 5-char hex no longer compares lexicographically with
+        # the 4-char buckets — and an empty split is better spelled by
+        # omitting it
+        raise ValueError("fractions must be positive; omit a split to "
+                         "drop it")
     bucket = split_bucket(F.col(id_col), salt)
     names = list(fractions)
     cum = 0.0
