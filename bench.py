@@ -81,6 +81,8 @@ HEADLINE = [
     "mixture_tokens",
     "audio_mixture",
     "audio_corpus_overlap",
+    "transcript_cer",
+    "transcript_wer",
 ]
 
 

@@ -56,6 +56,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="parquet path of reference transcripts (clip_id, transcript)")
     v.add_argument("--check-snr", action="store_true",
                    help="decode bytes and enforce PCM SNR vs the manifest")
+    v.add_argument("--max-cer", type=float, default=None, metavar="RATE",
+                   help="with --manifest: ALSO grade transcripts by "
+                        "character error rate — DEVIATION rows (deviation "
+                        "= cer - RATE) when CER exceeds RATE, alongside "
+                        "the suite's equality invariant")
     v.add_argument("--partition-col", default="part_id")
     v.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint dir: commit verdicts per partition and "
@@ -103,6 +108,18 @@ def _cmd_validate(args) -> int:
     df = spark.read.parquet(args.table)
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
 
+    extra_rules = None
+    if args.max_cer is not None:
+        if manifest is None:
+            print("--max-cer needs --manifest", file=sys.stderr)
+            return 2
+        from datatest_spark.operators.asr import transcript_fidelity
+
+        ref_col = ("transcript_ref" if "transcript_ref" in manifest.columns
+                   else manifest.columns[-1])
+        extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
+                                           ref_col=ref_col)]
+
     if args.sample is not None:
         from datatest_spark.sampling import sampled_verdicts
 
@@ -110,7 +127,8 @@ def _cmd_validate(args) -> int:
         # plan-kind but sample soundly (each clip is self-contained);
         # cross-row rules (uniqueness) are biased on a sample — the
         # gate treats any hit as a signal, not a rate
-        rules = audio_rules(manifest=manifest, check_snr=args.check_snr)
+        rules = audio_rules(manifest=manifest, check_snr=args.check_snr,
+                            extra_rules=extra_rules)
         if rules:
             gate = sampled_verdicts(
                 df, rules, sample_key="clip_id", fraction=args.sample,
@@ -137,7 +155,8 @@ def _cmd_validate(args) -> int:
         from datatest_spark.plans.checkpoint import run_checkpointed
 
         run = run_checkpointed(
-            df, audio_rules(manifest=manifest, check_snr=args.check_snr),
+            df, audio_rules(manifest=manifest, check_snr=args.check_snr,
+                            extra_rules=extra_rules),
             partition_col=part, checkpoint_dir=args.checkpoint,
             salt_buckets=args.salt_buckets,
         )
@@ -151,6 +170,7 @@ def _cmd_validate(args) -> int:
 
     result = validate_audio_table(
         df, manifest=manifest, check_snr=args.check_snr, partition_col=part,
+        extra_rules=extra_rules,
     )
     violations = result.violations.persist()
     try:
