@@ -52,6 +52,36 @@ class TestWordEditDistance:
             assert word_edit_distance(a, b) == _ref_edit(a, b)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _words = st.lists(st.sampled_from(["a", "b", "c", "ab", "xyz"]),
+                      max_size=12)
+
+    class TestEditDistanceProperties:
+        @given(_words, _words)
+        @settings(max_examples=150, deadline=None)
+        def test_agrees_with_textbook_dp(self, a, b):
+            assert word_edit_distance(a, b) == _ref_edit(a, b)
+
+        @given(_words, _words)
+        @settings(max_examples=100, deadline=None)
+        def test_metric_axioms(self, a, b):
+            d = word_edit_distance(a, b)
+            assert d == word_edit_distance(b, a)          # symmetry
+            assert (d == 0) == (a == b)                   # identity
+            assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+        @given(_words, _words, _words)
+        @settings(max_examples=75, deadline=None)
+        def test_triangle_inequality(self, a, b, c):
+            assert (word_edit_distance(a, c)
+                    <= word_edit_distance(a, b) + word_edit_distance(b, c))
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 @pytest.fixture(scope="module")
 def clips(spark):
     df = FX.audio_clips_df(spark, N, parts=4).cache()
