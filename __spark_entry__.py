@@ -361,6 +361,36 @@ def q_audio_features(spark, sf_dir):
     return audio_features(audio_clips_df(spark, 2000, parts=4))
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """Iceberg capability end-to-end WITHOUT runtime jars: write the
+    documents table as a real Iceberg v2 layout (metadata.json +
+    Avro manifest list + Avro manifests + self-contained parquet data
+    files, all from the public specs via sources/iceberg_lite.py),
+    then read it back through the metadata walk with an identity
+    partition-pruning filter (lang ∈ {en, fr} — files for other langs
+    are dropped BEFORE the scan; the plan is asserted in
+    tests/test_iceberg_lite.py) and aggregate.  Oracle: the same
+    filter+aggregate over the raw parquet — metadata round-trip
+    fidelity is exactly what is being certified."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark.sources import append_iceberg, read_iceberg
+
+    tbl = tempfile.mkdtemp(prefix="icelite-scan-")
+    append_iceberg(_t(spark, sf_dir, "documents"), tbl,
+                   partition_by="lang")
+    df = read_iceberg(spark, tbl,
+                      partition_filters={"lang": ["en", "fr"]})
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def q_transcript_cer(spark, sf_dir):
     """ASR transcript fidelity, character level: CER = levenshtein /
     ref length against the reference manifest — fully JVM
@@ -2624,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "iceberg_scan": q_iceberg_scan,
         "transcript_cer": q_transcript_cer,
         "transcript_wer": q_transcript_wer,
         "semantic_dedup": q_semantic_dedup,
@@ -2877,6 +2908,16 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
     )
     return {
+        "iceberg_scan": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id
+            FROM documents
+            WHERE lang IN ('en', 'fr')
+            GROUP BY lang
+        """,
         "transcript_cer": _oracles.transcript_cer_sql(2000),
         "transcript_wer": _oracles.transcript_wer_sql(2000),
         "set_orderstatus": f"""

@@ -11,3 +11,10 @@ from .readers import (  # noqa: F401
     working_dir_glob,
 )
 from .bucketed import assert_no_shuffle_join, write_bucketed  # noqa: F401
+from .iceberg_lite import (  # noqa: F401
+    append_iceberg,
+    is_iceberg_table,
+    plan_files,
+    read_iceberg,
+    snapshots,
+)

@@ -109,9 +109,20 @@ def read_table(spark: SparkSession, source: str, fmt: Optional[str] = None,
     looks_like_path = "/" in source or source.endswith(".parquet")
     if fmt == "iceberg":
         if not iceberg_available(spark):
+            from .iceberg_lite import is_iceberg_table, read_iceberg
+
+            if looks_like_path and is_iceberg_table(source):
+                # no runtime jars, but the path IS an Iceberg table:
+                # walk its metadata with the from-spec reader
+                # (snapshot isolation + identity partition pruning;
+                # see iceberg_lite scope notes)
+                df = read_iceberg(spark, source)
+                return df.select(*columns) if columns else df
             raise RuntimeError(
                 "iceberg requested but no Iceberg runtime on the "
-                "classpath (add iceberg-spark-runtime to spark.jars)"
+                "classpath (add iceberg-spark-runtime to spark.jars), "
+                "and the source is not a path-accessible Iceberg table "
+                "layout iceberg_lite can walk"
             )
         df = (
             spark.read.format("iceberg").load(source)

@@ -1,0 +1,197 @@
+"""From-spec Avro OCF + Iceberg metadata reader/writer tests."""
+
+import json
+import os
+
+import pytest
+
+from datatest_spark.sources.avro_ocf import read_ocf, write_ocf
+from datatest_spark.sources.iceberg_lite import (
+    append_iceberg,
+    is_iceberg_table,
+    plan_files,
+    read_iceberg,
+    snapshots,
+)
+from datatest_spark.sources.readers import read_table
+
+
+class TestAvroOcf:
+    SCHEMA = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "opt", "type": ["null", "double"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "blob", "type": "bytes"},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+
+    def _rows(self):
+        return [
+            {"s": "héllo", "n": -(1 << 40), "opt": 2.5,
+             "tags": ["a", "b"], "props": {"x": 1, "y": -2},
+             "blob": b"\x00\xfe", "flag": True},
+            {"s": "", "n": 0, "opt": None, "tags": [], "props": {},
+             "blob": b"", "flag": False},
+        ]
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_round_trip(self, tmp_path, codec):
+        p = str(tmp_path / "t.avro")
+        write_ocf(p, self.SCHEMA, self._rows(), codec=codec)
+        meta, out = read_ocf(p)
+        assert out == self._rows()
+        assert meta["avro.codec"] == codec
+        assert meta["avro.schema"]["name"] == "row"
+
+    def test_rejects_non_avro(self, tmp_path):
+        p = str(tmp_path / "x.avro")
+        with open(p, "wb") as f:
+            f.write(b"PAR1 not avro")
+        with pytest.raises(ValueError, match="not an Avro"):
+            read_ocf(p)
+
+    def test_named_type_reference(self, tmp_path):
+        schema = {
+            "type": "record", "name": "outer",
+            "fields": [
+                {"name": "a", "type": {
+                    "type": "record", "name": "inner",
+                    "fields": [{"name": "v", "type": "int"}]}},
+                {"name": "b", "type": "inner"},  # reference by name
+            ],
+        }
+        rows = [{"a": {"v": 1}, "b": {"v": 2}}]
+        p = str(tmp_path / "n.avro")
+        write_ocf(p, schema, rows)
+        assert read_ocf(p)[1] == rows
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "fr", "zh"][i % 3]) for i in range(30)],
+        "doc_id long, text string, lang string",
+    ).repartition(3)
+    s1 = append_iceberg(df1, tbl, partition_by="lang")
+    df2 = spark.createDataFrame(
+        [(i, f"doc {i}", "de") for i in range(100, 110)],
+        "doc_id long, text string, lang string",
+    )
+    s2 = append_iceberg(df2, tbl, partition_by="lang")
+    return tbl, s1, s2
+
+
+class TestIcebergLite:
+    def test_round_trip_and_schema(self, spark, table):
+        tbl, _, _ = table
+        assert is_iceberg_table(tbl)
+        df = read_iceberg(spark, tbl)
+        assert df.count() == 40
+        assert df.columns == ["doc_id", "text", "lang"]
+        assert dict(df.dtypes)["doc_id"] == "bigint"
+        got = {r["doc_id"] for r in df.collect()}
+        assert got == set(range(30)) | set(range(100, 110))
+
+    def test_time_travel(self, spark, table):
+        tbl, s1, s2 = table
+        assert read_iceberg(spark, tbl, snapshot_id=s1).count() == 30
+        assert read_iceberg(spark, tbl, snapshot_id=s2).count() == 40
+        hist = snapshots(tbl)
+        assert [s["snapshot_id"] for s in hist] == [s1, s2]
+        assert all(s["summary"]["operation"] == "append" for s in hist)
+
+    def test_unknown_snapshot_raises(self, spark, table):
+        tbl, _, _ = table
+        with pytest.raises(ValueError, match="snapshot 12345 not found"):
+            plan_files(tbl, snapshot_id=12345)
+
+    def test_partition_pruning_drops_files(self, spark, table):
+        tbl, _, _ = table
+        full = plan_files(tbl)
+        en = plan_files(tbl, partition_filters={"lang": "en"})
+        assert en["pruned_files"] > 0
+        assert len(en["files"]) < full["total_files"]
+        assert en["identity_fields"] == ["lang"]
+        df = read_iceberg(spark, tbl, partition_filters={"lang": {"en"}})
+        rows = df.collect()
+        assert len(rows) == 10
+        assert {r["lang"] for r in rows} == {"en"}
+
+    def test_pruning_filter_multiple_values(self, spark, table):
+        tbl, _, _ = table
+        df = read_iceberg(spark, tbl,
+                          partition_filters={"lang": ["en", "de"]})
+        assert df.count() == 20
+
+    def test_record_count_from_metadata(self, table):
+        tbl, _, _ = table
+        assert plan_files(tbl)["record_count"] == 40
+
+    def test_read_table_falls_through_to_lite(self, spark, table):
+        tbl, _, _ = table
+        df = read_table(spark, tbl, fmt="iceberg", columns=["doc_id"])
+        assert df.columns == ["doc_id"]
+        assert df.count() == 40
+
+    def test_spec_mismatch_rejected(self, spark, table):
+        tbl, _, _ = table
+        df = spark.createDataFrame([(1, "x", "en")],
+                                   "doc_id long, text string, lang string")
+        with pytest.raises(ValueError, match="partition spec differs"):
+            append_iceberg(df, tbl, partition_by=None)
+
+    def test_unpartitioned_table(self, spark, tmp_path):
+        tbl = str(tmp_path / "flat")
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, v string")
+        append_iceberg(df, tbl)
+        out = read_iceberg(spark, tbl)
+        assert out.count() == 2
+        assert plan_files(tbl)["identity_fields"] == []
+
+    def test_delete_manifest_refused(self, spark, table):
+        tbl, _, s2 = table
+        # graft a DELETE manifest entry onto the current manifest list
+        meta_path = sorted(
+            p for p in os.listdir(os.path.join(tbl, "metadata"))
+            if p.endswith(".metadata.json"))[-1]
+        with open(os.path.join(tbl, "metadata", meta_path)) as f:
+            meta = json.load(f)
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        mlist = cur["manifest-list"]
+        schema_meta, entries = read_ocf(mlist)
+        entries[0]["content"] = 1  # pretend it's a delete manifest
+        write_ocf(mlist, schema_meta["avro.schema"], entries)
+        with pytest.raises(NotImplementedError, match="DELETE manifest"):
+            plan_files(tbl)
+
+    def test_audio_schema_types_round_trip(self, spark, tmp_path):
+        # the north-rule input shape: int32 + binary columns included
+        from datatest_spark.fixtures import audio_clips_df
+
+        tbl = str(tmp_path / "audio")
+        clips = audio_clips_df(spark, 120, parts=4)
+        append_iceberg(clips, tbl, partition_by="part_id")
+        back = read_iceberg(spark, tbl)
+        assert back.count() == 120
+        assert dict(back.dtypes)["sr_hz"] == "int"
+        assert dict(back.dtypes)["bytes"] == "binary"
+        a = clips.selectExpr("sum(xxhash64(clip_id, sr_hz, dur_ms))") \
+                 .collect()[0][0]
+        b = back.selectExpr("sum(xxhash64(clip_id, sr_hz, dur_ms))") \
+                .collect()[0][0]
+        assert a == b
+
+    def test_second_append_reuses_table_via_hint(self, spark, table):
+        tbl, _, _ = table
+        hint = os.path.join(tbl, "metadata", "version-hint.text")
+        assert os.path.isfile(hint)
+        with open(hint) as f:
+            assert int(f.read()) == 2
