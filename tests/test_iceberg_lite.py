@@ -183,9 +183,10 @@ class TestIcebergLite:
         assert back.count() == 120
         assert dict(back.dtypes)["sr_hz"] == "int"
         assert dict(back.dtypes)["bytes"] == "binary"
-        a = clips.selectExpr("sum(xxhash64(clip_id, sr_hz, dur_ms))") \
+        # bit_xor, not sum: ANSI mode raises on 64-bit hash-sum overflow
+        a = clips.selectExpr("bit_xor(xxhash64(clip_id, sr_hz, dur_ms))") \
                  .collect()[0][0]
-        b = back.selectExpr("sum(xxhash64(clip_id, sr_hz, dur_ms))") \
+        b = back.selectExpr("bit_xor(xxhash64(clip_id, sr_hz, dur_ms))") \
                 .collect()[0][0]
         assert a == b
 
