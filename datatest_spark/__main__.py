@@ -50,8 +50,16 @@ def _build_parser() -> argparse.ArgumentParser:
         "validate",
         help="run the audio constraint suite over a parquet table",
     )
-    v.add_argument("table", help="parquet path of the audio clip table "
+    v.add_argument("table", help="path of the audio clip table "
                    "(clip_id, bytes, sr_hz, dur_ms, codec, transcript[, part_id])")
+    v.add_argument("--format", default="parquet", dest="fmt",
+                   choices=("parquet", "iceberg"),
+                   help="table format; iceberg uses the runtime jars "
+                        "when present, else the from-spec metadata "
+                        "walk (sources/iceberg_lite.py)")
+    v.add_argument("--snapshot-id", type=int, default=None,
+                   help="with --format iceberg: time-travel to this "
+                        "snapshot instead of the current one")
     v.add_argument("--manifest", default=None,
                    help="parquet path of reference transcripts (clip_id, transcript)")
     v.add_argument("--check-snr", action="store_true",
@@ -105,7 +113,24 @@ def _cmd_validate(args) -> int:
                                       verdicts as verdict_rows)
 
     spark = SparkSession.builder.appName("datatest_spark-validate").getOrCreate()
-    df = spark.read.parquet(args.table)
+    if args.fmt == "iceberg":
+        from datatest_spark.sources.readers import iceberg_available
+
+        if iceberg_available(spark):
+            reader = spark.read.format("iceberg")
+            if args.snapshot_id is not None:
+                reader = reader.option("snapshot-id", args.snapshot_id)
+            df = reader.load(args.table)
+        else:
+            from datatest_spark.sources.iceberg_lite import read_iceberg
+
+            df = read_iceberg(spark, args.table,
+                              snapshot_id=args.snapshot_id)
+    else:
+        if args.snapshot_id is not None:
+            print("--snapshot-id needs --format iceberg", file=sys.stderr)
+            return 2
+        df = spark.read.parquet(args.table)
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
 
     extra_rules = None

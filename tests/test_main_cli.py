@@ -92,3 +92,28 @@ def test_discover_registers_mandatory_plugin(tmp_path):
     rc = main(["discover", "--", str(t), "-q", "-p", "no:cacheprovider"])
     assert rc != 0
     assert not (tmp_path / "after.txt").exists()  # fail-fast stopped it
+
+
+def test_validate_iceberg_table_with_time_travel(spark, tmp_path, capsys):
+    from datatest_spark.sources import append_iceberg
+
+    tbl = str(tmp_path / "ice")
+    clips = audio_clips_df(spark, 400, parts=2)
+    s1 = append_iceberg(clips, tbl, partition_by="part_id")
+    rc = main(["validate", tbl, "--format", "iceberg", "--json"])
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    verdicts = [l for l in out if l["stage"] == "verdict"]
+    assert rc == 1 and verdicts  # fixture injections -> violations
+    # time travel to the same (only) snapshot gives identical verdicts
+    rc2 = main(["validate", tbl, "--format", "iceberg",
+                "--snapshot-id", str(s1), "--json"])
+    out2 = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rc2 == 1
+    assert [l for l in out2 if l["stage"] == "verdict"] == verdicts
+
+
+def test_snapshot_id_requires_iceberg(spark, audio_table, capsys):
+    table, _ = audio_table
+    rc = main(["validate", table, "--snapshot-id", "7"])
+    assert rc == 2
+    assert "--format iceberg" in capsys.readouterr().err
