@@ -391,6 +391,39 @@ def q_iceberg_scan(spark, sf_dir):
     )
 
 
+def q_iceberg_deletes(spark, sf_dir):
+    """Iceberg v2 merge-on-read end-to-end (round 5): write documents
+    as a lang-partitioned Iceberg table, POSITION-delete
+    ``doc_id % 7 = 3`` (distributed ``_metadata.row_index`` match →
+    delete-file parquet + DELETE manifest, data files untouched), then
+    EQUALITY-delete ``doc_id % 11 = 0`` table-wide, and read back
+    through the metadata walk — both delete classes subtract via
+    anti-joins under the spec's sequence-number rules
+    (sources/iceberg_lite.py).  Oracle: the delete predicates'
+    complement over the raw parquet."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark.sources import (append_equality_deletes,
+                                        append_iceberg, delete_where,
+                                        read_iceberg)
+
+    tbl = tempfile.mkdtemp(prefix="icelite-del-")
+    docs = _t(spark, sf_dir, "documents")
+    append_iceberg(docs, tbl, partition_by="lang")
+    delete_where(spark, tbl, "doc_id % 7 = 3")
+    append_equality_deletes(
+        spark, tbl, docs.where("doc_id % 11 = 0").select("doc_id"))
+    df = read_iceberg(spark, tbl)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def q_transcript_cer(spark, sf_dir):
     """ASR transcript fidelity, character level: CER = levenshtein /
     ref length against the reference manifest — fully JVM
@@ -2654,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "iceberg_deletes": q_iceberg_deletes,
         "iceberg_scan": q_iceberg_scan,
         "transcript_cer": q_transcript_cer,
         "transcript_wer": q_transcript_wer,
@@ -2908,6 +2942,16 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
     )
     return {
+        "iceberg_deletes": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id
+            FROM documents
+            WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 0
+            GROUP BY lang
+        """,
         "iceberg_scan": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

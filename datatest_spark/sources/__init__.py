@@ -12,7 +12,9 @@ from .readers import (  # noqa: F401
 )
 from .bucketed import assert_no_shuffle_join, write_bucketed  # noqa: F401
 from .iceberg_lite import (  # noqa: F401
+    append_equality_deletes,
     append_iceberg,
+    delete_where,
     is_iceberg_table,
     plan_files,
     read_iceberg,

@@ -25,9 +25,18 @@ parquet fallback lacks:
 
 Scope honesty (spec-derived, not a port of the Iceberg library):
 
-* v1/v2 **data** manifests only — a snapshot carrying DELETE manifests
-  (v2 row-level deletes) raises ``NotImplementedError`` instead of
-  returning wrong rows;
+* v2 **row-level deletes are honored** (merge-on-read tables read
+  correctly): position-delete files anti-join on
+  ``(_metadata.file_path, _metadata.row_index)`` — Spark's hidden
+  file-source columns are exactly Iceberg's ``(file_path, pos)``
+  tuple — and equality-delete files anti-join null-safely on their
+  ``equality_ids`` columns, both under the spec's sequence-number
+  rules (position: applies when ``data_seq <= delete_seq``; equality:
+  ``data_seq < delete_seq``; null entry sequence numbers inherit the
+  manifest's, per spec §"Sequence number inheritance").
+  Partition-scoped equality deletes restrict to their partition tuple
+  via the retained partition columns.  Delete-vector / puffin deletes
+  (v3) raise instead of mis-reading;
 * pruning applies to ``identity`` transforms; other transforms
   (bucket/truncate/days...) are read correctly but never pruned on
   (a safe superset);
@@ -59,7 +68,7 @@ from typing import Any, Dict, List, Optional, Sequence
 from .avro_ocf import read_ocf, write_ocf
 
 __all__ = ["read_iceberg", "plan_files", "snapshots", "append_iceberg",
-           "is_iceberg_table"]
+           "delete_where", "append_equality_deletes", "is_iceberg_table"]
 
 
 # ---------------------------------------------------------------------------
@@ -167,10 +176,14 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
     """Walk metadata → manifest list → manifests and return the scan
     plan: ``{"files": [...], "total_files": n, "pruned_files": m,
     "record_count": r, "schema_ddl": ..., "snapshot_id": ...,
-    "identity_fields": [...]}``.  ``partition_filters`` maps partition
-    field name → value or collection of values; only identity-transform
-    fields prune (others are ignored here and enforced by the row
-    filter :func:`read_iceberg` applies)."""
+    "identity_fields": [...], "data_seq": {path: seq},
+    "position_deletes": [...], "equality_deletes": [...]}``.
+    ``partition_filters`` maps partition field name → value or
+    collection of values; only identity-transform fields prune (others
+    are ignored here and enforced by the row filter
+    :func:`read_iceberg` applies).  Each delete-file dict carries
+    ``{"path", "seq", "record_count", "partition", "equality_ids"}``
+    (``equality_ids`` None for position deletes)."""
     meta = _load_metadata(table_path)
     snaps = meta.get("snapshots", [])
     if snapshot_id is None:
@@ -196,16 +209,14 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
     }
 
     files: List[str] = []
+    data_seq: Dict[str, int] = {}
+    pos_deletes: List[dict] = []
+    eq_deletes: List[dict] = []
     total = 0
     records = 0
     identity_fields: set = set()
     for mf in manifest_files:
-        if mf.get("content", 0) == 1:
-            raise NotImplementedError(
-                f"{table_path}: snapshot {snapshot_id} carries a DELETE "
-                "manifest (v2 row-level deletes) — iceberg_lite reads "
-                "data manifests only; use the Iceberg runtime for "
-                "merge-on-read tables")
+        is_delete_manifest = mf.get("content", 0) == 1
         spec_fields = _spec_fields(meta, mf.get("partition_spec_id", 0))
         prunable = {
             f["name"] for f in spec_fields
@@ -218,16 +229,52 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
             if e.get("status", 0) == 2:  # DELETED in this snapshot
                 continue
             df_ = e["data_file"]
-            if df_.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg_lite: delete data_file content in a data "
-                    "manifest — use the Iceberg runtime")
+            content = df_.get("content", 0)
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg_lite: {fmt} data files are not supported")
-            total += 1
+            # sequence-number inheritance (spec): ADDED entries with a
+            # null sequence number take the manifest's; carried-forward
+            # manifests keep their original sequence number, so the
+            # inherited value is the original write's.
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = int(mf.get("sequence_number", 0))
             part = df_.get("partition") or {}
+            if is_delete_manifest or content != 0:
+                if content == 1:  # position deletes
+                    pos_deletes.append({
+                        "path": _resolve_path(df_["file_path"], table_path),
+                        "seq": int(seq),
+                        "record_count": int(df_.get("record_count", 0)),
+                        "partition": part, "equality_ids": None,
+                    })
+                elif content == 2:  # equality deletes
+                    # Avro can't distinguish an absent partition field
+                    # from a null one; treat null-valued scope fields
+                    # as unscoped (table-wide) — our writer emits an
+                    # EMPTY partition record for global deletes, so
+                    # self-written tables are exact
+                    eq_deletes.append({
+                        "path": _resolve_path(df_["file_path"], table_path),
+                        "seq": int(seq),
+                        "record_count": int(df_.get("record_count", 0)),
+                        "partition": {k: v for k, v in part.items()
+                                      if v is not None},
+                        "equality_ids": list(df_.get("equality_ids") or []),
+                    })
+                elif is_delete_manifest and content == 0:
+                    raise ValueError(
+                        "iceberg_lite: data-file entry (content=0) "
+                        "inside a DELETE manifest — corrupt metadata")
+                else:
+                    raise NotImplementedError(
+                        f"iceberg_lite: delete content={content} "
+                        "(deletion vectors / puffin) — use the Iceberg "
+                        "runtime")
+                continue
+            total += 1
             keep = True
             for name, allowed in norm.items():
                 if name in prunable and name in part:
@@ -235,15 +282,125 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
                         keep = False
                         break
             if keep:
-                files.append(_resolve_path(df_["file_path"], table_path))
+                path = _resolve_path(df_["file_path"], table_path)
+                files.append(path)
+                data_seq[path] = int(seq)
                 records += int(df_.get("record_count", 0))
+    schema = _current_schema(meta)
     return {
         "files": files, "total_files": total,
         "pruned_files": total - len(files), "record_count": records,
-        "schema_ddl": _spark_ddl(_current_schema(meta)),
+        "schema_ddl": _spark_ddl(schema),
         "snapshot_id": snapshot_id,
         "identity_fields": sorted(identity_fields),
+        "data_seq": data_seq,
+        "position_deletes": pos_deletes,
+        "equality_deletes": eq_deletes,
+        "field_names": {f["id"]: f["name"] for f in schema["fields"]},
     }
+
+
+#: normalize `file:///x` / `file:/x` / `/x` to a plain absolute path so
+#: Spark's ``_metadata.file_path`` URI matches manifest-recorded paths
+_FP_NORM_RE = "^file:/*"
+
+#: delete sides at or under this many rows (known exactly from the
+#: manifest record counts) are broadcast; larger ones shuffle-anti-join
+_DELETE_BROADCAST_ROWS = 5_000_000
+
+
+def _norm_fp(col):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, _FP_NORM_RE, "/")
+
+
+def _apply_row_deletes(spark, plan: dict):
+    """Merge-on-read: scan the live data files and anti-join away
+    deleted rows.
+
+    * Position deletes: Spark's hidden ``_metadata.file_path`` /
+      ``_metadata.row_index`` columns ARE the Iceberg ``(file_path,
+      pos)`` delete tuple, so application is one null-safe hash
+      anti-join on ``(path, pos)`` with the spec's sequence rule
+      (``delete_seq >= data_seq``) as a residual condition.
+    * Equality deletes: grouped by (equality-column set, partition
+      scope); each group is one eqNullSafe anti-join with the strict
+      rule (``delete_seq > data_seq``) residual, partition-scoped
+      groups additionally pin the retained partition columns.
+
+    Delete sides are broadcast when the manifest-recorded row counts
+    say they fit (:data:`_DELETE_BROADCAST_ROWS`); bigger delete sets
+    degrade to shuffle anti-joins, never to collect.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
+        .withColumn("__dt_fp", _norm_fp(F.col("_metadata.file_path")))
+        .withColumn("__dt_pos", F.col("_metadata.row_index"))
+    )
+    # per-row data-file sequence number: tiny (path → seq) broadcast
+    # join — the file list is driver-scale by this module's stated scope
+    seq_df = spark.createDataFrame(
+        list(plan["data_seq"].items()), "__dt_fp string, __dt_dseq bigint")
+    df = df.join(F.broadcast(seq_df), "__dt_fp", "left")
+
+    if plan["position_deletes"]:
+        small = sum(d["record_count"]
+                    for d in plan["position_deletes"]) \
+            <= _DELETE_BROADCAST_ROWS
+        dels = None
+        for d in plan["position_deletes"]:
+            one = (
+                spark.read.parquet(d["path"])
+                .select(_norm_fp(F.col("file_path")).alias("__dt_fp"),
+                        F.col("pos").alias("__dt_pos"))
+                .withColumn("__dt_delseq", F.lit(d["seq"]).cast("bigint"))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        dels = (dels.groupBy("__dt_fp", "__dt_pos")
+                .agg(F.max("__dt_delseq").alias("__dt_delseq")))
+        if small:
+            dels = F.broadcast(dels)
+        cond = ((df["__dt_fp"] == dels["__dt_fp"])
+                & (df["__dt_pos"] == dels["__dt_pos"])
+                & (dels["__dt_delseq"] >= df["__dt_dseq"]))
+        df = df.join(dels, cond, "left_anti")
+
+    if plan["equality_deletes"]:
+        fnames = plan["field_names"]
+        groups: Dict[tuple, List[dict]] = {}
+        for d in plan["equality_deletes"]:
+            if not d["equality_ids"]:
+                raise ValueError(
+                    "iceberg_lite: equality-delete file without "
+                    f"equality_ids: {d['path']}")
+            cols = tuple(fnames[i] for i in d["equality_ids"])
+            pkey = tuple(sorted((d["partition"] or {}).items())) or None
+            groups.setdefault((cols, pkey), []).append(d)
+        for (cols, pkey), ds in groups.items():
+            small = sum(x["record_count"]
+                        for x in ds) <= _DELETE_BROADCAST_ROWS
+            dels = None
+            for d in ds:
+                one = (
+                    spark.read.parquet(d["path"])
+                    .select(*[F.col(c).alias(f"__dt_eq_{c}") for c in cols])
+                    .withColumn("__dt_delseq",
+                                F.lit(d["seq"]).cast("bigint"))
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            if small:
+                dels = F.broadcast(dels)
+            cond = dels["__dt_delseq"] > df["__dt_dseq"]
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(dels[f"__dt_eq_{c}"])
+            for name, val in (pkey or ()):
+                cond = cond & df[name].eqNullSafe(F.lit(val))
+            df = df.join(dels, cond, "left_anti")
+
+    return df.drop("__dt_fp", "__dt_pos", "__dt_dseq")
 
 
 def read_iceberg(spark, table_path: str, snapshot_id: Optional[int] = None,
@@ -252,13 +409,16 @@ def read_iceberg(spark, table_path: str, snapshot_id: Optional[int] = None,
     """Iceberg table → DataFrame via the metadata walk (module
     docstring).  Identity partition predicates prune data files before
     Spark plans the scan AND re-apply as row filters (exactness does
-    not depend on file-layout honesty)."""
+    not depend on file-layout honesty).  v2 row-level deletes are
+    applied as anti-joins (:func:`_apply_row_deletes`)."""
     from pyspark.sql import functions as F
 
     plan = plan_files(table_path, snapshot_id=snapshot_id,
                       partition_filters=partition_filters)
     if not plan["files"]:
         df = spark.createDataFrame([], plan["schema_ddl"])
+    elif plan["position_deletes"] or plan["equality_deletes"]:
+        df = _apply_row_deletes(spark, plan)
     else:
         df = spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
     for name, allowed in (partition_filters or {}).items():
@@ -330,6 +490,9 @@ def _manifest_entry_schema(part_fields: List[dict],
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None, "field-id": 135},
                 ]}},
         ],
     }
@@ -355,6 +518,86 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _load_existing(table_path: str):
+    """(meta dict or None, existing version int) for a table root."""
+    if is_iceberg_table(table_path):
+        mpath = _metadata_path(table_path)
+        version = int(os.path.basename(mpath)[1:].split(".")[0])
+        with open(mpath) as f:
+            return json.load(f), version
+    return None, 0
+
+
+def _commit_snapshot(table_path: str, meta: dict, existing_version: int,
+                     snap_id: int, seq: int, new_mf: dict,
+                     operation: str, summary: Dict[str, str]) -> int:
+    """Write the manifest list (previous snapshot's manifests carried
+    forward + ``new_mf``), the new metadata json version, and the
+    version hint — the shared commit tail of every snapshot-producing
+    writer in this module."""
+    import time as _time
+
+    carried: List[dict] = []
+    if meta.get("current-snapshot-id", -1) != -1 and meta.get("snapshots"):
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        _, carried = read_ocf(_resolve_path(cur["manifest-list"],
+                                            table_path))
+    mlist_path = os.path.join(
+        table_path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA, carried + [new_mf],
+              extra_meta={"format-version": "2"})
+
+    now_ms = int(_time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq, "manifest-list": mlist_path,
+        "schema-id": 0,
+        "summary": {"operation": operation, **summary},
+    }
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snap_id
+    meta.setdefault("snapshots", []).append(snapshot)
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id})
+
+    version = existing_version + 1
+    vpath = os.path.join(table_path, "metadata",
+                         f"v{version}.metadata.json")
+    with open(vpath, "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(table_path, "metadata",
+                           "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
+
+
+def _spark_files_to(table_path: str, sdf) -> List[tuple]:
+    """Write a DataFrame's rows as parquet data files under
+    ``table_path/data/`` via a Spark write (distributed — never a
+    driver collect), returning ``[(path, rows, bytes), ...]`` from the
+    parquet footers."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="icelite-")
+    try:
+        sdf.write.mode("overwrite").parquet(tmp)
+        out = []
+        for p in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            dest = os.path.join(table_path, "data",
+                                f"{_uuid.uuid4().hex}.parquet")
+            shutil.move(p, dest)
+            n = pq.ParquetFile(dest).metadata.num_rows
+            out.append((dest, n, os.path.getsize(dest)))
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def append_iceberg(df, table_path: str,
                    partition_by: Optional[str] = None) -> int:
     """Append ``df`` to an iceberg_lite table as a NEW SNAPSHOT
@@ -374,13 +617,7 @@ def append_iceberg(df, table_path: str,
     os.makedirs(os.path.join(table_path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
 
-    existing_version = 0
-    meta: Optional[dict] = None
-    if is_iceberg_table(table_path):
-        mpath = _metadata_path(table_path)
-        existing_version = int(os.path.basename(mpath)[1:].split(".")[0])
-        with open(mpath) as f:
-            meta = json.load(f)
+    meta, existing_version = _load_existing(table_path)
 
     # --- schema + spec -----------------------------------------------------
     fields = []
@@ -461,13 +698,6 @@ def append_iceberg(df, table_path: str,
               extra_meta={"format-version": "2", "content": "data",
                           "partition-spec-id": "0"})
 
-    # --- manifest list: carry previous snapshot's manifests + the new one --
-    carried: List[dict] = []
-    if meta is not None and meta.get("current-snapshot-id", -1) != -1:
-        cur = next(s for s in meta["snapshots"]
-                   if s["snapshot-id"] == meta["current-snapshot-id"])
-        _, carried = read_ocf(_resolve_path(cur["manifest-list"],
-                                            table_path))
     new_mf = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -479,30 +709,14 @@ def append_iceberg(df, table_path: str,
         "added_rows_count": sum(n for _, _, n, _ in new_files),
         "existing_rows_count": 0, "deleted_rows_count": 0,
     }
-    mlist_path = os.path.join(
-        table_path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
-    write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA, carried + [new_mf],
-              extra_meta={"format-version": "2"})
-
-    # --- metadata json -----------------------------------------------------
-    import time as _time
-
-    now_ms = int(_time.time() * 1000)
-    snapshot = {
-        "snapshot-id": snap_id, "timestamp-ms": now_ms,
-        "sequence-number": seq, "manifest-list": mlist_path,
-        "schema-id": 0,
-        "summary": {"operation": "append",
-                    "added-data-files": str(len(new_files)),
-                    "added-records":
-                        str(sum(n for _, _, n, _ in new_files))},
-    }
     if meta is None:
+        import time as _time
+
         meta = {
             "format-version": 2,
             "table-uuid": str(_uuid.uuid4()),
             "location": table_path,
-            "last-updated-ms": now_ms,
+            "last-updated-ms": int(_time.time() * 1000),
             "last-column-id": len(fields),
             "schemas": [schema], "current-schema-id": 0,
             "partition-specs": [spec], "default-spec-id": 0,
@@ -512,19 +726,150 @@ def append_iceberg(df, table_path: str,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
         }
-    meta["last-updated-ms"] = now_ms
-    meta["last-sequence-number"] = seq
-    meta["current-snapshot-id"] = snap_id
-    meta.setdefault("snapshots", []).append(snapshot)
-    meta.setdefault("snapshot-log", []).append(
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    return _commit_snapshot(
+        table_path, meta, existing_version, snap_id, seq, new_mf,
+        "append",
+        {"added-data-files": str(len(new_files)),
+         "added-records": str(sum(n for _, _, n, _ in new_files))})
 
-    version = existing_version + 1
-    vpath = os.path.join(table_path, "metadata",
-                         f"v{version}.metadata.json")
-    with open(vpath, "w") as f:
-        json.dump(meta, f, indent=2)
-    with open(os.path.join(table_path, "metadata",
-                           "version-hint.text"), "w") as f:
-        f.write(str(version))
-    return snap_id
+
+def _write_delete_manifest(table_path: str, meta: dict, snap_id: int,
+                           seq: int, delete_files: List[tuple],
+                           content: int,
+                           equality_ids: Optional[List[int]] = None,
+                           partition: Optional[Dict[str, Any]] = None,
+                           ) -> dict:
+    """Write one DELETE manifest covering ``delete_files``
+    (``[(path, rows, bytes), ...]``) and return its manifest_file
+    record for the manifest list (``content=1`` there marks it a
+    delete manifest per spec)."""
+    # partition-scoped deletes carry the table's spec fields; global
+    # deletes carry an EMPTY partition record (the unpartitioned-spec
+    # form) so readers never confuse "unscoped" with "scoped to null"
+    spec_fields = (_spec_fields(meta, meta.get("default-spec-id", 0))
+                   if partition else [])
+    schema = _current_schema(meta)
+    schema_fields = {f["id"]: f["type"] for f in schema["fields"]}
+    entry_schema = _manifest_entry_schema(spec_fields, schema_fields)
+    entries = [
+        {"status": 1, "snapshot_id": snap_id, "sequence_number": None,
+         "file_sequence_number": None,
+         "data_file": {
+             "content": content, "file_path": path,
+             "file_format": "PARQUET",
+             "partition": dict(partition or {}),
+             "record_count": int(n), "file_size_in_bytes": int(sz),
+             "equality_ids": (list(equality_ids)
+                              if equality_ids else None)}}
+        for path, n, sz in delete_files
+    ]
+    manifest_path = os.path.join(
+        table_path, "metadata", f"{_uuid.uuid4().hex}-d0.avro")
+    write_ocf(manifest_path, entry_schema, entries,
+              extra_meta={"format-version": "2", "content": "deletes",
+                          "partition-spec-id": "0"})
+    rows = sum(n for _, n, _ in delete_files)
+    return {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(delete_files),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }
+
+
+def delete_where(spark, table_path: str, condition) -> int:
+    """POSITION-delete every current-snapshot row matching
+    ``condition`` (SQL string or Column) as a new snapshot.
+
+    Merge-on-read, exactly the v2 spec shape: data files are never
+    rewritten — the matching rows' ``(file_path, pos)`` tuples are
+    written as a position-delete parquet file (sorted by path then
+    position, the spec's recommended order) plus a DELETE manifest,
+    and readers subtract them.  The match runs DISTRIBUTED: one scan
+    with ``_metadata`` projected, the predicate filtered JVM-side, and
+    the delete file written by a Spark parquet write — no driver
+    collect at any size.
+
+    Returns the new snapshot id.  Rows already dead (previously
+    deleted) may re-appear in the delete file — harmless by spec
+    (position deletes are idempotent on a row)."""
+    from pyspark.sql import functions as F
+
+    plan = plan_files(table_path)
+    if not plan["files"]:
+        raise ValueError(f"{table_path}: empty table — nothing to delete")
+    meta, existing_version = _load_existing(table_path)
+    matches = (
+        spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
+        .where(condition)
+        .select(_norm_fp(F.col("_metadata.file_path")).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"))
+        .orderBy("file_path", "pos")
+        .coalesce(1)
+    )
+    delete_files = _spark_files_to(table_path, matches)
+    snap_id = int(_uuid.uuid4().int % (1 << 62)) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    new_mf = _write_delete_manifest(
+        table_path, meta, snap_id, seq, delete_files, content=1)
+    rows = sum(n for _, n, _ in delete_files)
+    return _commit_snapshot(
+        table_path, meta, existing_version, snap_id, seq, new_mf,
+        "delete",
+        {"added-delete-files": str(len(delete_files)),
+         "added-position-deletes": str(rows)})
+
+
+def append_equality_deletes(spark, table_path: str, values_df,
+                            partition: Optional[Dict[str, Any]] = None,
+                            ) -> int:
+    """EQUALITY-delete as a new snapshot: every CURRENT-OR-FUTURE-read
+    row whose ``values_df.columns`` columns null-safely equal some row
+    of ``values_df`` is dead — but only for data written BEFORE this
+    snapshot (the spec's strict ``data_seq < delete_seq`` rule, which
+    is what lets equality deletes express "delete key K, then re-insert
+    K" without tombstoning the new row).
+
+    ``values_df`` columns must be table columns; they become the
+    file's ``equality_ids``.  ``partition`` (optional, ``{field:
+    value}``) scopes the delete to one identity-partition tuple, per
+    spec; omitted means table-wide (an unpartitioned-spec delete
+    file).  Returns the new snapshot id."""
+    meta, existing_version = _load_existing(table_path)
+    if meta is None:
+        raise ValueError(f"{table_path}: not an Iceberg table")
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in values_df.columns if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"append_equality_deletes: {missing} not table columns "
+            f"(have {sorted(by_name)})")
+    equality_ids = [by_name[c] for c in values_df.columns]
+    if partition:
+        spec_fields = _spec_fields(meta, meta.get("default-spec-id", 0))
+        spec_names = {f["name"] for f in spec_fields
+                      if f.get("transform", "identity") == "identity"}
+        bad = set(partition) - spec_names
+        if bad:
+            raise ValueError(
+                f"append_equality_deletes: partition scope {sorted(bad)} "
+                f"not identity partition fields (have {sorted(spec_names)})")
+    delete_files = _spark_files_to(table_path,
+                                   values_df.dropDuplicates().coalesce(1))
+    snap_id = int(_uuid.uuid4().int % (1 << 62)) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    new_mf = _write_delete_manifest(
+        table_path, meta, snap_id, seq, delete_files, content=2,
+        equality_ids=equality_ids, partition=partition)
+    rows = sum(n for _, n, _ in delete_files)
+    return _commit_snapshot(
+        table_path, meta, existing_version, snap_id, seq, new_mf,
+        "delete",
+        {"added-delete-files": str(len(delete_files)),
+         "added-equality-deletes": str(rows)})

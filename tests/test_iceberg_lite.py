@@ -7,7 +7,9 @@ import pytest
 
 from datatest_spark.sources.avro_ocf import read_ocf, write_ocf
 from datatest_spark.sources.iceberg_lite import (
+    append_equality_deletes,
     append_iceberg,
+    delete_where,
     is_iceberg_table,
     plan_files,
     read_iceberg,
@@ -155,9 +157,11 @@ class TestIcebergLite:
         assert out.count() == 2
         assert plan_files(tbl)["identity_fields"] == []
 
-    def test_delete_manifest_refused(self, spark, table):
+    def test_corrupt_delete_manifest_refused(self, spark, table):
         tbl, _, s2 = table
-        # graft a DELETE manifest entry onto the current manifest list
+        # graft content=1 onto the DATA manifest: its entries still say
+        # content=0, which is spec-invalid inside a delete manifest —
+        # the reader must refuse rather than mis-read
         meta_path = sorted(
             p for p in os.listdir(os.path.join(tbl, "metadata"))
             if p.endswith(".metadata.json"))[-1]
@@ -169,7 +173,7 @@ class TestIcebergLite:
         schema_meta, entries = read_ocf(mlist)
         entries[0]["content"] = 1  # pretend it's a delete manifest
         write_ocf(mlist, schema_meta["avro.schema"], entries)
-        with pytest.raises(NotImplementedError, match="DELETE manifest"):
+        with pytest.raises(ValueError, match="DELETE manifest"):
             plan_files(tbl)
 
     def test_audio_schema_types_round_trip(self, spark, tmp_path):
@@ -196,3 +200,105 @@ class TestIcebergLite:
         assert os.path.isfile(hint)
         with open(hint) as f:
             assert int(f.read()) == 2
+
+
+ALL_IDS = set(range(30)) | set(range(100, 110))
+
+
+class TestRowLevelDeletes:
+    """Iceberg v2 merge-on-read: position + equality deletes applied
+    as anti-joins on ``_metadata.file_path``/``row_index`` and
+    eqNullSafe columns, under the spec's sequence-number rules."""
+
+    def test_position_delete_where(self, spark, table):
+        tbl, _, s2 = table
+        delete_where(spark, tbl, "doc_id % 7 = 3")
+        got = {r["doc_id"] for r in read_iceberg(spark, tbl).collect()}
+        assert got == {i for i in ALL_IDS if i % 7 != 3}
+        # time travel to the pre-delete snapshot still sees all rows
+        assert read_iceberg(spark, tbl, snapshot_id=s2).count() == 40
+        hist = snapshots(tbl)
+        assert hist[-1]["summary"]["operation"] == "delete"
+        plan = plan_files(tbl)
+        assert len(plan["position_deletes"]) == 1
+        assert plan["position_deletes"][0]["record_count"] == \
+            sum(1 for i in ALL_IDS if i % 7 == 3)
+
+    def test_position_delete_spares_later_appends(self, spark, table):
+        tbl, _, _ = table
+        delete_where(spark, tbl, "doc_id = 5")
+        df = spark.createDataFrame(
+            [(5, "doc 5 again", "en")],
+            "doc_id long, text string, lang string")
+        append_iceberg(df, tbl, partition_by="lang")
+        rows = [r for r in read_iceberg(spark, tbl).collect()
+                if r["doc_id"] == 5]
+        assert len(rows) == 1 and rows[0]["text"] == "doc 5 again"
+
+    def test_equality_delete_global(self, spark, table):
+        tbl, _, _ = table
+        vals = spark.createDataFrame([(2,), (104,)], "doc_id long")
+        append_equality_deletes(spark, tbl, vals)
+        got = {r["doc_id"] for r in read_iceberg(spark, tbl).collect()}
+        assert got == ALL_IDS - {2, 104}
+
+    def test_equality_delete_strictly_older_only(self, spark, table):
+        tbl, _, _ = table
+        vals = spark.createDataFrame([(7,)], "doc_id long")
+        append_equality_deletes(spark, tbl, vals)
+        # re-insert doc_id=7 AFTER the delete: the spec's strict
+        # data_seq < delete_seq rule keeps the new row alive
+        df = spark.createDataFrame(
+            [(7, "reborn", "fr")], "doc_id long, text string, lang string")
+        append_iceberg(df, tbl, partition_by="lang")
+        rows = [r for r in read_iceberg(spark, tbl).collect()
+                if r["doc_id"] == 7]
+        assert len(rows) == 1 and rows[0]["text"] == "reborn"
+
+    def test_equality_delete_partition_scoped(self, spark, table):
+        tbl, _, _ = table
+        # doc_id 0 lives in lang='en'; a delete scoped to 'fr' must
+        # not touch it, one scoped to 'en' must
+        vals = spark.createDataFrame([(0,)], "doc_id long")
+        append_equality_deletes(spark, tbl, vals, partition={"lang": "fr"})
+        got = {r["doc_id"] for r in read_iceberg(spark, tbl).collect()}
+        assert 0 in got
+        append_equality_deletes(spark, tbl, vals, partition={"lang": "en"})
+        got = {r["doc_id"] for r in read_iceberg(spark, tbl).collect()}
+        assert 0 not in got and got == ALL_IDS - {0}
+
+    def test_partition_scope_must_be_spec_field(self, spark, table):
+        tbl, _, _ = table
+        vals = spark.createDataFrame([(0,)], "doc_id long")
+        with pytest.raises(ValueError, match="not identity partition"):
+            append_equality_deletes(spark, tbl, vals,
+                                    partition={"doc_id": 0})
+
+    def test_equality_columns_must_exist(self, spark, table):
+        tbl, _, _ = table
+        vals = spark.createDataFrame([(0,)], "nope long")
+        with pytest.raises(ValueError, match="not table columns"):
+            append_equality_deletes(spark, tbl, vals)
+
+    def test_combined_deletes_and_pruning(self, spark, table):
+        tbl, _, _ = table
+        delete_where(spark, tbl, "doc_id % 2 = 0")
+        vals = spark.createDataFrame([(3,)], "doc_id long")
+        append_equality_deletes(spark, tbl, vals)
+        out = read_iceberg(spark, tbl, partition_filters={"lang": "en"})
+        got = {r["doc_id"] for r in out.collect()}
+        # lang='en' rows are doc_id % 3 == 0 within 0..29
+        expect = {i for i in range(30)
+                  if i % 3 == 0 and i % 2 != 0 and i != 3}
+        assert got == expect
+
+    def test_read_table_applies_deletes(self, spark, table):
+        tbl, _, _ = table
+        delete_where(spark, tbl, "doc_id >= 100")
+        df = read_table(spark, tbl, fmt="iceberg", columns=["doc_id"])
+        assert df.count() == 30
+
+    def test_deletes_on_empty_table_raise(self, spark, tmp_path):
+        tbl = str(tmp_path / "never")
+        with pytest.raises((ValueError, FileNotFoundError)):
+            delete_where(spark, tbl, "1 = 1")
