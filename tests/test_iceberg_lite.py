@@ -302,3 +302,70 @@ class TestRowLevelDeletes:
         tbl = str(tmp_path / "never")
         with pytest.raises((ValueError, FileNotFoundError)):
             delete_where(spark, tbl, "1 = 1")
+
+    def test_random_op_sequences_match_set_model(self, spark, tmp_path):
+        """Model-based: a fixed-seed interleaving of appends, position
+        deletes, and (optionally scoped) equality deletes, checked
+        against a pure-Python physical-row model — INCLUDING time
+        travel to every intermediate snapshot after all ops ran, which
+        pins that later deletes never leak into older snapshots."""
+        import numpy as np
+
+        rng = np.random.RandomState(20260819)
+        for trial in range(2):
+            tbl = str(tmp_path / f"model{trial}")
+            partitioned = trial % 2 == 0
+            phys = []   # physical rows: (id, v, lang, data_seq, alive)
+            seq = 0
+            snaps = []  # (snapshot_id, expected live rows at that point)
+            next_id = 0
+            for step in range(6):
+                op = int(rng.randint(0, 3)) if step else 0
+                seq += 1
+                if op == 0:  # append 5-15 fresh rows
+                    n = 5 + int(rng.randint(0, 11))
+                    rows = []
+                    for _ in range(n):
+                        rows.append((next_id, int(rng.randint(0, 7)),
+                                     ["en", "fr"][int(rng.randint(0, 2))]))
+                        next_id += 1
+                    df = spark.createDataFrame(
+                        rows, "id long, v long, lang string")
+                    sid = append_iceberg(
+                        df, tbl,
+                        partition_by="lang" if partitioned else None)
+                    phys.extend(
+                        {"id": i, "v": v, "lang": g, "seq": seq,
+                         "alive": True} for i, v, g in rows)
+                elif op == 1:  # position-delete v % k == r
+                    k = int(rng.randint(2, 5))
+                    r = int(rng.randint(0, k))
+                    sid = delete_where(spark, tbl, f"v % {k} = {r}")
+                    for p in phys:  # matches RAW rows — idempotent
+                        if p["v"] % k == r:
+                            p["alive"] = False
+                else:  # equality-delete on v, sometimes scoped
+                    vals = sorted({int(rng.randint(0, 7))
+                                   for _ in range(2)})
+                    vdf = spark.createDataFrame([(x,) for x in vals],
+                                                "v long")
+                    scope = None
+                    if partitioned and rng.randint(0, 2):
+                        scope = {"lang": ["en", "fr"][
+                            int(rng.randint(0, 2))]}
+                    sid = append_equality_deletes(spark, tbl, vdf,
+                                                  partition=scope)
+                    for p in phys:  # strict: only strictly-older data
+                        if (p["seq"] < seq and p["v"] in vals
+                                and (scope is None
+                                     or p["lang"] == scope["lang"])):
+                            p["alive"] = False
+                snaps.append((sid, sorted(
+                    (p["id"], p["v"], p["lang"])
+                    for p in phys if p["alive"])))
+            for sid, expected in snaps:
+                got = sorted(
+                    (r["id"], r["v"], r["lang"])
+                    for r in read_iceberg(spark, tbl,
+                                          snapshot_id=sid).collect())
+                assert got == expected, (trial, sid)
