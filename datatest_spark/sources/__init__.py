@@ -15,8 +15,10 @@ from .iceberg_lite import (  # noqa: F401
     append_equality_deletes,
     append_iceberg,
     delete_where,
+    incremental_files,
     is_iceberg_table,
     plan_files,
     read_iceberg,
+    read_iceberg_incremental,
     snapshots,
 )

@@ -67,7 +67,8 @@ from typing import Any, Dict, List, Optional, Sequence
 
 from .avro_ocf import read_ocf, write_ocf
 
-__all__ = ["read_iceberg", "plan_files", "snapshots", "append_iceberg",
+__all__ = ["read_iceberg", "read_iceberg_incremental", "plan_files",
+           "incremental_files", "snapshots", "append_iceberg",
            "delete_where", "append_equality_deletes", "is_iceberg_table"]
 
 
@@ -428,6 +429,134 @@ def read_iceberg(spark, table_path: str, snapshot_id: Optional[int] = None,
                                                       list, tuple))
                 else [allowed])
         df = df.where(F.col(name).isin(vals))
+    return df.select(*columns) if columns else df
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-range) scan
+# ---------------------------------------------------------------------------
+
+def incremental_files(table_path: str,
+                      from_snapshot_id: Optional[int] = None,
+                      to_snapshot_id: Optional[int] = None,
+                      allow_deletes: bool = False) -> dict:
+    """Scan plan for the data files APPENDED in snapshots
+    ``(from_snapshot_id, to_snapshot_id]`` — the Iceberg *incremental
+    append scan* (the public ``start-snapshot-id`` /
+    ``end-snapshot-id`` read options of iceberg-spark).
+
+    This is the 10^12-clip operating mode the north rule implies: an
+    ingest pipeline commits a snapshot per batch, and validation reads
+    ONLY the delta — metadata-walk cost is proportional to the new
+    manifests, scan cost to the new files, never to table history.
+    Pairs with the checkpoint layer (plans/checkpoint.py): checkpoint
+    keys on partition lineage WITHIN a run; snapshot ranges bound WHICH
+    rows a run sees at all.
+
+    Mechanics (spec §"Snapshots", §"Manifest Lists"): every manifest
+    list entry records ``added_snapshot_id`` and every manifest entry
+    records the ``snapshot_id`` that ADDED it (status=1), so the delta
+    is exactly the ADDED data-file entries of manifests introduced by
+    in-range snapshots — all still present in ``to``'s manifest list
+    because commits carry manifests forward.
+
+    * ``from_snapshot_id=None`` starts from table creation;
+      ``to_snapshot_id=None`` ends at the current snapshot.
+    * ``from == to`` returns an empty plan (a polling ingest loop's
+      "no new snapshots" case), matching the half-open range.
+    * A non-append snapshot (``delete``/``overwrite``) inside the
+      range raises ``ValueError`` — identical to iceberg-spark's
+      incremental read, because appended-file rows are then not the
+      net row delta.  ``allow_deletes=True`` opts into
+      added-rows-only semantics: delete snapshots are skipped and the
+      plan reports appended rows gross of any in-range deletes.
+    """
+    meta = _load_metadata(table_path)
+    snaps = meta.get("snapshots", [])
+    ids = [s["snapshot-id"] for s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id", -1)
+    if to_snapshot_id not in ids:
+        raise ValueError(
+            f"{table_path}: to_snapshot {to_snapshot_id} not found "
+            f"(have {ids})")
+    to_idx = ids.index(to_snapshot_id)
+    if from_snapshot_id is None:
+        from_idx = -1
+    else:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"{table_path}: from_snapshot {from_snapshot_id} not "
+                f"found (have {ids})")
+        from_idx = ids.index(from_snapshot_id)
+        if from_idx > to_idx:
+            raise ValueError(
+                f"{table_path}: from_snapshot {from_snapshot_id} is "
+                f"newer than to_snapshot {to_snapshot_id}")
+
+    range_ids = set()
+    for s in snaps[from_idx + 1:to_idx + 1]:
+        op = s.get("summary", {}).get("operation", "append")
+        if op != "append":
+            if not allow_deletes:
+                raise ValueError(
+                    f"{table_path}: snapshot {s['snapshot-id']} in the "
+                    f"incremental range is {op!r}, not an append — "
+                    "appended files alone would over-count rows; pass "
+                    "allow_deletes=True for added-rows-only semantics")
+            continue
+        range_ids.add(s["snapshot-id"])
+
+    schema = _current_schema(meta)
+    plan = {"files": [], "total_files": 0, "record_count": 0,
+            "schema_ddl": _spark_ddl(schema),
+            "from_snapshot_id": from_snapshot_id,
+            "to_snapshot_id": to_snapshot_id,
+            "snapshot_ids": sorted(range_ids)}
+    if not range_ids:
+        return plan
+
+    to_snap = snaps[to_idx]
+    _, manifest_files = read_ocf(
+        _resolve_path(to_snap["manifest-list"], table_path))
+    for mf in manifest_files:
+        if mf.get("content", 0) != 0:  # delete manifest
+            continue
+        if mf.get("added_snapshot_id") not in range_ids:
+            continue
+        _, entries = read_ocf(
+            _resolve_path(mf["manifest_path"], table_path))
+        for e in entries:
+            if e.get("status", 0) != 1:  # only ADDED entries
+                continue
+            if e.get("snapshot_id") not in range_ids:
+                continue
+            df_ = e["data_file"]
+            if df_.get("content", 0) != 0:
+                continue
+            plan["files"].append(
+                _resolve_path(df_["file_path"], table_path))
+            plan["record_count"] += int(df_.get("record_count", 0))
+    plan["total_files"] = len(plan["files"])
+    return plan
+
+
+def read_iceberg_incremental(spark, table_path: str,
+                             from_snapshot_id: Optional[int] = None,
+                             to_snapshot_id: Optional[int] = None,
+                             columns: Optional[Sequence[str]] = None,
+                             allow_deletes: bool = False):
+    """Rows appended in snapshots ``(from, to]`` as a DataFrame —
+    :func:`incremental_files` semantics (incremental append scan; the
+    validate-only-the-delta mode for snapshot-per-ingest-batch
+    tables).  Schema comes from the table metadata, so an empty range
+    still returns the correctly-typed empty frame."""
+    plan = incremental_files(table_path, from_snapshot_id,
+                             to_snapshot_id, allow_deletes=allow_deletes)
+    if not plan["files"]:
+        df = spark.createDataFrame([], plan["schema_ddl"])
+    else:
+        df = spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
     return df.select(*columns) if columns else df
 
 

@@ -10,9 +10,11 @@ from datatest_spark.sources.iceberg_lite import (
     append_equality_deletes,
     append_iceberg,
     delete_where,
+    incremental_files,
     is_iceberg_table,
     plan_files,
     read_iceberg,
+    read_iceberg_incremental,
     snapshots,
 )
 from datatest_spark.sources.readers import read_table
@@ -369,3 +371,71 @@ class TestRowLevelDeletes:
                     for r in read_iceberg(spark, tbl,
                                           snapshot_id=sid).collect())
                 assert got == expected, (trial, sid)
+
+
+class TestIncrementalScan:
+    """Incremental append scan — (from, to] snapshot-range reads
+    (iceberg_lite.incremental_files / read_iceberg_incremental)."""
+
+    def test_range_reads_only_the_delta(self, spark, table):
+        tbl, s1, s2 = table
+        df = read_iceberg_incremental(spark, tbl, from_snapshot_id=s1)
+        got = {r["doc_id"] for r in df.collect()}
+        assert got == set(range(100, 110))
+        plan = incremental_files(tbl, from_snapshot_id=s1)
+        assert plan["record_count"] == 10
+        assert plan["snapshot_ids"] == [s2]
+        assert plan["to_snapshot_id"] == s2
+
+    def test_from_table_creation(self, spark, table):
+        tbl, s1, _ = table
+        first = read_iceberg_incremental(spark, tbl, to_snapshot_id=s1)
+        assert first.count() == 30
+        everything = read_iceberg_incremental(spark, tbl)
+        assert everything.count() == 40
+
+    def test_empty_range_keeps_schema(self, spark, table):
+        tbl, _, s2 = table
+        df = read_iceberg_incremental(spark, tbl, from_snapshot_id=s2)
+        assert df.count() == 0
+        assert df.columns == ["doc_id", "text", "lang"]
+        assert dict(df.dtypes)["doc_id"] == "bigint"
+
+    def test_three_snapshot_composition(self, spark, table):
+        tbl, s1, s2 = table
+        df3 = spark.createDataFrame(
+            [(i, f"doc {i}", "en") for i in range(200, 205)],
+            "doc_id long, text string, lang string")
+        s3 = append_iceberg(df3, tbl, partition_by="lang")
+        ids = lambda f, t: {  # noqa: E731
+            r["doc_id"] for r in read_iceberg_incremental(
+                spark, tbl, f, t).collect()}
+        assert ids(s1, s3) == set(range(100, 110)) | set(range(200, 205))
+        assert ids(s2, s3) == set(range(200, 205))
+        # composition: (s1,s2] ∪ (s2,s3] == (s1,s3]
+        assert ids(s1, s2) | ids(s2, s3) == ids(s1, s3)
+
+    def test_delete_in_range_refused_by_default(self, spark, table):
+        tbl, s1, _ = table
+        delete_where(spark, tbl, "doc_id % 2 = 0")
+        df4 = spark.createDataFrame(
+            [(300, "doc 300", "fr")],
+            "doc_id long, text string, lang string")
+        append_iceberg(df4, tbl, partition_by="lang")
+        with pytest.raises(ValueError, match="not an append"):
+            incremental_files(tbl, from_snapshot_id=s1)
+        # opt-in: appended rows only, gross of the in-range delete
+        got = {r["doc_id"] for r in read_iceberg_incremental(
+            spark, tbl, from_snapshot_id=s1,
+            allow_deletes=True).collect()}
+        assert got == set(range(100, 110)) | {300}
+
+    def test_bad_snapshot_ids(self, table):
+        tbl, s1, s2 = table
+        with pytest.raises(ValueError, match="to_snapshot 999 not"):
+            incremental_files(tbl, to_snapshot_id=999)
+        with pytest.raises(ValueError, match="from_snapshot 999 not"):
+            incremental_files(tbl, from_snapshot_id=999)
+        with pytest.raises(ValueError, match="newer than"):
+            incremental_files(tbl, from_snapshot_id=s2,
+                              to_snapshot_id=s1)
