@@ -391,6 +391,43 @@ def q_iceberg_scan(spark, sf_dir):
     )
 
 
+def q_iceberg_incremental(spark, sf_dir):
+    """Iceberg incremental append scan (round 5): the
+    validate-only-the-delta mode for snapshot-per-ingest-batch tables.
+    Write documents as THREE append snapshots (batch = doc_id % 3,
+    lang-partitioned), then read ONLY the rows added in snapshots
+    (first, last] via the manifest-list added_snapshot_id walk
+    (sources/iceberg_lite.py incremental_files — the public
+    start/end-snapshot-id read options of iceberg-spark) and
+    aggregate.  Oracle: the same aggregate over the raw parquet
+    restricted to batches 1 and 2 — if the metadata walk leaked a
+    batch-0 file in (or dropped a delta file), counts, char sums and
+    the doc_id extrema all shift."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark.sources import (append_iceberg,
+                                        read_iceberg_incremental,
+                                        snapshots)
+
+    tbl = tempfile.mkdtemp(prefix="icelite-incr-")
+    docs = _t(spark, sf_dir, "documents")
+    for b in range(3):
+        append_iceberg(docs.where(F.col("doc_id") % 3 == b), tbl,
+                       partition_by="lang")
+    snaps = [s["snapshot_id"] for s in snapshots(tbl)]
+    df = read_iceberg_incremental(spark, tbl,
+                                  from_snapshot_id=snaps[0],
+                                  to_snapshot_id=snaps[2])
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def q_iceberg_deletes(spark, sf_dir):
     """Iceberg v2 merge-on-read end-to-end (round 5): write documents
     as a lang-partitioned Iceberg table, POSITION-delete
@@ -2687,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "iceberg_incremental": q_iceberg_incremental,
         "iceberg_deletes": q_iceberg_deletes,
         "iceberg_scan": q_iceberg_scan,
         "transcript_cer": q_transcript_cer,
@@ -2942,6 +2980,16 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
     )
     return {
+        "iceberg_incremental": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id
+            FROM documents
+            WHERE doc_id % 3 IN (1, 2)
+            GROUP BY lang
+        """,
         "iceberg_deletes": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

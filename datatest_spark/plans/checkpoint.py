@@ -183,9 +183,16 @@ def run_checkpointed(
     )
 
     # verdict rows: counts per partition from the committed violations
-    # (cast back: parquet partition-value inference may type "1" as int)
+    # (cast back: parquet partition-value inference may type "1" as int).
+    # Schema is passed explicitly: a fully-clean run writes ZERO rows —
+    # no part files, no partition dirs — and inference would fail.
+    written_schema = (
+        violations.withColumn("ruleset_hash", F.lit(rhash))
+        .withColumn("run_id", F.lit(run_id))
+        .schema
+    )
     written = (
-        spark.read.parquet(violations_path)
+        spark.read.schema(written_schema).parquet(violations_path)
         .withColumn("partition_id", F.col("partition_id").cast("string"))
         .filter((F.col("ruleset_hash") == rhash) & (F.col("run_id") == run_id))
     )
