@@ -73,6 +73,11 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint dir: commit verdicts per partition and "
                         "resume committed partitions on re-run")
+    v.add_argument("--incremental", action="store_true",
+                   help="with --format iceberg and --checkpoint: validate "
+                        "only the snapshots appended since the last run "
+                        "(snapshot-watermarked, exactly-once, crash-safe); "
+                        "no new snapshots exits 0 without a job")
     v.add_argument("--salt-buckets", type=int, default=None,
                    help="spread skewed partitions over up to N tasks "
                         "before the rule scan (checkpointed runs)")
@@ -113,6 +118,20 @@ def _cmd_validate(args) -> int:
                                       verdicts as verdict_rows)
 
     spark = SparkSession.builder.appName("datatest_spark-validate").getOrCreate()
+
+    if args.incremental:
+        if args.fmt != "iceberg":
+            print("--incremental needs --format iceberg", file=sys.stderr)
+            return 2
+        if not args.checkpoint:
+            print("--incremental needs --checkpoint DIR", file=sys.stderr)
+            return 2
+        if args.snapshot_id is not None or args.sample is not None:
+            print("--incremental manages its own snapshot range; drop "
+                  "--snapshot-id/--sample", file=sys.stderr)
+            return 2
+        return _cmd_validate_incremental(spark, args)
+
     if args.fmt == "iceberg":
         from datatest_spark.sources.readers import iceberg_available
 
@@ -211,6 +230,52 @@ def _cmd_validate(args) -> int:
         return 0 if n == 0 else 1
     finally:
         violations.unpersist()
+
+
+def _cmd_validate_incremental(spark, args) -> int:
+    """One watermark advance: validate the snapshot delta (or report
+    up-to-date).  A workflow engine cron-ing this command gets
+    exactly-once validation of every ingest batch."""
+    from datatest_spark.plans import run_incremental
+    from datatest_spark.suite import audio_rules
+
+    manifest = (spark.read.parquet(args.manifest)
+                if args.manifest else None)
+    extra_rules = None
+    if args.max_cer is not None:
+        if manifest is None:
+            print("--max-cer needs --manifest", file=sys.stderr)
+            return 2
+        from datatest_spark.operators.asr import transcript_fidelity
+
+        ref_col = ("transcript_ref" if "transcript_ref" in manifest.columns
+                   else manifest.columns[-1])
+        extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
+                                           ref_col=ref_col)]
+
+    rules = audio_rules(manifest=manifest, check_snr=args.check_snr,
+                        extra_rules=extra_rules)
+    try:
+        run = run_incremental(
+            spark, args.table, rules, args.partition_col,
+            args.checkpoint, salt_buckets=args.salt_buckets)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if run.up_to_date:
+        _emit({"stage": "incremental", "up_to_date": True,
+               "watermark_snapshot_id": run.to_snapshot_id}, args.as_json)
+        return 0
+    _emit({"stage": "incremental", "up_to_date": False,
+           "from_snapshot_id": run.from_snapshot_id,
+           "to_snapshot_id": run.to_snapshot_id}, args.as_json)
+    for row in run.checkpointed.verdicts.orderBy("partition_id").collect():
+        _emit({"stage": "verdict", **row.asDict()}, args.as_json)
+    if run.checkpointed.skipped_partitions:
+        _emit({"stage": "resume",
+               "skipped_committed_partitions":
+               len(run.checkpointed.skipped_partitions)}, args.as_json)
+    return 0 if run.ok else 1
 
 
 def main(argv=None) -> int:

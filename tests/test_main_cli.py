@@ -117,3 +117,51 @@ def test_snapshot_id_requires_iceberg(spark, audio_table, capsys):
     rc = main(["validate", table, "--snapshot-id", "7"])
     assert rc == 2
     assert "--format iceberg" in capsys.readouterr().err
+
+
+def test_validate_incremental_loop(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from datatest_spark.sources import append_iceberg
+
+    tbl = str(tmp_path / "ice_incr")
+    ckpt = str(tmp_path / "ckpt_incr")
+    clips = audio_clips_df(spark, 400, parts=2)
+    cut = f"clip-{200:012d}"
+    append_iceberg(clips.where(F.col("clip_id") < cut), tbl)
+    rc1 = main(["validate", tbl, "--format", "iceberg", "--incremental",
+                "--checkpoint", ckpt, "--json"])
+    first = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rc1 == 1  # fixture injections -> violations in batch 1
+    inc1 = [l for l in first if l["stage"] == "incremental"][0]
+    assert inc1["up_to_date"] is False
+    assert inc1["from_snapshot_id"] is None
+    n1 = sum(l["n_rows"] for l in first if l["stage"] == "verdict")
+
+    # no new snapshots: exits 0 with no job
+    rc2 = main(["validate", tbl, "--format", "iceberg", "--incremental",
+                "--checkpoint", ckpt, "--json"])
+    second = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rc2 == 0
+    assert second == [{"stage": "incremental", "up_to_date": True,
+                       "watermark_snapshot_id": inc1["to_snapshot_id"]}]
+
+    # append batch 2: only the delta is validated
+    append_iceberg(clips.where(F.col("clip_id") >= cut), tbl)
+    rc3 = main(["validate", tbl, "--format", "iceberg", "--incremental",
+                "--checkpoint", ckpt, "--json"])
+    third = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    inc3 = [l for l in third if l["stage"] == "incremental"][0]
+    assert inc3["from_snapshot_id"] == inc1["to_snapshot_id"]
+    n3 = sum(l["n_rows"] for l in third if l["stage"] == "verdict")
+    assert rc3 == 1 and n1 + n3 == 400 and n3 < 400
+
+
+def test_incremental_usage_errors(spark, audio_table, capsys):
+    table, _ = audio_table
+    assert main(["validate", table, "--incremental",
+                 "--checkpoint", "/tmp/x"]) == 2
+    assert "--format iceberg" in capsys.readouterr().err
+    assert main(["validate", table, "--format", "iceberg",
+                 "--incremental"]) == 2
+    assert "--checkpoint" in capsys.readouterr().err
