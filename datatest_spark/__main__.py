@@ -78,6 +78,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "only the snapshots appended since the last run "
                         "(snapshot-watermarked, exactly-once, crash-safe); "
                         "no new snapshots exits 0 without a job")
+    v.add_argument("--allow-deletes", action="store_true",
+                   help="with --incremental: skip delete/overwrite "
+                        "snapshots in the range (added-rows-only "
+                        "semantics) instead of refusing")
     v.add_argument("--salt-buckets", type=int, default=None,
                    help="spread skewed partitions over up to N tasks "
                         "before the rule scan (checkpointed runs)")
@@ -258,7 +262,8 @@ def _cmd_validate_incremental(spark, args) -> int:
     try:
         run = run_incremental(
             spark, args.table, rules, args.partition_col,
-            args.checkpoint, salt_buckets=args.salt_buckets)
+            args.checkpoint, salt_buckets=args.salt_buckets,
+            allow_deletes=args.allow_deletes)
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2

@@ -138,3 +138,20 @@ class TestRunIncremental:
                 for r in run.checkpointed.verdicts.collect()) == hi - lo
         assert total == 120
         assert len(run.history) == 3
+
+    def test_delete_snapshot_in_range_refused_then_allowed(
+            self, spark, dirs):
+        from datatest_spark.sources import delete_where
+
+        tbl, ckpt = dirs
+        append_iceberg(batch(spark, 0, 40), tbl)
+        run_incremental(spark, tbl, RULES, "part_id", ckpt)
+        delete_where(spark, tbl, "id % 10 = 3")
+        append_iceberg(batch(spark, 40, 60), tbl)
+        with pytest.raises(ValueError, match="allow_deletes"):
+            run_incremental(spark, tbl, RULES, "part_id", ckpt)
+        run = run_incremental(spark, tbl, RULES, "part_id", ckpt,
+                              allow_deletes=True)
+        # added-rows-only semantics: the delta is batch 2's 20 rows
+        assert sum(r["n_rows"]
+                   for r in run.checkpointed.verdicts.collect()) == 20
