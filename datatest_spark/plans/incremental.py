@@ -36,6 +36,7 @@ import tempfile
 from typing import List, Optional, Sequence
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..requirements import Rule
 from ..sources.iceberg_lite import (
@@ -164,11 +165,16 @@ def run_incremental(
         delta, rules, partition_col, range_dir,
         mandatory=mandatory, salt_buckets=salt_buckets)
 
+    totals = run.verdicts.agg(
+        F.sum("n_rows").alias("r"), F.sum("n_violations").alias("v")
+    ).first()
     history = _advance_watermark(checkpoint_dir, {
         "from_snapshot_id": from_id,
         "to_snapshot_id": current,
         "range_dir": range_dir,
         "ok": run.ok,
+        "n_rows": int(totals["r"] or 0),
+        "n_violations": int(totals["v"] or 0),
         "processed_partitions": run.processed_partitions,
         "skipped_partitions": run.skipped_partitions,
     })

@@ -15,6 +15,7 @@ from .iceberg_lite import (  # noqa: F401
     append_equality_deletes,
     append_iceberg,
     delete_where,
+    expire_snapshots,
     incremental_files,
     is_iceberg_table,
     plan_files,

@@ -69,7 +69,8 @@ from .avro_ocf import read_ocf, write_ocf
 
 __all__ = ["read_iceberg", "read_iceberg_incremental", "plan_files",
            "incremental_files", "snapshots", "append_iceberg",
-           "delete_where", "append_equality_deletes", "is_iceberg_table"]
+           "delete_where", "append_equality_deletes", "is_iceberg_table",
+           "expire_snapshots"]
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +559,119 @@ def read_iceberg_incremental(spark, table_path: str,
     else:
         df = spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
     return df.select(*columns) if columns else df
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiration (maintenance)
+# ---------------------------------------------------------------------------
+
+def _reachable_files(table_path: str, snaps: Sequence[dict]):
+    """(manifest_lists, manifests, data_files) referenced by *snaps* —
+    ALL manifest entries regardless of status, the spec's conservative
+    reachability: a file stays on disk while ANY retained snapshot's
+    manifests still mention it (even as DELETED), so time travel to
+    every retained snapshot keeps working."""
+    mlists, manifests, files = set(), set(), set()
+    seen_manifests = set()
+    for s in snaps:
+        ml = _resolve_path(s["manifest-list"], table_path)
+        mlists.add(ml)
+        _, mfs = read_ocf(ml)
+        for mf in mfs:
+            mp = _resolve_path(mf["manifest_path"], table_path)
+            manifests.add(mp)
+            if mp in seen_manifests:
+                continue  # carried-forward manifest, already walked
+            seen_manifests.add(mp)
+            _, entries = read_ocf(mp)
+            for e in entries:
+                files.add(_resolve_path(e["data_file"]["file_path"],
+                                        table_path))
+    return mlists, manifests, files
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1,
+                     older_than_ms: Optional[int] = None,
+                     dry_run: bool = False) -> dict:
+    """Expire old snapshots and delete the files reachable only from
+    them — Iceberg's ``expire_snapshots`` maintenance action, the
+    bound on metadata/storage growth for snapshot-per-ingest-batch
+    tables.
+
+    Retained: the current snapshot, the newest ``keep_last``
+    snapshots, and (when ``older_than_ms`` is given) every snapshot at
+    least that recent.  Deletion is by set difference of full
+    reachability walks (conservative: a data or delete file survives
+    while ANY retained snapshot's manifest list still reaches it, so
+    time travel and incremental scans over retained history are
+    unaffected).  The new metadata version lists only retained
+    snapshots; the snapshot log is pruned to match.
+
+    Interaction with the incremental-validation watermark
+    (plans/incremental.py): expiring the watermark snapshot makes the
+    next ``run_incremental`` fail with its expired-watermark error —
+    expire no faster than the validation cadence.
+
+    Returns counts: ``{"expired_snapshots", "retained_snapshots",
+    "deleted_manifest_lists", "deleted_manifests",
+    "deleted_data_files", "dry_run"}``.
+    """
+    meta, version = _load_existing(table_path)
+    if meta is None:
+        raise ValueError(f"{table_path}: not an iceberg_lite table")
+    snaps = meta.get("snapshots", [])
+    current = meta.get("current-snapshot-id", -1)
+
+    retained_ids = {current}
+    if keep_last > 0:
+        retained_ids.update(s["snapshot-id"] for s in snaps[-keep_last:])
+    if older_than_ms is not None:
+        retained_ids.update(s["snapshot-id"] for s in snaps
+                            if s.get("timestamp-ms", 0) >= older_than_ms)
+    kept = [s for s in snaps if s["snapshot-id"] in retained_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in retained_ids]
+
+    result = {"expired_snapshots": len(expired),
+              "retained_snapshots": len(kept),
+              "deleted_manifest_lists": 0, "deleted_manifests": 0,
+              "deleted_data_files": 0, "dry_run": dry_run}
+    if not expired:
+        return result
+
+    kept_ml, kept_mf, kept_files = _reachable_files(table_path, kept)
+    exp_ml, exp_mf, exp_files = _reachable_files(table_path, expired)
+    doomed_ml = exp_ml - kept_ml
+    doomed_mf = exp_mf - kept_mf
+    doomed_files = exp_files - kept_files
+    result.update(deleted_manifest_lists=len(doomed_ml),
+                  deleted_manifests=len(doomed_mf),
+                  deleted_data_files=len(doomed_files))
+    if dry_run:
+        return result
+
+    # commit the pruned metadata FIRST (readers of the new version
+    # never see expired snapshots), then remove newly-unreachable files
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e.get("snapshot-id") in retained_ids]
+    import time as _time
+
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    new_version = version + 1
+    vpath = os.path.join(table_path, "metadata",
+                         f"v{new_version}.metadata.json")
+    with open(vpath, "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(table_path, "metadata",
+                           "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+
+    for p in sorted(doomed_ml | doomed_mf | doomed_files):
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ from datatest_spark.sources.iceberg_lite import (
     append_equality_deletes,
     append_iceberg,
     delete_where,
+    expire_snapshots,
     incremental_files,
     is_iceberg_table,
     plan_files,
@@ -439,3 +440,86 @@ class TestIncrementalScan:
         with pytest.raises(ValueError, match="newer than"):
             incremental_files(tbl, from_snapshot_id=s2,
                               to_snapshot_id=s1)
+
+
+class TestExpireSnapshots:
+    """Snapshot expiration: prune history, delete only the files no
+    retained snapshot can reach, keep current reads + retained time
+    travel intact."""
+
+    def _three_snapshot_table(self, spark, tmp_path):
+        tbl = str(tmp_path / "exp")
+        ids = []
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(100 * b + i, f"doc {100 * b + i}") for i in range(10)],
+                "doc_id long, text string",
+            )
+            ids.append(append_iceberg(df, tbl))
+        return tbl, ids
+
+    def test_dry_run_counts_without_deleting(self, spark, tmp_path):
+        tbl, ids = self._three_snapshot_table(spark, tmp_path)
+        res = expire_snapshots(tbl, keep_last=1, dry_run=True)
+        assert res["expired_snapshots"] == 2
+        assert res["retained_snapshots"] == 1
+        assert res["deleted_manifest_lists"] == 2
+        # carried-forward manifests/data stay reachable from the head
+        assert res["deleted_manifests"] == 0
+        assert res["deleted_data_files"] == 0
+        assert len(snapshots(tbl)) == 3  # nothing actually removed
+        assert read_iceberg(spark, tbl).count() == 30
+
+    def test_expire_keeps_current_data(self, spark, tmp_path):
+        tbl, ids = self._three_snapshot_table(spark, tmp_path)
+        res = expire_snapshots(tbl, keep_last=1)
+        assert res["expired_snapshots"] == 2 and not res["dry_run"]
+        snaps = snapshots(tbl)
+        assert [s["snapshot_id"] for s in snaps] == [ids[2]]
+        # every data file is still reachable from the head snapshot:
+        # the full 30 rows survive
+        assert read_iceberg(spark, tbl).count() == 30
+        # expired ids are no longer valid for time travel
+        with pytest.raises(ValueError):
+            plan_files(tbl, snapshot_id=ids[0])
+
+    def test_retained_time_travel_still_works(self, spark, tmp_path):
+        tbl, ids = self._three_snapshot_table(spark, tmp_path)
+        expire_snapshots(tbl, keep_last=2)
+        assert read_iceberg(spark, tbl, snapshot_id=ids[1]).count() == 20
+        assert read_iceberg(spark, tbl).count() == 30
+
+    def test_expired_watermark_fails_incremental(self, spark, tmp_path):
+        from datatest_spark import requirements as R
+        from datatest_spark.plans import run_incremental
+
+        tbl, ids = self._three_snapshot_table(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.createDataFrame([(1, 0)], "doc_id long, part_id int")
+        rules = [R.interval("doc_id", 0, 10**9)]
+        # watermark at snapshot 1 (validate the whole table as of s1)
+        # -> build it by hand to avoid needing part_id in the fixture
+        os.makedirs(ckpt, exist_ok=True)
+        with open(os.path.join(ckpt, "snapshot_watermark.json"), "w") as f:
+            json.dump({"history": [{"to_snapshot_id": ids[0]}]}, f)
+        expire_snapshots(tbl, keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            run_incremental(spark, tbl, rules, "doc_id", ckpt)
+
+    def test_delete_manifests_expire_with_their_snapshots(
+            self, spark, tmp_path):
+        tbl = str(tmp_path / "expdel")
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)],
+            "doc_id long, text string")
+        append_iceberg(df, tbl)
+        delete_where(spark, tbl, "doc_id % 5 = 0")
+        df2 = spark.createDataFrame(
+            [(100 + i, f"doc {100 + i}") for i in range(5)],
+            "doc_id long, text string")
+        append_iceberg(df2, tbl)
+        before = read_iceberg(spark, tbl).count()
+        res = expire_snapshots(tbl, keep_last=1)
+        assert res["expired_snapshots"] == 2
+        # merge-on-read result unchanged: delete files carried forward
+        assert read_iceberg(spark, tbl).count() == before == 21

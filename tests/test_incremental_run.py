@@ -155,3 +155,11 @@ class TestRunIncremental:
         # added-rows-only semantics: the delta is batch 2's 20 rows
         assert sum(r["n_rows"]
                    for r in run.checkpointed.verdicts.collect()) == 20
+
+    def test_history_records_range_metrics(self, spark, dirs):
+        tbl, ckpt = dirs
+        append_iceberg(batch(spark, 0, 40, bad={13}), tbl)
+        run = run_incremental(spark, tbl, RULES, "part_id", ckpt)
+        rec = run.history[-1]
+        assert rec["n_rows"] == 40 and rec["n_violations"] == 1
+        assert rec["ok"] is False
