@@ -1,6 +1,7 @@
 from .checkpoint import CheckpointedRun, run_checkpointed  # noqa: F401
 from .incremental import (  # noqa: F401
     IncrementalRun,
+    run_audit_publish,
     run_incremental,
     snapshot_watermark,
 )

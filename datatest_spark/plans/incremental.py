@@ -45,7 +45,8 @@ from ..sources.iceberg_lite import (
 )
 from .checkpoint import CheckpointedRun, run_checkpointed
 
-__all__ = ["run_incremental", "IncrementalRun", "snapshot_watermark"]
+__all__ = ["run_incremental", "run_audit_publish", "IncrementalRun",
+           "snapshot_watermark"]
 
 _WATERMARK_FILE = "snapshot_watermark.json"
 
@@ -179,3 +180,64 @@ def run_incremental(
         "skipped_partitions": run.skipped_partitions,
     })
     return IncrementalRun(False, from_id, current, run, history)
+
+
+def run_audit_publish(
+    spark: SparkSession,
+    table_path: str,
+    rules: Sequence[Rule],
+    partition_col: str,
+    checkpoint_dir: str,
+    max_violations: int = 0,
+    mandatory: Optional[Sequence[Rule]] = None,
+    allow_deletes: bool = False,
+    salt_buckets: Optional[int] = None,
+) -> IncrementalRun:
+    """Write-audit-publish: validate the delta like
+    :func:`run_incremental`, and when it fails the budget, ROLL THE
+    TABLE BACK to the pre-batch snapshot so downstream readers never
+    see the bad data.
+
+    The ingest pipeline appends its batch (the "write"), this call
+    audits it, and the table's current snapshot is the publish bit:
+    on more than *max_violations* total violations the current
+    snapshot is reset to the range's ``from`` snapshot
+    (:func:`..sources.rollback_to_snapshot` — metadata-only, instant,
+    nothing deleted).  The watermark still advances — the rejected
+    snapshots were *seen* and must not be re-validated — and the
+    history record gains ``rolled_back_to`` for lineage.  A rejected
+    first-ever batch cannot be rolled back (no pre-batch snapshot
+    exists); the record then carries ``rolled_back_to: None``.
+
+    Rolled-back snapshots stay in history for forensics (time travel
+    still reads them) until :func:`..sources.expire_snapshots`
+    reclaims them.  A later fixed re-ingest appends AFTER the
+    rollback point; the next audit's delta contains exactly those new
+    files — the rejected batch's files are not in the new head's
+    manifest list, so they never leak back in.
+    """
+    run = run_incremental(
+        spark, table_path, rules, partition_col, checkpoint_dir,
+        mandatory=mandatory, allow_deletes=allow_deletes,
+        salt_buckets=salt_buckets)
+    if run.up_to_date:
+        return run
+    n_viol = run.history[-1]["n_violations"]
+    if n_viol > max_violations:
+        from ..sources.iceberg_lite import rollback_to_snapshot
+
+        target = run.from_snapshot_id
+        if target is not None:
+            rollback_to_snapshot(table_path, target)
+        # annotate the already-committed record in place (the
+        # watermark itself must NOT move: these snapshots were seen)
+        path = os.path.join(checkpoint_dir, _WATERMARK_FILE)
+        with open(path) as f:
+            state = json.load(f)
+        state["history"][-1]["rolled_back_to"] = target
+        fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".wm.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, path)
+        run.history = state["history"]
+    return run

@@ -21,5 +21,6 @@ from .iceberg_lite import (  # noqa: F401
     plan_files,
     read_iceberg,
     read_iceberg_incremental,
+    rollback_to_snapshot,
     snapshots,
 )

@@ -70,7 +70,7 @@ from .avro_ocf import read_ocf, write_ocf
 __all__ = ["read_iceberg", "read_iceberg_incremental", "plan_files",
            "incremental_files", "snapshots", "append_iceberg",
            "delete_where", "append_equality_deletes", "is_iceberg_table",
-           "expire_snapshots"]
+           "expire_snapshots", "rollback_to_snapshot"]
 
 
 # ---------------------------------------------------------------------------
@@ -559,6 +559,46 @@ def read_iceberg_incremental(spark, table_path: str,
     else:
         df = spark.read.schema(plan["schema_ddl"]).parquet(*plan["files"])
     return df.select(*columns) if columns else df
+
+
+# ---------------------------------------------------------------------------
+# rollback (audit-then-publish)
+# ---------------------------------------------------------------------------
+
+def rollback_to_snapshot(table_path: str, snapshot_id: int) -> int:
+    """Set the table's current snapshot back to *snapshot_id*
+    (Iceberg's ``rollback_to_snapshot``), committing a new metadata
+    version.  Nothing is deleted: the rolled-back snapshots stay in
+    history (time-travelable, and expirable later) — this is the
+    cheap, instant undo that makes validate-then-publish work: append
+    an ingest batch, run the constraint suite on the delta, and if the
+    batch fails, roll the table back so downstream readers never see
+    it.  Returns the new metadata version number.
+    """
+    meta, version = _load_existing(table_path)
+    if meta is None:
+        raise ValueError(f"{table_path}: not an iceberg_lite table")
+    ids = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    if snapshot_id not in ids:
+        raise ValueError(
+            f"{table_path}: snapshot {snapshot_id} not found "
+            f"(have {ids})")
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+    new_version = version + 1
+    vpath = os.path.join(table_path, "metadata",
+                         f"v{new_version}.metadata.json")
+    with open(vpath, "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(table_path, "metadata",
+                           "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,74 @@ class TestRunIncremental:
         rec = run.history[-1]
         assert rec["n_rows"] == 40 and rec["n_violations"] == 1
         assert rec["ok"] is False
+
+
+class TestAuditPublish:
+    """Write-audit-publish: rollback on failed audit, forensics
+    history, fixed re-ingest never re-sees rejected files."""
+
+    def test_rollback_to_snapshot(self, spark, dirs):
+        from datatest_spark.sources import (read_iceberg,
+                                            rollback_to_snapshot,
+                                            snapshots)
+
+        tbl, _ = dirs
+        append_iceberg(batch(spark, 0, 40), tbl)
+        append_iceberg(batch(spark, 40, 60), tbl)
+        snaps = [s["snapshot_id"] for s in snapshots(tbl)]
+        assert read_iceberg(spark, tbl).count() == 60
+        rollback_to_snapshot(tbl, snaps[0])
+        assert read_iceberg(spark, tbl).count() == 40
+        # history intact: the rolled-back snapshot stays time-travelable
+        assert read_iceberg(spark, tbl, snapshot_id=snaps[1]).count() == 60
+        with pytest.raises(ValueError, match="not found"):
+            rollback_to_snapshot(tbl, 999)
+
+    def test_failed_audit_rolls_back(self, spark, dirs):
+        from datatest_spark.plans import run_audit_publish
+        from datatest_spark.sources import read_iceberg, snapshots
+
+        tbl, ckpt = dirs
+        append_iceberg(batch(spark, 0, 40), tbl)
+        good = run_audit_publish(spark, tbl, RULES, "part_id", ckpt)
+        assert good.ok and "rolled_back_to" not in good.history[-1]
+        append_iceberg(batch(spark, 40, 60, bad={44, 45}), tbl)
+        bad = run_audit_publish(spark, tbl, RULES, "part_id", ckpt)
+        assert not bad.ok
+        assert bad.history[-1]["rolled_back_to"] == good.to_snapshot_id
+        # downstream readers see only the published 40 rows
+        assert read_iceberg(spark, tbl).count() == 40
+        # but the rejected snapshot stays in history for forensics
+        assert len(snapshots(tbl)) == 2
+
+    def test_fixed_reingest_after_rollback(self, spark, dirs):
+        from datatest_spark.plans import run_audit_publish
+        from datatest_spark.sources import read_iceberg
+
+        tbl, ckpt = dirs
+        append_iceberg(batch(spark, 0, 40), tbl)
+        run_audit_publish(spark, tbl, RULES, "part_id", ckpt)
+        append_iceberg(batch(spark, 40, 60, bad={44}), tbl)
+        run_audit_publish(spark, tbl, RULES, "part_id", ckpt)  # rolls back
+        # fixed re-ingest of the same id range
+        append_iceberg(batch(spark, 40, 60), tbl)
+        fixed = run_audit_publish(spark, tbl, RULES, "part_id", ckpt)
+        assert fixed.ok
+        # the audit saw exactly the re-ingested 20 rows — the rejected
+        # batch's files never leak into a later delta
+        assert fixed.history[-1]["n_rows"] == 20
+        assert read_iceberg(spark, tbl).count() == 60
+
+    def test_violation_budget(self, spark, dirs):
+        from datatest_spark.plans import run_audit_publish
+        from datatest_spark.sources import read_iceberg
+
+        tbl, ckpt = dirs
+        append_iceberg(batch(spark, 0, 40), tbl)
+        run_audit_publish(spark, tbl, RULES, "part_id", ckpt)
+        append_iceberg(batch(spark, 40, 60, bad={44}), tbl)
+        run = run_audit_publish(spark, tbl, RULES, "part_id", ckpt,
+                                max_violations=5)
+        # within budget: published despite 1 violation
+        assert run.history[-1].get("rolled_back_to") is None
+        assert read_iceberg(spark, tbl).count() == 60
