@@ -428,6 +428,51 @@ def q_iceberg_incremental(spark, sf_dir):
     )
 
 
+def q_iceberg_wap(spark, sf_dir):
+    """Write-audit-publish end-to-end (round 5): the ingest loop where
+    a batch whose audit fails is instantly UNPUBLISHED.  Batch 1 (even
+    doc_ids) publishes under a zero-violation budget; a doctored batch
+    2 (odd doc_ids, n_chars = -1) trips the interval rule and
+    run_audit_publish rolls the table back (plans/incremental.py →
+    sources rollback_to_snapshot); the fixed batch 2 then publishes.
+    The result frame snapshots the table state per lang at BOTH
+    observation points — after the rejection and after the fix — so a
+    broken rollback (bad rows still visible, or the negative n_chars
+    sum leaking in) and a broken re-publish both hash-mismatch.
+    Oracle: even doc_ids only, unioned with all documents."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark import requirements as R
+    from datatest_spark.plans import run_audit_publish
+    from datatest_spark.sources import append_iceberg, read_iceberg
+
+    tbl = tempfile.mkdtemp(prefix="icelite-wap-")
+    ckpt = tempfile.mkdtemp(prefix="icelite-wapc-")
+    docs = _t(spark, sf_dir, "documents")
+    rules = [R.interval("n_chars", 0, None, rule_id="interval:n_chars")]
+
+    def state(stage):
+        return read_iceberg(spark, tbl).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).withColumn("stage", F.lit(stage))
+
+    append_iceberg(docs.where(F.col("doc_id") % 2 == 0), tbl)
+    run_audit_publish(spark, tbl, rules, "lang", ckpt)
+    bad = docs.where(F.col("doc_id") % 2 == 1) \
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+    append_iceberg(bad, tbl)
+    run_audit_publish(spark, tbl, rules, "lang", ckpt)
+    after_reject = state("after_reject")
+    append_iceberg(docs.where(F.col("doc_id") % 2 == 1), tbl)
+    run_audit_publish(spark, tbl, rules, "lang", ckpt)
+    return after_reject.unionByName(state("after_fix"))
+
+
 def q_iceberg_deletes(spark, sf_dir):
     """Iceberg v2 merge-on-read end-to-end (round 5): write documents
     as a lang-partitioned Iceberg table, POSITION-delete
@@ -2724,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "iceberg_wap": q_iceberg_wap,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_deletes": q_iceberg_deletes,
         "iceberg_scan": q_iceberg_scan,
@@ -2980,6 +3026,26 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{v}')" for i, v in enumerate(_SEQ_REQUIRED)
     )
     return {
+        "iceberg_wap": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id,
+                   'after_reject' AS stage
+            FROM documents
+            WHERE doc_id % 2 = 0
+            GROUP BY lang
+            UNION ALL
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id,
+                   'after_fix' AS stage
+            FROM documents
+            GROUP BY lang
+        """,
         "iceberg_incremental": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
