@@ -52,7 +52,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "band_energies", "spectral_embedding", "spectral_embeddings",
            "TranscriptRateRule", "transcript_rate", "audio_dedup_groups",
            "audio_transcript_conflicts", "audio_analysis",
-           "AUDIO_ANALYSIS_SCHEMA"]
+           "AUDIO_ANALYSIS_SCHEMA", "trim_silence", "normalize_loudness",
+           "TRIM_SILENCE_SCHEMA", "NORMALIZE_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -1070,3 +1071,161 @@ def segment_bytes(df: DataFrame, window_ms: int = 5000,
             yield pd.DataFrame(out, columns=cols)
 
     return df.select("clip_id", "bytes").mapInPandas(gen, SEGMENT_BYTES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Materialization ops: silence trimming + loudness normalization
+# ---------------------------------------------------------------------------
+
+TRIM_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("orig_ms", T.LongType(), True),
+        T.StructField("dur_ms", T.LongType(), True),
+        T.StructField("trimmed_lead_ms", T.LongType(), True),
+        T.StructField("trimmed_tail_ms", T.LongType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def trim_silence(df: DataFrame,
+                 threshold: int = SILENCE_THRESHOLD,
+                 pad_ms: int = 0) -> DataFrame:
+    """Strip leading/trailing silence and re-encode as normalized WAV.
+
+    The standard pre-training materialization step for speech corpora:
+    dead air at clip boundaries wastes tokens/compute and skews
+    duration-budget packing, so pipelines trim to the active region
+    (optionally re-padded by ``pad_ms`` of context) before windowing.
+
+    A sample is *active* when ``|s| > threshold`` (the complement of
+    :func:`pcm_features`'s silence definition, same default).  The kept
+    region is ``[first_active - pad, last_active + pad]`` clamped to the
+    clip; all arithmetic is exact integer math (sample indices, floor
+    millisecond conversions) so an independent replay agrees on the
+    output bytes hash.  Clips with NO active sample come back
+    ``ok=true`` with ``dur_ms=0`` and null ``bytes`` (the whole clip was
+    silence — route to a drop filter); undecodable clips come back
+    ``ok=false`` (route to the decodability rule).
+
+    Scale shape: one Arrow-batched decode pass over ``(clip_id,
+    bytes)`` only (column-pruned), per-clip cost = decode + one
+    ``np.nonzero`` + slice + WAV re-encode; linear in executors, no
+    shuffle, output rows ≤ input rows.
+    """
+    thr = int(threshold)
+    pad = int(pad_ms)
+    if pad < 0:
+        raise ValueError("pad_ms must be >= 0")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TRIM_SILENCE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None, None))
+                    continue
+                n = len(pcm)
+                orig_ms = n * 1000 // sr
+                active = np.nonzero(np.abs(pcm.astype(np.int64)) > thr)[0]
+                if len(active) == 0:
+                    out.append((row.clip_id, True, sr, orig_ms, 0,
+                                orig_ms, 0, None))
+                    continue
+                pad_n = pad * sr // 1000
+                lo = max(0, int(active[0]) - pad_n)
+                hi = min(n, int(active[-1]) + 1 + pad_n)
+                seg = pcm[lo:hi]
+                out.append((row.clip_id, True, sr, orig_ms,
+                            len(seg) * 1000 // sr,
+                            lo * 1000 // sr,
+                            (n - hi) * 1000 // sr,
+                            encode_wav(sr, seg)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, TRIM_SILENCE_SCHEMA)
+
+
+NORMALIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms_dbfs", T.DoubleType(), True),
+        T.StructField("gain_db", T.DoubleType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def normalize_loudness(df: DataFrame, target_dbfs: float = -20.0,
+                       max_gain_db: float = 40.0,
+                       peak_guard: bool = True) -> DataFrame:
+    """Gain-normalize every clip to a target RMS level (dBFS) and
+    re-encode as normalized WAV.
+
+    Training corpora mix sources recorded at wildly different levels;
+    level normalization before featurization/augmentation is the other
+    standard audio materialization step next to :func:`trim_silence`.
+
+    The applied gain is ``target_dbfs - rms_dbfs`` clamped to
+    ``±max_gain_db`` (a corrupt near-silent clip must not be amplified
+    by 90 dB into full-scale noise) and, with ``peak_guard`` (default),
+    further capped so the post-gain peak cannot exceed int16 full scale
+    — normalization never *introduces* clipping.  Samples are scaled in
+    float64 and rounded half-to-even (``np.rint``), the exact formula
+    an independent replay can reproduce bit-for-bit on the same
+    platform.  Digital-silence clips (all-zero PCM: RMS undefined) come
+    back ``ok=true`` with null ``gain_db``/``bytes``; undecodable clips
+    ``ok=false``.
+
+    Scale shape: one Arrow-batched decode pass over ``(clip_id,
+    bytes)``, integer-exact RMS (sum of squares in int64) + one
+    vectorized multiply per clip; linear in executors, no shuffle.
+    """
+    target = float(target_dbfs)
+    max_gain = float(max_gain_db)
+    if max_gain < 0:
+        raise ValueError("max_gain_db must be >= 0")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in NORMALIZE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None))
+                    continue
+                n = len(pcm)
+                sum_sq = int(np.sum(pcm.astype(np.int64) ** 2)) if n else 0
+                if sum_sq == 0:
+                    out.append((row.clip_id, True, sr, n, None, None,
+                                None))
+                    continue
+                rms_dbfs = 20.0 * math.log10(
+                    math.sqrt(sum_sq / n) / 32768.0)
+                gain_db = min(max(target - rms_dbfs, -max_gain), max_gain)
+                if peak_guard:
+                    peak = int(np.abs(pcm.astype(np.int64)).max())
+                    gain_db = min(gain_db,
+                                  20.0 * math.log10(32767.0 / peak))
+                scale = 10.0 ** (gain_db / 20.0)
+                scaled = np.clip(np.rint(pcm.astype(np.float64) * scale),
+                                 -32768, 32767).astype("<i2")
+                out.append((row.clip_id, True, sr, n,
+                            round(rms_dbfs, 6), round(gain_db, 6),
+                            encode_wav(sr, scaled)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, NORMALIZE_SCHEMA)

@@ -606,3 +606,120 @@ class TestSegmentation:
         )
         rows = segment_bytes(df, window_ms=1000, min_ms=1).collect()
         assert len(rows) == 1 and rows[0].chunk_ms == 900
+
+
+class TestTrimNormalize:
+    """Silence-trim + loudness-normalize materialization ops."""
+
+    def _clip(self, sr, lead_n, sig, tail_n):
+        import numpy as np
+
+        from datatest_spark.fixtures import make_wav
+
+        pcm = np.concatenate([
+            np.zeros(lead_n, dtype="<i2"), sig.astype("<i2"),
+            np.zeros(tail_n, dtype="<i2"),
+        ])
+        return make_wav(sr, pcm), pcm
+
+    def test_trim_silence_slices_active_region(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, trim_silence
+
+        sr = 8000
+        sig = np.full(sr // 2, 5000, dtype="<i2")  # 500 ms active
+        buf, _ = self._clip(sr, sr // 4, sig, sr // 8)  # 250ms lead, 125ms tail
+        df = spark.createDataFrame(
+            [("a", bytearray(buf)), ("bad", bytearray(b"nope"))],
+            "clip_id string, bytes binary",
+        )
+        rows = {r.clip_id: r for r in trim_silence(df).collect()}
+        a = rows["a"]
+        assert (a.ok, a.orig_ms, a.dur_ms) == (True, 875, 500)
+        assert (a.trimmed_lead_ms, a.trimmed_tail_ms) == (250, 125)
+        _, osr, opcm = decode_bytes(bytes(a.bytes))
+        assert osr == sr
+        np.testing.assert_array_equal(opcm, sig)
+        assert rows["bad"].ok is False and rows["bad"].bytes is None
+
+    def test_trim_silence_pad_and_threshold(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, trim_silence
+
+        sr = 8000
+        sig = np.full(sr // 10, 5000, dtype="<i2")
+        buf, pcm = self._clip(sr, sr // 4, sig, sr // 4)
+        df = spark.createDataFrame([("a", bytearray(buf))],
+                                   "clip_id string, bytes binary")
+        r = trim_silence(df, pad_ms=100).collect()[0]
+        # 100ms pad kept on each side of the active region
+        assert (r.trimmed_lead_ms, r.trimmed_tail_ms) == (150, 150)
+        _, _, opcm = decode_bytes(bytes(r.bytes))
+        lo = sr // 4 - sr // 10
+        np.testing.assert_array_equal(opcm, pcm[lo:len(pcm) - lo])
+        # a threshold above the signal level -> whole clip is silence
+        allsil = trim_silence(df, threshold=6000).collect()[0]
+        assert (allsil.ok, allsil.dur_ms, allsil.bytes) == (True, 0, None)
+        assert allsil.trimmed_lead_ms == allsil.orig_ms
+
+    def test_normalize_hits_target_rms(self, spark):
+        import math
+
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, normalize_loudness
+        from datatest_spark.fixtures import make_wav, synth_pcm
+
+        sr = 16000
+        pcm = synth_pcm(5, sr, 800)
+        df = spark.createDataFrame([("a", bytearray(make_wav(sr, pcm)))],
+                                   "clip_id string, bytes binary")
+        r = normalize_loudness(df, target_dbfs=-25.0).collect()[0]
+        assert r.ok and r.gain_db is not None
+        _, _, out = decode_bytes(bytes(r.bytes))
+        rms = 20 * math.log10(
+            math.sqrt(float(np.mean(out.astype(np.int64) ** 2))) / 32768.0)
+        assert abs(rms - (-25.0)) < 0.1  # int16 rounding only
+
+    def test_normalize_peak_guard_and_clamps(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, normalize_loudness
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        # near-full-scale square wave: any positive gain would clip
+        loud = np.full(sr, 30000, dtype="<i2")
+        loud[::2] = -30000
+        # very quiet clip: wants ~+50dB, must clamp at max_gain_db
+        quiet = np.full(sr, 3, dtype="<i2")
+        zero = np.zeros(sr, dtype="<i2")
+        df = spark.createDataFrame(
+            [("loud", bytearray(make_wav(sr, loud))),
+             ("quiet", bytearray(make_wav(sr, quiet))),
+             ("zero", bytearray(make_wav(sr, zero)))],
+            "clip_id string, bytes binary",
+        )
+        rows = {r.clip_id: r
+                for r in normalize_loudness(df, target_dbfs=-3.0,
+                                            max_gain_db=20.0).collect()}
+        _, _, out = decode_bytes(bytes(rows["loud"].bytes))
+        assert int(np.abs(out.astype(np.int64)).max()) <= 32767
+        assert rows["quiet"].gain_db == 20.0  # clamped, not +50dB
+        z = rows["zero"]
+        assert z.ok and z.gain_db is None and z.bytes is None
+
+    def test_trim_normalize_column_pruned(self, spark, tmp_path):
+        from datatest_spark.audio import normalize_loudness, trim_silence
+        from datatest_spark.fixtures import audio_clips_df
+        from datatest_spark.plans.inspect import read_schema_columns
+
+        path = str(tmp_path / "clips.parquet")
+        audio_clips_df(spark, 50, parts=2).write.parquet(path)
+        src = spark.read.parquet(path)
+        for op in (trim_silence, normalize_loudness):
+            schemas = read_schema_columns(op(src))
+            assert schemas and all(
+                set(s) <= {"clip_id", "bytes"} for s in schemas)
