@@ -350,6 +350,42 @@ def q_audio_knn(spark, sf_dir):
                     id_col="clip_id")
 
 
+def q_audio_trim(spark, sf_dir):
+    """Silence-trim materialization: one decode pass, exact integer
+    trim arithmetic, WAV re-encode — certified down to the output
+    BYTES via sha256 (the oracle re-encodes with an independent RIFF
+    writer and hashes with hashlib)."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import trim_silence
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = trim_silence(audio_clips_df(spark, 600, parts=4),
+                       threshold=2000)
+    return out.select(
+        "clip_id", "ok", "sr_hz", "orig_ms", "dur_ms",
+        "trimmed_lead_ms", "trimmed_tail_ms",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
+def q_audio_normalize(spark, sf_dir):
+    """Loudness normalization to −20 dBFS RMS with peak guard —
+    certified down to the output BYTES via sha256 (independent decode
+    + gain replay + independent WAV encode in the oracle)."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import normalize_loudness
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = normalize_loudness(audio_clips_df(spark, 600, parts=4),
+                             target_dbfs=-20.0)
+    return out.select(
+        "clip_id", "ok", "sr_hz", "n_samples", "rms_dbfs", "gain_db",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Per-clip audio quality features (peak / clipping / silence /
     ZCR / RMS dBFS / spectral centroid) in one Arrow decode pass.
@@ -2769,6 +2805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "audio_trim": q_audio_trim,
+        "audio_normalize": q_audio_normalize,
         "iceberg_wap": q_iceberg_wap,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_deletes": q_iceberg_deletes,
@@ -3798,6 +3836,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_docs": _oracles.fuzzy_docs_sql(cutoff=0.946),
         "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
+        "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
+                                              threshold=2000),
+        "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),
         "audio_features": _oracles.audio_features_sql(n=2000, parts=4),
         "segment_plan": _oracles.segment_plan_sql(
             n=2000, window_ms=2000, hop_ms=1000, min_ms=200, max_chunks=8

@@ -400,6 +400,133 @@ def audio_features_sql(n: int = 2000, parts: int = 4) -> str:
                       _FEATURE_COLS, _FEATURE_CASTS)
 
 
+def _sim_encode_wav(sr: int, pcm) -> bytes:
+    """Standalone canonical mono-int16 WAV writer (44-byte header),
+    written from the RIFF spec — independent of the engine's
+    encode_wav so byte-hash agreement certifies the format."""
+    import numpy as np
+
+    data = np.asarray(pcm, dtype="<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, int(sr),
+                                    int(sr) * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+@lru_cache(maxsize=None)
+def audio_trim_rows(n: int = 600, parts: int = 4,
+                    threshold: int = 2000, pad_ms: int = 0) -> tuple:
+    """Expected ``trim_silence(audio_clips_df(spark, n, parts),
+    threshold, pad_ms)`` rows projected to a sha256 of the trimmed WAV
+    bytes — independent decode (struct walk), independent trim
+    arithmetic (exact integer sample indices), independent WAV encode,
+    hashlib digest."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None, None, None,
+                        None))
+            continue
+        nsam = len(pcm)
+        orig_ms = nsam * 1000 // sr
+        active = np.nonzero(np.abs(pcm.astype(np.int64)) > threshold)[0]
+        if len(active) == 0:
+            out.append((clip_id, True, sr, orig_ms, 0, orig_ms, 0, None))
+            continue
+        pad_n = pad_ms * sr // 1000
+        lo = max(0, int(active[0]) - pad_n)
+        hi = min(nsam, int(active[-1]) + 1 + pad_n)
+        seg = pcm[lo:hi]
+        sha = hashlib.sha256(_sim_encode_wav(sr, seg)).hexdigest()
+        out.append((clip_id, True, sr, orig_ms, len(seg) * 1000 // sr,
+                    lo * 1000 // sr, (nsam - hi) * 1000 // sr, sha))
+    return tuple(out)
+
+
+_TRIM_COLS = ["clip_id", "ok", "sr_hz", "orig_ms", "dur_ms",
+              "trimmed_lead_ms", "trimmed_tail_ms", "content_sha"]
+_TRIM_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "BIGINT",
+               "BIGINT", "BIGINT", "VARCHAR"]
+
+
+def audio_trim_sql(n: int = 600, parts: int = 4,
+                   threshold: int = 2000, pad_ms: int = 0) -> str:
+    return values_sql(audio_trim_rows(n, parts, threshold, pad_ms),
+                      _TRIM_COLS, _TRIM_CASTS)
+
+
+@lru_cache(maxsize=None)
+def audio_normalize_rows(n: int = 600, parts: int = 4,
+                         target_dbfs: float = -20.0,
+                         max_gain_db: float = 40.0) -> tuple:
+    """Expected ``normalize_loudness(audio_clips_df(spark, n, parts),
+    target_dbfs, max_gain_db)`` rows with sha256 of the re-encoded
+    WAV — independent decode, the documented gain formula (target −
+    RMS, ±max clamp, peak guard) replayed on the same IEEE ops,
+    independent encode + hashlib digest."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None, None, None))
+            continue
+        nsam = len(pcm)
+        sum_sq = int(np.sum(pcm.astype(np.int64) ** 2)) if nsam else 0
+        if sum_sq == 0:
+            out.append((clip_id, True, sr, nsam, None, None, None))
+            continue
+        rms_dbfs = 20.0 * math.log10(math.sqrt(sum_sq / nsam) / 32768.0)
+        gain_db = min(max(target_dbfs - rms_dbfs, -max_gain_db),
+                      max_gain_db)
+        peak = int(np.abs(pcm.astype(np.int64)).max())
+        gain_db = min(gain_db, 20.0 * math.log10(32767.0 / peak))
+        scale = 10.0 ** (gain_db / 20.0)
+        scaled = np.clip(np.rint(pcm.astype(np.float64) * scale),
+                         -32768, 32767).astype("<i2")
+        sha = hashlib.sha256(_sim_encode_wav(sr, scaled)).hexdigest()
+        out.append((clip_id, True, sr, nsam, round(rms_dbfs, 6),
+                    round(gain_db, 6), sha))
+    return tuple(out)
+
+
+_NORM_COLS = ["clip_id", "ok", "sr_hz", "n_samples", "rms_dbfs",
+              "gain_db", "content_sha"]
+_NORM_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "DOUBLE",
+               "DOUBLE", "VARCHAR"]
+
+
+def audio_normalize_sql(n: int = 600, parts: int = 4,
+                        target_dbfs: float = -20.0,
+                        max_gain_db: float = 40.0) -> str:
+    return values_sql(
+        audio_normalize_rows(n, parts, target_dbfs, max_gain_db),
+        _NORM_COLS, _NORM_CASTS)
+
+
 AUDIO_DRIFT_EDGES = [500.0, 750.0, 1000.0, 1500.0]
 AUDIO_DRIFT_SHIFTED = [50, 100, 150, 700, 1000]   # fake high-centroid corpus
 AUDIO_DRIFT_TRUE = [363, 584, 398, 366, 285]      # fixture's real histogram
