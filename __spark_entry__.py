@@ -386,6 +386,26 @@ def q_audio_normalize(spark, sf_dir):
     )
 
 
+def q_audio_prepare(spark, sf_dir):
+    """Fused trim → normalize → 500 ms window materialization in ONE
+    decode pass (parity-tested bit-identical to the staged
+    composition).  Oracle: full first-principles replay, sha256 per
+    output chunk — certifies every materialized training window's
+    BYTES."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import prepare_training_audio
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = prepare_training_audio(audio_clips_df(spark, 600, parts=4),
+                                 threshold=2000, target_dbfs=-20.0,
+                                 window_ms=500)
+    return out.select(
+        "clip_id", "ok", "chunk_idx", "start_ms", "chunk_ms", "sr_hz",
+        "gain_db", F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Per-clip audio quality features (peak / clipping / silence /
     ZCR / RMS dBFS / spectral centroid) in one Arrow decode pass.
@@ -2805,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "audio_prepare": q_audio_prepare,
         "audio_trim": q_audio_trim,
         "audio_normalize": q_audio_normalize,
         "iceberg_wap": q_iceberg_wap,
@@ -3836,6 +3857,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_docs": _oracles.fuzzy_docs_sql(cutoff=0.946),
         "simhash_neardup": _oracles.simhash_neardup_sql(max_hamming=3),
         "audio_suite": _oracles.audio_suite_sql(n=2000, parts=4),
+        "audio_prepare": _oracles.audio_prepare_sql(n=600, parts=4,
+                                                    threshold=2000,
+                                                    window_ms=500),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

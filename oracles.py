@@ -513,6 +513,84 @@ def audio_normalize_rows(n: int = 600, parts: int = 4,
     return tuple(out)
 
 
+@lru_cache(maxsize=None)
+def audio_prepare_rows(n: int = 600, parts: int = 4,
+                       threshold: int = 2000, pad_ms: int = 0,
+                       target_dbfs: float = -20.0,
+                       max_gain_db: float = 40.0,
+                       window_ms: int = 500) -> tuple:
+    """Expected ``prepare_training_audio(...)`` chunk rows — the fused
+    trim → normalize → segment materializer replayed from first
+    principles (independent decode, trim indices, gain formula, window
+    grid, independent RIFF encode, hashlib sha256 per chunk)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None, None, None,
+                        None))
+            continue
+        nsam = len(pcm)
+        active = np.nonzero(np.abs(pcm.astype(np.int64)) > threshold)[0]
+        if len(active) == 0:
+            out.append((clip_id, True, None, None, None, sr, None, None))
+            continue
+        pad_n = pad_ms * sr // 1000
+        lo = max(0, int(active[0]) - pad_n)
+        hi = min(nsam, int(active[-1]) + 1 + pad_n)
+        seg = pcm[lo:hi]
+        m = len(seg)
+        sum_sq = int(np.sum(seg.astype(np.int64) ** 2))
+        rms_dbfs = 20.0 * math.log10(math.sqrt(sum_sq / m) / 32768.0)
+        gain_db = min(max(target_dbfs - rms_dbfs, -max_gain_db),
+                      max_gain_db)
+        peak = int(np.abs(seg.astype(np.int64)).max())
+        gain_db = min(gain_db, 20.0 * math.log10(32767.0 / peak))
+        scale = 10.0 ** (gain_db / 20.0)
+        proc = np.clip(np.rint(seg.astype(np.float64) * scale),
+                       -32768, 32767).astype("<i2")
+        g = round(gain_db, 6)
+        win = window_ms * sr // 1000
+        k = 0
+        while k * win < m:
+            chunk = proc[k * win: k * win + win]
+            ms = len(chunk) * 1000 // sr
+            if ms >= 1:
+                sha = hashlib.sha256(_sim_encode_wav(sr, chunk)).hexdigest()
+                out.append((clip_id, True, k, k * win * 1000 // sr, ms,
+                            sr, g, sha))
+            k += 1
+    return tuple(out)
+
+
+_PREPARE_COLS = ["clip_id", "ok", "chunk_idx", "start_ms", "chunk_ms",
+                 "sr_hz", "gain_db", "content_sha"]
+_PREPARE_CASTS = ["VARCHAR", "BOOLEAN", "BIGINT", "BIGINT", "BIGINT",
+                  "INTEGER", "DOUBLE", "VARCHAR"]
+
+
+def audio_prepare_sql(n: int = 600, parts: int = 4,
+                      threshold: int = 2000, pad_ms: int = 0,
+                      target_dbfs: float = -20.0,
+                      window_ms: int = 500) -> str:
+    return values_sql(
+        audio_prepare_rows(n, parts, threshold, pad_ms, target_dbfs,
+                           window_ms=window_ms),
+        _PREPARE_COLS, _PREPARE_CASTS)
+
+
 _NORM_COLS = ["clip_id", "ok", "sr_hz", "n_samples", "rms_dbfs",
               "gain_db", "content_sha"]
 _NORM_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "DOUBLE",

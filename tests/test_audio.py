@@ -723,3 +723,80 @@ class TestTrimNormalize:
             schemas = read_schema_columns(op(src))
             assert schemas and all(
                 set(s) <= {"clip_id", "bytes"} for s in schemas)
+
+
+class TestPrepareTrainingAudio:
+    """Fused trim → normalize → segment: one decode pass, bit-identical
+    to the staged three-operator composition."""
+
+    def test_parity_with_staged_composition(self, spark):
+        from datatest_spark.audio import (
+            normalize_loudness,
+            prepare_training_audio,
+            segment_bytes,
+            trim_silence,
+        )
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 120, parts=2)
+        kw = dict(threshold=2000, pad_ms=20, target_dbfs=-22.0)
+        fused = {
+            (r.clip_id, r.chunk_idx): (r.start_ms, r.chunk_ms, r.sr_hz,
+                                       bytes(r.bytes) if r.bytes else None)
+            for r in prepare_training_audio(src, window_ms=400,
+                                            **kw).collect()
+            if r.ok and r.chunk_idx is not None
+        }
+        trimmed = trim_silence(src, threshold=2000, pad_ms=20) \
+            .where("ok AND bytes IS NOT NULL").select("clip_id", "bytes")
+        normed = normalize_loudness(trimmed, target_dbfs=-22.0) \
+            .where("ok AND bytes IS NOT NULL").select("clip_id", "bytes")
+        staged = {
+            (r.clip_id, r.chunk_idx): (r.start_ms, r.chunk_ms, r.sr_hz,
+                                       bytes(r.bytes))
+            for r in segment_bytes(normed, window_ms=400).collect()
+            if r.ok
+        }
+        assert fused == staged and len(fused) > 120
+
+    def test_error_and_silent_rows_kept(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import prepare_training_audio
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        df = spark.createDataFrame(
+            [("bad", bytearray(b"junk")),
+             ("silent", bytearray(make_wav(sr, np.zeros(sr, dtype="<i2"))))],
+            "clip_id string, bytes binary",
+        )
+        rows = {r.clip_id: r for r in prepare_training_audio(df).collect()}
+        assert rows["bad"].ok is False
+        s = rows["silent"]
+        assert s.ok and s.chunk_idx is None and s.bytes is None
+
+    def test_gain_measured_on_trimmed_region(self, spark):
+        import math
+
+        import numpy as np
+
+        from datatest_spark.audio import decode_bytes, prepare_training_audio
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        sig = (6000 * np.sin(2 * np.pi * 220 *
+                             np.arange(sr) / sr)).astype("<i2")
+        pcm = np.concatenate([np.zeros(3 * sr, dtype="<i2"), sig])
+        df = spark.createDataFrame([("a", bytearray(make_wav(sr, pcm)))],
+                                   "clip_id string, bytes binary")
+        rows = prepare_training_audio(df, threshold=327, target_dbfs=-20.0,
+                                      window_ms=10_000).collect()
+        assert len(rows) == 1
+        _, _, out = decode_bytes(bytes(rows[0].bytes))
+        rms = 20 * math.log10(
+            math.sqrt(float(np.mean(out.astype(np.int64) ** 2))) / 32768.0)
+        # RMS of the OUTPUT (trimmed region only) hits the target; had
+        # gain been computed over the 75%-silence original it would
+        # overshoot by ~6 dB
+        assert abs(rms - (-20.0)) < 0.1
