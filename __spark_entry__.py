@@ -406,6 +406,24 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_audio_resample(spark, sf_dir):
+    """Rate-uniform materialization: every clip resampled to 16 kHz by
+    deterministic linear interpolation (exact divmod grid) and
+    re-encoded — certified down to the output BYTES via sha256 against
+    an independent replay."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import resample_audio
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = resample_audio(audio_clips_df(spark, 600, parts=4),
+                         target_sr=16000)
+    return out.select(
+        "clip_id", "ok", "src_sr_hz", "sr_hz", "n_samples",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Per-clip audio quality features (peak / clipping / silence /
     ZCR / RMS dBFS / spectral centroid) in one Arrow decode pass.
@@ -2826,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "audio_prepare": q_audio_prepare,
+        "audio_resample": q_audio_resample,
         "audio_trim": q_audio_trim,
         "audio_normalize": q_audio_normalize,
         "iceberg_wap": q_iceberg_wap,
@@ -3860,6 +3879,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_prepare": _oracles.audio_prepare_sql(n=600, parts=4,
                                                     threshold=2000,
                                                     window_ms=500),
+        "audio_resample": _oracles.audio_resample_sql(n=600, parts=4,
+                                                      target_sr=16000),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

@@ -72,6 +72,7 @@ HEADLINE = [
     "drift_two_sample",
     "audio_label_conflicts",
     "audio_analysis",
+    "audio_prepare",
     "canonical_by_quality",
     "decontaminate_neardup",
     "semantic_dedup",

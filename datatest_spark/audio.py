@@ -54,7 +54,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "audio_transcript_conflicts", "audio_analysis",
            "AUDIO_ANALYSIS_SCHEMA", "trim_silence", "normalize_loudness",
            "TRIM_SILENCE_SCHEMA", "NORMALIZE_SCHEMA",
-           "prepare_training_audio", "PREPARE_SCHEMA"]
+           "prepare_training_audio", "PREPARE_SCHEMA",
+           "resample_audio", "resample_pcm", "RESAMPLE_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -1230,6 +1231,85 @@ def normalize_loudness(df: DataFrame, target_dbfs: float = -20.0,
             yield pd.DataFrame(out, columns=cols)
 
     return df.select("clip_id", "bytes").mapInPandas(gen, NORMALIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("src_sr_hz", T.IntegerType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample of int16 PCM.
+
+    Output sample ``j`` sits at source position ``j·sr_in/sr_out``,
+    carried as EXACT rational arithmetic (``divmod(j·sr_in, sr_out)``
+    in int64) so the integer/fractional split is bit-reproducible;
+    only the final two-tap blend runs in float64 (round half-to-even
+    back to int16).  Output length is ``ceil(n·sr_out/sr_in)`` — the
+    grid covers the same time span, and the last tap clamps to the
+    final source sample.  Linear interpolation is the standard
+    cheap-and-deterministic choice for validation/curation pipelines;
+    it attenuates above-Nyquist content rather than filtering it
+    (a windowed-sinc kernel is a drop-in upgrade when a DSP library
+    is available).
+    """
+    sr_in = int(sr_in)
+    sr_out = int(sr_out)
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    n = len(pcm)
+    if sr_in == sr_out or n == 0:
+        return np.asarray(pcm, dtype="<i2")
+    n_out = -((-n * sr_out) // sr_in)  # ceil
+    j = np.arange(n_out, dtype=np.int64)
+    idx, rem = np.divmod(j * sr_in, sr_out)
+    idx = np.minimum(idx, n - 1)
+    nxt = np.minimum(idx + 1, n - 1)
+    frac = rem.astype(np.float64) / sr_out
+    x = pcm.astype(np.float64)
+    out = x[idx] * (1.0 - frac) + x[nxt] * frac
+    return np.clip(np.rint(out), -32768, 32767).astype("<i2")
+
+
+def resample_audio(df: DataFrame, target_sr: int = 16000) -> DataFrame:
+    """Resample every clip to one target sample rate and re-encode as
+    normalized WAV — mixed-rate corpora (the fixture mixes 8/16/22.05/
+    44.1 kHz, like any web-crawled audio set) must be rate-uniform
+    before batching into a training model.
+
+    Already-at-rate clips round-trip their PCM unchanged (container
+    still normalized to WAV); undecodable clips come back ``ok=false``.
+    One Arrow-batched decode pass over ``(clip_id, bytes)``, vectorized
+    interpolation per clip, no shuffle — linear in executors.
+    """
+    tsr = int(target_sr)
+    if tsr <= 0:
+        raise ValueError("target_sr must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None))
+                    continue
+                res = resample_pcm(pcm, sr, tsr)
+                out.append((row.clip_id, True, sr, tsr, len(res),
+                            encode_wav(tsr, res)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, RESAMPLE_SCHEMA)
 
 
 PREPARE_SCHEMA = T.StructType(

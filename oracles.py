@@ -514,6 +514,64 @@ def audio_normalize_rows(n: int = 600, parts: int = 4,
 
 
 @lru_cache(maxsize=None)
+def audio_resample_rows(n: int = 600, parts: int = 4,
+                        target_sr: int = 16000) -> tuple:
+    """Expected ``resample_audio(audio_clips_df(spark, n, parts),
+    target_sr)`` rows — independent decode, an independent
+    linear-interpolation replay of the documented resample spec
+    (exact divmod grid, float64 two-tap blend, round half-to-even),
+    independent WAV encode + sha256."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    def replay(pcm, sr_in, sr_out):
+        m = len(pcm)
+        if sr_in == sr_out or m == 0:
+            return np.asarray(pcm, dtype="<i2")
+        n_out = (m * sr_out + sr_in - 1) // sr_in  # ceil
+        j = np.arange(n_out, dtype=np.int64)
+        idx, rem = np.divmod(j * sr_in, sr_out)
+        idx = np.minimum(idx, m - 1)
+        nxt = np.minimum(idx + 1, m - 1)
+        frac = rem.astype(np.float64) / sr_out
+        x = pcm.astype(np.float64)
+        blend = x[idx] * (1.0 - frac) + x[nxt] * frac
+        return np.clip(np.rint(blend), -32768, 32767).astype("<i2")
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None, None))
+            continue
+        res = replay(pcm, sr, target_sr)
+        sha = hashlib.sha256(
+            _sim_encode_wav(target_sr, res)).hexdigest()
+        out.append((clip_id, True, sr, target_sr, len(res), sha))
+    return tuple(out)
+
+
+_RESAMPLE_COLS = ["clip_id", "ok", "src_sr_hz", "sr_hz", "n_samples",
+                  "content_sha"]
+_RESAMPLE_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "INTEGER", "BIGINT",
+                   "VARCHAR"]
+
+
+def audio_resample_sql(n: int = 600, parts: int = 4,
+                       target_sr: int = 16000) -> str:
+    return values_sql(audio_resample_rows(n, parts, target_sr),
+                      _RESAMPLE_COLS, _RESAMPLE_CASTS)
+
+
+@lru_cache(maxsize=None)
 def audio_prepare_rows(n: int = 600, parts: int = 4,
                        threshold: int = 2000, pad_ms: int = 0,
                        target_dbfs: float = -20.0,

@@ -800,3 +800,63 @@ class TestPrepareTrainingAudio:
         # gain been computed over the 75%-silence original it would
         # overshoot by ~6 dB
         assert abs(rms - (-20.0)) < 0.1
+
+
+class TestResample:
+    """Deterministic linear-interp resampling to a uniform rate."""
+
+    def test_resample_pcm_exact_grid(self):
+        import numpy as np
+
+        from datatest_spark.audio import resample_pcm
+
+        # 2x upsample of a ramp: every other sample is the midpoint
+        pcm = np.array([0, 100, 200, 300], dtype="<i2")
+        up = resample_pcm(pcm, 8000, 16000)
+        np.testing.assert_array_equal(
+            up, [0, 50, 100, 150, 200, 250, 300, 300])
+        # 2x downsample recovers the even-index samples
+        np.testing.assert_array_equal(resample_pcm(up, 16000, 8000), pcm)
+        # identity is a no-op
+        np.testing.assert_array_equal(resample_pcm(pcm, 8000, 8000), pcm)
+
+    def test_resample_pcm_length_and_span(self):
+        import numpy as np
+
+        from datatest_spark.audio import resample_pcm
+
+        pcm = np.arange(44100, dtype="<i2")
+        out = resample_pcm(pcm, 44100, 16000)
+        assert len(out) == 16000  # ceil(44100*16000/44100)
+        assert out[0] == pcm[0]
+        # non-integer ratio: 22050 -> 16000
+        out2 = resample_pcm(np.arange(22050, dtype="<i2"), 22050, 16000)
+        assert len(out2) == 16000
+
+    def test_resample_audio_uniform_rate(self, spark):
+        from datatest_spark.audio import audio_features, resample_audio
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 300, parts=2)
+        out = resample_audio(src, target_sr=16000).cache()
+        bad = out.where("NOT ok").count()
+        assert bad == 1  # the i%500==11 corrupt clip
+        # every materialized clip decodes at exactly 16 kHz
+        feats = audio_features(out.where("ok").select("clip_id", "bytes"))
+        rates = {(r.ok, r.dec_sr_hz) for r in feats.collect()}
+        assert rates == {(True, 16000)}
+        out.unpersist()
+
+    def test_resample_tone_preserves_frequency(self):
+        import numpy as np
+
+        from datatest_spark.audio import resample_pcm
+
+        # 440 Hz tone at 44100 resampled to 16000 peaks at ~440 Hz
+        sr_in, sr_out = 44100, 16000
+        t = np.arange(sr_in) / sr_in
+        pcm = (10000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+        out = resample_pcm(pcm, sr_in, sr_out)
+        mag = np.abs(np.fft.rfft(out.astype(np.float64)))
+        peak_hz = np.argmax(mag) * sr_out / len(out)
+        assert abs(peak_hz - 440.0) < 2.0
