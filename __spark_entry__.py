@@ -406,6 +406,23 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_audio_augment(spark, sf_dir):
+    """Deterministic 3-way speed perturbation (Ko et al. 2015): per-clip
+    factor via the md5 split contract, exact-rational-grid resample,
+    output bytes sha256-certified against an independent hashlib/numpy
+    replay."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import augment_speed
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = augment_speed(audio_clips_df(spark, 600, parts=4), salt="aug1")
+    return out.select(
+        "clip_id", "ok", "sr_hz", "speed_num", "speed_den", "n_samples",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_resample(spark, sf_dir):
     """Rate-uniform materialization: every clip resampled to 16 kHz by
     deterministic linear interpolation (exact divmod grid) and
@@ -2844,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "audio_prepare": q_audio_prepare,
+        "audio_augment": q_audio_augment,
         "audio_resample": q_audio_resample,
         "audio_trim": q_audio_trim,
         "audio_normalize": q_audio_normalize,
@@ -3881,6 +3899,8 @@ def oracle_sql() -> dict[str, str]:
                                                     window_ms=500),
         "audio_resample": _oracles.audio_resample_sql(n=600, parts=4,
                                                       target_sr=16000),
+        "audio_augment": _oracles.audio_augment_sql(n=600, parts=4,
+                                                    salt="aug1"),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

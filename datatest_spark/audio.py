@@ -55,7 +55,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "AUDIO_ANALYSIS_SCHEMA", "trim_silence", "normalize_loudness",
            "TRIM_SILENCE_SCHEMA", "NORMALIZE_SCHEMA",
            "prepare_training_audio", "PREPARE_SCHEMA",
-           "resample_audio", "resample_pcm", "RESAMPLE_SCHEMA"]
+           "resample_audio", "resample_pcm", "RESAMPLE_SCHEMA",
+           "augment_speed", "AUGMENT_SCHEMA", "SPEED_FACTORS"]
 
 
 # ---------------------------------------------------------------------------
@@ -1312,6 +1313,75 @@ def resample_audio(df: DataFrame, target_sr: int = 16000) -> DataFrame:
     return df.select("clip_id", "bytes").mapInPandas(gen, RESAMPLE_SCHEMA)
 
 
+AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("speed_num", T.IntegerType(), True),
+        T.StructField("speed_den", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+#: the classic ASR 3-way speed-perturbation set (0.9x / 1.0x / 1.1x)
+SPEED_FACTORS = ((9, 10), (10, 10), (11, 10))
+
+
+def augment_speed(df: DataFrame,
+                  factors=SPEED_FACTORS,
+                  salt: str = "") -> DataFrame:
+    """Deterministic speed-perturbation augmentation — the standard
+    ASR training-data trick (0.9×/1.0×/1.1× playback speed, cf. Ko et
+    al., *Audio augmentation for speech recognition*, Interspeech
+    2015), expressed so that re-running the pipeline reproduces the
+    identical augmented corpus.
+
+    Each clip's factor is chosen by ``md5(clip_id || salt)`` — the same
+    engine-portable determinism contract as
+    :func:`operators.split.hash_split` (changing ``salt`` re-rolls
+    every assignment; appends never reshuffle existing rows).  Factors
+    are exact rationals ``(num, den)``: speed ``num/den`` maps sample
+    ``j`` to source position ``j·num/den`` via :func:`resample_pcm`'s
+    exact divmod grid, with the sample rate unchanged — duration scales
+    by ``den/num``, pitch shifts with speed exactly as in the reference
+    recipe's sox implementation.
+
+    One Arrow-batched decode pass over ``(clip_id, bytes)``, no
+    shuffle.  To materialize ALL factors per clip (the usual 3×
+    training corpus), union three calls with single-factor lists —
+    each stays one decode pass over the source.
+    """
+    import hashlib
+
+    fl = [(int(a), int(b)) for a, b in factors]
+    if not fl or any(a <= 0 or b <= 0 for a, b in fl):
+        raise ValueError("factors must be positive (num, den) rationals")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUGMENT_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                key = (str(row.clip_id) if row.clip_id is not None
+                       else "") + salt
+                num, den = fl[int(hashlib.md5(key.encode("utf-8"))
+                                  .hexdigest()[:4], 16) % len(fl)]
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, num, den,
+                                None, None))
+                    continue
+                res = resample_pcm(pcm, num, den)
+                out.append((row.clip_id, True, sr, num, den, len(res),
+                            encode_wav(sr, res)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, AUGMENT_SCHEMA)
+
+
 PREPARE_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType(), True),
@@ -1334,15 +1404,20 @@ def prepare_training_audio(df: DataFrame,
                            peak_guard: bool = True,
                            window_ms: int = 5000,
                            hop_ms: Optional[int] = None,
-                           min_ms: int = 1) -> DataFrame:
-    """Fused training-audio materialization: silence-trim →
-    loudness-normalize → fixed-window segmentation in ONE decode pass.
+                           min_ms: int = 1,
+                           target_sr: Optional[int] = None) -> DataFrame:
+    """Fused training-audio materialization: [resample →] silence-trim
+    → loudness-normalize → fixed-window segmentation in ONE decode
+    pass.
 
-    Staging :func:`trim_silence` → :func:`normalize_loudness` →
-    :func:`segment_bytes` produces bit-identical chunks (parity-tested)
-    but costs three decode+encode round-trips of the full corpus —
-    at 10^12 clips that is 3× the I/O and 2 intermediate materialized
-    tables for no semantic gain.  This operator decodes once, trims and
+    Staging :func:`resample_audio` → :func:`trim_silence` →
+    :func:`normalize_loudness` → :func:`segment_bytes` produces
+    bit-identical chunks (parity-tested)
+    but costs four decode+encode round-trips of the full corpus —
+    at 10^12 clips that is 4× the I/O and 3 intermediate materialized
+    tables for no semantic gain.  This operator decodes once,
+    optionally resamples to ``target_sr`` (rate-uniform training
+    batches), trims and
     scales the PCM in memory, slices the window grid off the processed
     samples, and encodes each kept chunk exactly once.
 
@@ -1372,6 +1447,9 @@ def prepare_training_audio(df: DataFrame,
     if window <= 0 or hop <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
     min_keep = int(min_ms)
+    tsr = int(target_sr) if target_sr is not None else None
+    if tsr is not None and tsr <= 0:
+        raise ValueError("target_sr must be positive")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PREPARE_SCHEMA.fields]
@@ -1384,6 +1462,9 @@ def prepare_training_audio(df: DataFrame,
                     out.append((row.clip_id, False, None, None, None,
                                 None, None, None))
                     continue
+                if tsr is not None and sr != tsr:
+                    pcm = resample_pcm(pcm, sr, tsr)
+                    sr = tsr
                 n = len(pcm)
                 active = np.nonzero(np.abs(pcm.astype(np.int64)) > thr)[0]
                 if len(active) == 0:

@@ -559,6 +559,65 @@ def audio_resample_rows(n: int = 600, parts: int = 4,
     return tuple(out)
 
 
+@lru_cache(maxsize=None)
+def audio_augment_rows(n: int = 600, parts: int = 4,
+                       salt: str = "aug1") -> tuple:
+    """Expected ``augment_speed(audio_clips_df(spark, n, parts),
+    salt=salt)`` rows — md5 factor choice + exact-grid speed replay +
+    independent encode + sha256, all re-derived with hashlib/numpy."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    factors = ((9, 10), (10, 10), (11, 10))
+
+    def replay(pcm, num, den):
+        m = len(pcm)
+        if num == den or m == 0:
+            return np.asarray(pcm, dtype="<i2")
+        n_out = (m * den + num - 1) // num
+        j = np.arange(n_out, dtype=np.int64)
+        idx, rem = np.divmod(j * num, den)
+        idx = np.minimum(idx, m - 1)
+        nxt = np.minimum(idx + 1, m - 1)
+        frac = rem.astype(np.float64) / den
+        x = pcm.astype(np.float64)
+        blend = x[idx] * (1.0 - frac) + x[nxt] * frac
+        return np.clip(np.rint(blend), -32768, 32767).astype("<i2")
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        num, den = factors[int(hashlib.md5(
+            (clip_id + salt).encode("utf-8")).hexdigest()[:4], 16) % 3]
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, num, den, None, None))
+            continue
+        res = replay(pcm, num, den)
+        sha = hashlib.sha256(_sim_encode_wav(sr, res)).hexdigest()
+        out.append((clip_id, True, sr, num, den, len(res), sha))
+    return tuple(out)
+
+
+_AUGMENT_COLS = ["clip_id", "ok", "sr_hz", "speed_num", "speed_den",
+                 "n_samples", "content_sha"]
+_AUGMENT_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "INTEGER", "INTEGER",
+                  "BIGINT", "VARCHAR"]
+
+
+def audio_augment_sql(n: int = 600, parts: int = 4,
+                      salt: str = "aug1") -> str:
+    return values_sql(audio_augment_rows(n, parts, salt),
+                      _AUGMENT_COLS, _AUGMENT_CASTS)
+
+
 _RESAMPLE_COLS = ["clip_id", "ok", "src_sr_hz", "sr_hz", "n_samples",
                   "content_sha"]
 _RESAMPLE_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "INTEGER", "BIGINT",

@@ -860,3 +860,75 @@ class TestResample:
         mag = np.abs(np.fft.rfft(out.astype(np.float64)))
         peak_hz = np.argmax(mag) * sr_out / len(out)
         assert abs(peak_hz - 440.0) < 2.0
+
+
+class TestAugmentSpeed:
+    """Deterministic 3-way speed perturbation."""
+
+    def test_speed_scales_duration_exactly(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import augment_speed, decode_bytes
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        pcm = np.arange(sr, dtype="<i2")  # 1 s ramp
+        df = spark.createDataFrame([("a", bytearray(make_wav(sr, pcm)))],
+                                   "clip_id string, bytes binary")
+        fast = augment_speed(df, factors=[(11, 10)]).collect()[0]
+        slow = augment_speed(df, factors=[(9, 10)]).collect()[0]
+        unit = augment_speed(df, factors=[(10, 10)]).collect()[0]
+        # n_out = ceil(n * den / num)
+        assert fast.n_samples == -(-sr * 10 // 11)
+        assert slow.n_samples == -(-sr * 10 // 9)
+        _, usr, upcm = decode_bytes(bytes(unit.bytes))
+        assert usr == sr
+        np.testing.assert_array_equal(upcm, pcm)  # 1.0x is the identity
+
+    def test_choice_is_md5_deterministic_and_salted(self, spark):
+        import hashlib
+
+        from datatest_spark.audio import SPEED_FACTORS, augment_speed
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 200, parts=2)
+        rows = {r.clip_id: (r.speed_num, r.speed_den)
+                for r in augment_speed(src, salt="v1").collect()}
+        # replay the documented md5 contract
+        for cid, nd in rows.items():
+            k = int(hashlib.md5((cid + "v1").encode()).hexdigest()[:4],
+                    16) % 3
+            assert nd == SPEED_FACTORS[k]
+        # all three factors actually occur; a different salt re-rolls
+        assert len(set(rows.values())) == 3
+        rows2 = {r.clip_id: (r.speed_num, r.speed_den)
+                 for r in augment_speed(src, salt="v2").collect()}
+        assert rows2 != rows
+
+    def test_prepare_target_sr_parity_with_staged(self, spark):
+        from datatest_spark.audio import (
+            prepare_training_audio,
+            resample_audio,
+        )
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 80, parts=2)
+        fused = {
+            (r.clip_id, r.chunk_idx): (r.chunk_ms, r.sr_hz,
+                                       bytes(r.bytes) if r.bytes else None)
+            for r in prepare_training_audio(
+                src, threshold=2000, window_ms=400,
+                target_sr=16000).collect()
+            if r.ok and r.chunk_idx is not None
+        }
+        resampled = resample_audio(src, target_sr=16000) \
+            .where("ok").select("clip_id", "bytes")
+        staged = {
+            (r.clip_id, r.chunk_idx): (r.chunk_ms, r.sr_hz,
+                                       bytes(r.bytes) if r.bytes else None)
+            for r in prepare_training_audio(
+                resampled, threshold=2000, window_ms=400).collect()
+            if r.ok and r.chunk_idx is not None
+        }
+        assert fused == staged and len(fused) > 80
+        assert {v[1] for v in fused.values()} == {16000}
