@@ -133,19 +133,28 @@ def _parse_synth_opus(buf: bytes):
 
 
 def decode_bytes(buf: Optional[bytes]):
-    """Decode any supported container → (codec, sr, pcm) or raise."""
+    """Decode any supported container → (codec, sr, pcm) or raise.
+
+    A header that parses but declares a non-positive sample rate is a
+    decode FAILURE (``invalid sample rate``), not a decodable clip —
+    every downstream materialization op divides by ``sr``, and one
+    poisoned header in a 10^12-row corpus must surface as an
+    ``ok=false`` audit row, never a task crash.
+    """
     if buf is None:
         raise ValueError("null bytes")
     if buf[:4] == b"RIFF":
         sr, pcm = _parse_wav(bytes(buf))
-        return "pcm_s16le", sr, pcm
-    if buf[:4] == b"fLaC":
+    elif buf[:4] == b"fLaC":
         sr, pcm = _parse_synth_flac(bytes(buf))
-        return "flac", sr, pcm
-    if buf[:8] == b"OpusHead":
+    elif buf[:8] == b"OpusHead":
         sr, pcm = _parse_synth_opus(bytes(buf))
-        return "opus", sr, pcm
-    raise ValueError("unsupported codec payload")
+    else:
+        raise ValueError("unsupported codec payload")
+    if sr <= 0:
+        raise ValueError("invalid sample rate")
+    codec = {b"RIFF": "pcm_s16le", b"fLaC": "flac"}.get(buf[:4], "opus")
+    return codec, sr, pcm
 
 
 def pcm_snr_db(decoded: np.ndarray, reference: np.ndarray) -> float:
@@ -1043,7 +1052,7 @@ def segment_bytes(df: DataFrame, window_ms: int = 5000,
     yields short/padded training windows.
     """
     window = int(window_ms)
-    hop = int(hop_ms or window_ms)
+    hop = window if hop_ms is None else int(hop_ms)
     if window <= 0 or hop <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
     min_keep = int(min_ms)
@@ -1060,8 +1069,9 @@ def segment_bytes(df: DataFrame, window_ms: int = 5000,
                                 None, None))
                     continue
                 n = len(pcm)
-                win = window * sr // 1000
-                hop_n = hop * sr // 1000
+                win = max(1, window * sr // 1000)
+                # clamp: a tiny decoded sr must not floor the hop to 0
+                hop_n = max(1, hop * sr // 1000)
                 k = 0
                 while k * hop_n < n:
                     seg = pcm[k * hop_n: k * hop_n + win]
@@ -1079,6 +1089,43 @@ def segment_bytes(df: DataFrame, window_ms: int = 5000,
 # ---------------------------------------------------------------------------
 # Materialization ops: silence trimming + loudness normalization
 # ---------------------------------------------------------------------------
+
+def _trim_bounds(pcm: np.ndarray, threshold: int,
+                 pad_n: int) -> Optional[tuple]:
+    """``(lo, hi)`` slice bounds of the active region (|s| > threshold,
+    re-padded by ``pad_n`` samples, clamped), or None when the whole
+    clip is silence.  argmax on the boolean mask finds both edges
+    without materializing an index array per clip."""
+    mask = np.abs(pcm.astype(np.int64)) > threshold
+    if not mask.any():
+        return None
+    first = int(mask.argmax())
+    last = len(pcm) - 1 - int(mask[::-1].argmax())
+    return max(0, first - pad_n), min(len(pcm), last + 1 + pad_n)
+
+
+def _apply_gain(seg: np.ndarray, target_dbfs: float, max_gain_db: float,
+                peak_guard: bool) -> Optional[tuple]:
+    """``(rms_dbfs, gain_db, scaled_int16)`` for one PCM buffer under
+    the documented normalization spec (target − RMS, ±max clamp, peak
+    guard, float64 scale, round half-to-even), or None for digital
+    silence (RMS undefined).  Shared by :func:`normalize_loudness` and
+    :func:`prepare_training_audio` so the fused op stays bit-identical
+    to the staged composition by construction."""
+    m = len(seg)
+    sum_sq = int(np.sum(seg.astype(np.int64) ** 2)) if m else 0
+    if sum_sq == 0:
+        return None
+    rms_dbfs = 20.0 * math.log10(math.sqrt(sum_sq / m) / 32768.0)
+    gain_db = min(max(target_dbfs - rms_dbfs, -max_gain_db), max_gain_db)
+    if peak_guard:
+        peak = int(np.abs(seg.astype(np.int64)).max())
+        gain_db = min(gain_db, 20.0 * math.log10(32767.0 / peak))
+    scaled = np.clip(np.rint(seg.astype(np.float64)
+                             * 10.0 ** (gain_db / 20.0)),
+                     -32768, 32767).astype("<i2")
+    return rms_dbfs, gain_db, scaled
+
 
 TRIM_SILENCE_SCHEMA = T.StructType(
     [
@@ -1137,14 +1184,12 @@ def trim_silence(df: DataFrame,
                     continue
                 n = len(pcm)
                 orig_ms = n * 1000 // sr
-                active = np.nonzero(np.abs(pcm.astype(np.int64)) > thr)[0]
-                if len(active) == 0:
+                bounds = _trim_bounds(pcm, thr, pad * sr // 1000)
+                if bounds is None:
                     out.append((row.clip_id, True, sr, orig_ms, 0,
                                 orig_ms, 0, None))
                     continue
-                pad_n = pad * sr // 1000
-                lo = max(0, int(active[0]) - pad_n)
-                hi = min(n, int(active[-1]) + 1 + pad_n)
+                lo, hi = bounds
                 seg = pcm[lo:hi]
                 out.append((row.clip_id, True, sr, orig_ms,
                             len(seg) * 1000 // sr,
@@ -1211,21 +1256,12 @@ def normalize_loudness(df: DataFrame, target_dbfs: float = -20.0,
                                 None, None))
                     continue
                 n = len(pcm)
-                sum_sq = int(np.sum(pcm.astype(np.int64) ** 2)) if n else 0
-                if sum_sq == 0:
+                gained = _apply_gain(pcm, target, max_gain, peak_guard)
+                if gained is None:
                     out.append((row.clip_id, True, sr, n, None, None,
                                 None))
                     continue
-                rms_dbfs = 20.0 * math.log10(
-                    math.sqrt(sum_sq / n) / 32768.0)
-                gain_db = min(max(target - rms_dbfs, -max_gain), max_gain)
-                if peak_guard:
-                    peak = int(np.abs(pcm.astype(np.int64)).max())
-                    gain_db = min(gain_db,
-                                  20.0 * math.log10(32767.0 / peak))
-                scale = 10.0 ** (gain_db / 20.0)
-                scaled = np.clip(np.rint(pcm.astype(np.float64) * scale),
-                                 -32768, 32767).astype("<i2")
+                rms_dbfs, gain_db, scaled = gained
                 out.append((row.clip_id, True, sr, n,
                             round(rms_dbfs, 6), round(gain_db, 6),
                             encode_wav(sr, scaled)))
@@ -1281,9 +1317,9 @@ def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 def resample_audio(df: DataFrame, target_sr: int = 16000) -> DataFrame:
     """Resample every clip to one target sample rate and re-encode as
-    normalized WAV — mixed-rate corpora (the fixture mixes 8/16/22.05/
-    44.1 kHz, like any web-crawled audio set) must be rate-uniform
-    before batching into a training model.
+    normalized WAV — mixed-rate corpora (the fixture mixes
+    8/16/22.05/44.1/48 kHz, like any web-crawled audio set) must be
+    rate-uniform before batching into a training model.
 
     Already-at-rate clips round-trip their PCM unchanged (container
     still normalized to WAV); undecodable clips come back ``ok=false``.
@@ -1443,7 +1479,7 @@ def prepare_training_audio(df: DataFrame,
     if max_gain < 0:
         raise ValueError("max_gain_db must be >= 0")
     window = int(window_ms)
-    hop = int(hop_ms or window_ms)
+    hop = window if hop_ms is None else int(hop_ms)
     if window <= 0 or hop <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
     min_keep = int(min_ms)
@@ -1465,35 +1501,25 @@ def prepare_training_audio(df: DataFrame,
                 if tsr is not None and sr != tsr:
                     pcm = resample_pcm(pcm, sr, tsr)
                     sr = tsr
-                n = len(pcm)
-                active = np.nonzero(np.abs(pcm.astype(np.int64)) > thr)[0]
-                if len(active) == 0:
+                bounds = _trim_bounds(pcm, thr, pad * sr // 1000)
+                if bounds is None:
                     out.append((row.clip_id, True, None, None, None,
                                 sr, None, None))
                     continue
-                pad_n = pad * sr // 1000
-                lo = max(0, int(active[0]) - pad_n)
-                hi = min(n, int(active[-1]) + 1 + pad_n)
-                seg = pcm[lo:hi]
-                m = len(seg)
-                sum_sq = int(np.sum(seg.astype(np.int64) ** 2))
-                if sum_sq == 0:  # unreachable when threshold >= 0
+                lo, hi = bounds
+                gained = _apply_gain(pcm[lo:hi], target, max_gain,
+                                     peak_guard)
+                if gained is None:  # unreachable when threshold >= 0
                     out.append((row.clip_id, True, None, None, None,
                                 sr, None, None))
                     continue
-                rms_dbfs = 20.0 * math.log10(
-                    math.sqrt(sum_sq / m) / 32768.0)
-                gain_db = min(max(target - rms_dbfs, -max_gain), max_gain)
-                if peak_guard:
-                    peak = int(np.abs(seg.astype(np.int64)).max())
-                    gain_db = min(gain_db,
-                                  20.0 * math.log10(32767.0 / peak))
-                scale = 10.0 ** (gain_db / 20.0)
-                proc = np.clip(np.rint(seg.astype(np.float64) * scale),
-                               -32768, 32767).astype("<i2")
+                _, gain_db, proc = gained
+                m = len(proc)
                 g = round(gain_db, 6)
-                win = window * sr // 1000
-                hop_n = hop * sr // 1000
+                win = max(1, window * sr // 1000)
+                # a pathologically small decoded sr can floor the hop
+                # to 0 samples; clamp to 1 so the loop always advances
+                hop_n = max(1, hop * sr // 1000)
                 k = 0
                 while k * hop_n < m:
                     chunk = proc[k * hop_n: k * hop_n + win]

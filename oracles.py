@@ -283,11 +283,15 @@ def _sim_parse_wav(buf: bytes):
 
 
 def _sim_decode(buf: Optional[bytes]):
-    """→ (codec, sr, n_samples) or raise ValueError(reason)."""
+    """→ (codec, sr, n_samples) or raise ValueError(reason).  Mirrors
+    the engine contract that a parseable header declaring a
+    non-positive sample rate is a decode failure."""
     if buf is None:
         raise ValueError("null bytes")
     if buf[:4] == b"RIFF":
         sr, n = _sim_parse_wav(bytes(buf))
+        if sr <= 0:
+            raise ValueError("invalid sample rate")
         return "pcm_s16le", sr, n
     if buf[:4] == b"fLaC":
         if len(buf) < 12:
@@ -295,6 +299,8 @@ def _sim_decode(buf: Optional[bytes]):
         sr, n = struct.unpack("<II", buf[4:12])
         if len(buf) - 12 != 2 * n:
             raise ValueError("flac payload length mismatch")
+        if sr <= 0:
+            raise ValueError("invalid sample rate")
         return "flac", sr, n
     if buf[:8] == b"OpusHead":
         if len(buf) < 16:
@@ -302,6 +308,8 @@ def _sim_decode(buf: Optional[bytes]):
         sr, n = struct.unpack("<II", buf[8:16])
         if len(buf) - 16 != 2 * n:
             raise ValueError("opus payload length mismatch")
+        if sr <= 0:
+            raise ValueError("invalid sample rate")
         return "opus", sr, n
     raise ValueError("unsupported codec payload")
 
@@ -528,20 +536,6 @@ def audio_resample_rows(n: int = 600, parts: int = 4,
     from datatest_spark.fixtures import clip_id_for, clip_params, \
         synth_clip_bytes
 
-    def replay(pcm, sr_in, sr_out):
-        m = len(pcm)
-        if sr_in == sr_out or m == 0:
-            return np.asarray(pcm, dtype="<i2")
-        n_out = (m * sr_out + sr_in - 1) // sr_in  # ceil
-        j = np.arange(n_out, dtype=np.int64)
-        idx, rem = np.divmod(j * sr_in, sr_out)
-        idx = np.minimum(idx, m - 1)
-        nxt = np.minimum(idx + 1, m - 1)
-        frac = rem.astype(np.float64) / sr_out
-        x = pcm.astype(np.float64)
-        blend = x[idx] * (1.0 - frac) + x[nxt] * frac
-        return np.clip(np.rint(blend), -32768, 32767).astype("<i2")
-
     out = []
     for i in range(n):
         p = clip_params(i)
@@ -552,42 +546,47 @@ def audio_resample_rows(n: int = 600, parts: int = 4,
         except ValueError:
             out.append((clip_id, False, None, None, None, None))
             continue
-        res = replay(pcm, sr, target_sr)
+        res = _sim_resample(pcm, sr, target_sr)
         sha = hashlib.sha256(
             _sim_encode_wav(target_sr, res)).hexdigest()
         out.append((clip_id, True, sr, target_sr, len(res), sha))
     return tuple(out)
 
 
+def _sim_resample(pcm, sr_in: int, sr_out: int):
+    """Independent replay of the documented resample spec (exact
+    divmod grid, float64 two-tap blend, round half-to-even) — shared
+    by the resample and speed-augmentation oracle rows so both certify
+    the SAME spec.  Speed perturbation by rational ``num/den`` is
+    ``_sim_resample(pcm, num, den)`` (only the ratio matters)."""
+    import numpy as np
+
+    m = len(pcm)
+    if sr_in == sr_out or m == 0:
+        return np.asarray(pcm, dtype="<i2")
+    n_out = (m * sr_out + sr_in - 1) // sr_in  # ceil
+    j = np.arange(n_out, dtype=np.int64)
+    idx, rem = np.divmod(j * sr_in, sr_out)
+    idx = np.minimum(idx, m - 1)
+    nxt = np.minimum(idx + 1, m - 1)
+    frac = rem.astype(np.float64) / sr_out
+    x = pcm.astype(np.float64)
+    blend = x[idx] * (1.0 - frac) + x[nxt] * frac
+    return np.clip(np.rint(blend), -32768, 32767).astype("<i2")
+
+
 @lru_cache(maxsize=None)
 def audio_augment_rows(n: int = 600, parts: int = 4,
                        salt: str = "aug1") -> tuple:
     """Expected ``augment_speed(audio_clips_df(spark, n, parts),
-    salt=salt)`` rows — md5 factor choice + exact-grid speed replay +
-    independent encode + sha256, all re-derived with hashlib/numpy."""
+    salt=salt)`` rows — md5 factor choice + exact-grid speed replay
+    (:func:`_sim_resample`) + independent encode + sha256."""
     import hashlib
-
-    import numpy as np
 
     from datatest_spark.fixtures import clip_id_for, clip_params, \
         synth_clip_bytes
 
     factors = ((9, 10), (10, 10), (11, 10))
-
-    def replay(pcm, num, den):
-        m = len(pcm)
-        if num == den or m == 0:
-            return np.asarray(pcm, dtype="<i2")
-        n_out = (m * den + num - 1) // num
-        j = np.arange(n_out, dtype=np.int64)
-        idx, rem = np.divmod(j * num, den)
-        idx = np.minimum(idx, m - 1)
-        nxt = np.minimum(idx + 1, m - 1)
-        frac = rem.astype(np.float64) / den
-        x = pcm.astype(np.float64)
-        blend = x[idx] * (1.0 - frac) + x[nxt] * frac
-        return np.clip(np.rint(blend), -32768, 32767).astype("<i2")
-
     out = []
     for i in range(n):
         p = clip_params(i)
@@ -600,7 +599,7 @@ def audio_augment_rows(n: int = 600, parts: int = 4,
         except ValueError:
             out.append((clip_id, False, None, num, den, None, None))
             continue
-        res = replay(pcm, num, den)
+        res = _sim_resample(pcm, num, den)
         sha = hashlib.sha256(_sim_encode_wav(sr, res)).hexdigest()
         out.append((clip_id, True, sr, num, den, len(res), sha))
     return tuple(out)
@@ -679,7 +678,7 @@ def audio_prepare_rows(n: int = 600, parts: int = 4,
         proc = np.clip(np.rint(seg.astype(np.float64) * scale),
                        -32768, 32767).astype("<i2")
         g = round(gain_db, 6)
-        win = window_ms * sr // 1000
+        win = max(1, window_ms * sr // 1000)  # engine clamps likewise
         k = 0
         while k * win < m:
             chunk = proc[k * win: k * win + win]

@@ -932,3 +932,66 @@ class TestAugmentSpeed:
         }
         assert fused == staged and len(fused) > 80
         assert {v[1] for v in fused.values()} == {16000}
+
+
+class TestPoisonedHeaders:
+    """Headers that parse but declare garbage rates must surface as
+    ok=false audit rows, never task crashes or hangs."""
+
+    def test_sr_zero_is_a_decode_failure(self, spark):
+        import struct
+
+        import numpy as np
+
+        from datatest_spark.audio import (
+            decode_bytes,
+            normalize_loudness,
+            prepare_training_audio,
+            resample_audio,
+            trim_silence,
+        )
+        from datatest_spark.fixtures import make_flac, make_wav
+
+        pcm = np.arange(100, dtype="<i2")
+        # sr=0 in the synthetic flac header; and a WAV with fmt sr=0
+        bad_flac = b"fLaC" + struct.pack("<II", 0, 100) + pcm.tobytes()
+        wav = bytearray(make_wav(8000, pcm))
+        wav[24:28] = struct.pack("<I", 0)  # fmt chunk sample rate
+        for buf in (bad_flac, bytes(wav)):
+            with pytest.raises(ValueError, match="invalid sample rate"):
+                decode_bytes(buf)
+        good = make_flac(16000, pcm)
+        df = spark.createDataFrame(
+            [("bad1", bytearray(bad_flac)), ("bad2", wav),
+             ("good", bytearray(good))],
+            "clip_id string, bytes binary",
+        )
+        for op in (trim_silence, normalize_loudness, resample_audio,
+                   prepare_training_audio):
+            rows = {r.clip_id: r.ok for r in op(df).collect()}
+            assert rows == {"bad1": False, "bad2": False, "good": True}
+
+    def test_tiny_sr_never_hangs_segmentation(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import prepare_training_audio, segment_bytes
+        from datatest_spark.fixtures import make_flac
+
+        # sr=1: hop_n = 500*1//1000 floors to 0 without the clamp
+        buf = make_flac(1, np.full(7, 1000, dtype="<i2"))
+        df = spark.createDataFrame([("a", bytearray(buf))],
+                                   "clip_id string, bytes binary")
+        rows = segment_bytes(df, window_ms=500, min_ms=0).collect()
+        assert 0 < len(rows) <= 7  # terminates, 1-sample hops
+        prows = prepare_training_audio(df, window_ms=500,
+                                       min_ms=0).collect()
+        assert 0 < len(prows) <= 7
+
+    def test_hop_zero_raises(self, spark):
+        from datatest_spark.audio import prepare_training_audio, segment_bytes
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 4, parts=1)
+        for op in (segment_bytes, prepare_training_audio):
+            with pytest.raises(ValueError, match="must be positive"):
+                op(src, window_ms=400, hop_ms=0)
