@@ -53,6 +53,16 @@ __all__ = ["connected_components", "dedup_clusters"]
 #: real corpora converge single-digit)
 MAX_ROUNDS = 50
 
+#: edge count below which the component labelling runs as driver-side
+#: union-find instead of the iterative shuffle loop.  Same philosophy
+#: as Spark's own broadcast-join threshold: the first fingerprint
+#: action tells us |E| for free, and below ~2M edges (≈32 MB of
+#: (long, long) rows) five shuffle rounds of fixed scheduling cost
+#: dwarf a linear O(E α(E)) pass on the driver.  Above the threshold
+#: the large-star/small-star loop runs unchanged — the 10^12-edge
+#: path never collects anything.
+UNION_FIND_MAX_EDGES = 2_000_000
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge list → distinct (a, b) with a > b, no loops."""
@@ -107,9 +117,41 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return row["n"], row["h"]
 
 
+def _union_find_labels(edge_rows) -> list:
+    """Driver-side union-find with min-id labels — the small-graph
+    physical strategy.  Path-halving + union-by-choosing-the-smaller
+    root keeps the root the component MINIMUM, so labels are
+    bit-identical to the distributed loop's fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller id stays root ⇒ root == component min throughout
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    return [(node, find(node)) for node in parent]
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         stats: Optional[dict] = None) -> DataFrame:
+                         stats: Optional[dict] = None,
+                         small_graph_threshold: int = UNION_FIND_MAX_EDGES,
+                         ) -> DataFrame:
     """Node → component labels for the undirected graph given as a
     pair list.  The label is the component's minimum node id (any
     orderable id type: long, string, ...).
@@ -122,7 +164,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     If ``stats`` (a dict) is passed it is filled with
     ``{"rounds": r, "edges": n}`` after convergence — the round count
     is the scale diagnostic (single-digit on real graphs; see module
-    docstring).
+    docstring).  ``rounds`` is 0 when the small-graph path ran.
+
+    Physical strategy is picked by measured size, like Spark's
+    broadcast threshold: the first fingerprint action (needed anyway
+    for convergence detection) yields |E|; at or below
+    ``small_graph_threshold`` edges the labelling runs as one
+    driver-side union-find pass over a single collect (≤ ~32 MB at
+    the default), above it the large-star/small-star shuffle loop
+    runs.  Pass ``small_graph_threshold=0`` to force the distributed
+    loop (the tests do, to exercise both paths).
     """
     # lazy checkpoints: the _fingerprint action that immediately
     # follows each one materializes it, so every round costs ONE Spark
@@ -132,6 +183,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint(eager=False)
     fp = _fingerprint(edges)
+
+    if fp[0] <= small_graph_threshold:
+        labels = _union_find_labels(
+            ((r["a"], r["b"]) for r in edges.toLocalIterator())
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["edges"] = fp[0]
+        spark = pairs.sparkSession
+        out_schema = edges.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        ).schema
+        out = spark.createDataFrame(labels, out_schema)
+        out._cc_edges = edges
+        return out
 
     rounds = 0
     while True:
@@ -173,7 +239,9 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
                    dst: str = "id_b",
                    scores: Optional[DataFrame] = None,
                    score_col: str = "score",
-                   stats: Optional[dict] = None) -> DataFrame:
+                   stats: Optional[dict] = None,
+                   small_graph_threshold: int = UNION_FIND_MAX_EDGES,
+                   ) -> DataFrame:
     """Collapse near-duplicate pairs into per-document curation rows.
 
     Output: one row per corpus document —
@@ -202,7 +270,9 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
     from a groupBy on the label frame (small) broadcast-joined back,
     never a window over the corpus.
     """
-    labels = connected_components(pairs, src=src, dst=dst, stats=stats)
+    labels = connected_components(
+        pairs, src=src, dst=dst, stats=stats,
+        small_graph_threshold=small_graph_threshold)
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("__csize")
     )

@@ -28,60 +28,75 @@ def uf_components(n_nodes, edges):
     return {x: find(x) for x in range(n_nodes)}
 
 
-def spark_labels(spark, edges):
+def spark_labels(spark, edges, threshold=None):
     pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
     stats = {}
-    got = connected_components(pairs, stats=stats)
+    kw = {} if threshold is None else {"small_graph_threshold": threshold}
+    got = connected_components(pairs, stats=stats, **kw)
     return {r["node"]: r["component"] for r in got.collect()}, stats
 
 
 class TestConnectedComponents:
+    # threshold=None → size-gated driver union-find path (the default
+    # for graphs this small); threshold=0 → forced distributed
+    # large-star/small-star loop.  Both must label identically.
+    @pytest.mark.parametrize("threshold", [None, 0])
     @pytest.mark.parametrize("seed,n,m", [(1, 30, 25), (2, 60, 40),
                                           (3, 100, 130)])
-    def test_matches_union_find(self, spark, seed, n, m):
+    def test_matches_union_find(self, spark, seed, n, m, threshold):
         rng = random.Random(seed)
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         want = uf_components(n, edges)
-        got, _ = spark_labels(spark, edges)
+        got, stats = spark_labels(spark, edges, threshold)
         touched = {a for e in edges for a in e if e[0] != e[1]}
         assert set(got) == touched
         for node in touched:
             assert got[node] == want[node], f"node {node}"
+        if threshold is None:
+            assert stats["rounds"] == 0  # the small-graph path ran
+        else:
+            assert stats["rounds"] >= 1  # the shuffle loop ran
 
     def test_chain_converges_fast(self, spark):
         # a 64-node path: diameter 63, but star-contraction needs
         # only O(log^2 n) rounds — the scale property under test
+        # (threshold=0 forces the distributed loop)
         edges = [(i, i + 1) for i in range(63)]
-        got, stats = spark_labels(spark, edges)
+        got, stats = spark_labels(spark, edges, threshold=0)
         assert all(v == 0 for v in got.values())
-        assert stats["rounds"] <= 12
+        assert 1 <= stats["rounds"] <= 12
         assert stats["edges"] == 63  # final star: 63 members -> root 0
 
-    def test_two_components_and_self_loops(self, spark):
+    @pytest.mark.parametrize("threshold", [None, 0])
+    def test_two_components_and_self_loops(self, spark, threshold):
         edges = [(1, 2), (2, 3), (3, 3), (10, 11), (11, 10)]
-        got, _ = spark_labels(spark, edges)
+        got, _ = spark_labels(spark, edges, threshold)
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
     def test_empty_pairs(self, spark):
         pairs = spark.createDataFrame([], "id_a: long, id_b: long")
         assert connected_components(pairs).count() == 0
 
-    def test_string_ids(self, spark):
+    @pytest.mark.parametrize("threshold", [None, 0])
+    def test_string_ids(self, spark, threshold):
         edges = [("b", "a"), ("c", "b"), ("x", "y")]
         pairs = spark.createDataFrame(edges, "id_a: string, id_b: string")
+        kw = {} if threshold is None else {"small_graph_threshold": 0}
         got = {r["node"]: r["component"]
-               for r in connected_components(pairs).collect()}
+               for r in connected_components(pairs, **kw).collect()}
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 class TestDedupClusters:
-    def test_corpus_join_back(self, spark):
+    @pytest.mark.parametrize("threshold", [2_000_000, 0])
+    def test_corpus_join_back(self, spark, threshold):
         corpus = spark.createDataFrame(
             [(i,) for i in range(8)], "doc_id: long")
         pairs = spark.createDataFrame(
             [(1, 4), (4, 6), (2, 7)], "id_a: long, id_b: long")
         rows = {r["doc_id"]: r for r in
-                dedup_clusters(corpus, pairs).collect()}
+                dedup_clusters(corpus, pairs,
+                               small_graph_threshold=threshold).collect()}
         assert len(rows) == 8
         # component {1,4,6} -> cluster 1; {2,7} -> cluster 2
         for d, cid, size in [(1, 1, 3), (4, 1, 3), (6, 1, 3),
