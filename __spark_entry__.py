@@ -406,6 +406,25 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_audio_noise(spark, sf_dir):
+    """Deterministic additive-noise augmentation at target SNR 20 dB:
+    per-clip RandomState seed via the md5 split contract, noise scaled
+    by its measured RMS (pre-quantization SNR exactly on target),
+    output bytes sha256-certified against an independent numpy/hashlib
+    replay in oracles.py."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import augment_noise
+    from datatest_spark.fixtures import audio_clips_df
+
+    out = augment_noise(audio_clips_df(spark, 600, parts=4),
+                        snr_db=20.0, salt="nz1")
+    return out.select(
+        "clip_id", "ok", "sr_hz", "noise_seed", "snr_db", "n_samples",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_augment(spark, sf_dir):
     """Deterministic 3-way speed perturbation (Ko et al. 2015): per-clip
     factor via the md5 split contract, exact-rational-grid resample,
@@ -2862,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04.  Every entry is additionally certified in
     # CORRECTNESS_LOCAL.json each round.
     return {
+        "audio_noise": q_audio_noise,
         "audio_prepare": q_audio_prepare,
         "audio_augment": q_audio_augment,
         "audio_resample": q_audio_resample,
@@ -3903,6 +3923,8 @@ def oracle_sql() -> dict[str, str]:
                                                       target_sr=16000),
         "audio_augment": _oracles.audio_augment_sql(n=600, parts=4,
                                                     salt="aug1"),
+        "audio_noise": _oracles.audio_noise_sql(n=600, parts=4,
+                                                snr_db=20.0, salt="nz1"),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

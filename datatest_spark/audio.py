@@ -56,7 +56,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "TRIM_SILENCE_SCHEMA", "NORMALIZE_SCHEMA",
            "prepare_training_audio", "PREPARE_SCHEMA",
            "resample_audio", "resample_pcm", "RESAMPLE_SCHEMA",
-           "augment_speed", "AUGMENT_SCHEMA", "SPEED_FACTORS"]
+           "augment_speed", "AUGMENT_SCHEMA", "SPEED_FACTORS",
+           "augment_noise", "mix_noise_pcm", "NOISE_AUGMENT_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -1532,3 +1533,100 @@ def prepare_training_audio(df: DataFrame,
             yield pd.DataFrame(out, columns=cols)
 
     return df.select("clip_id", "bytes").mapInPandas(gen, PREPARE_SCHEMA)
+
+
+NOISE_AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("noise_seed", T.LongType(), True),
+        T.StructField("snr_db", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def mix_noise_pcm(pcm: np.ndarray, seed: int, snr_db: float):
+    """Mix seeded Gaussian noise into int16 PCM at a target SNR.
+
+    Returns ``(mixed int16 ndarray, achieved)`` where ``achieved`` is
+    the target ``snr_db`` when mixing happened and ``None`` when the
+    clip is empty or all-silent (signal power 0 makes SNR undefined —
+    the PCM passes through unchanged rather than being replaced by
+    pure noise, so a silent-but-valid clip survives augmentation as an
+    auditable no-op instead of turning into synthetic garbage).
+
+    Determinism contract: the noise stream is
+    ``np.random.RandomState(seed).standard_normal(n)`` — RandomState
+    is NumPy's frozen-stream legacy generator (its bit stream is
+    guaranteed stable across NumPy versions), so the same
+    ``(pcm, seed, snr_db)`` reproduces identical bytes on any worker,
+    any rerun, any platform.  The noise is scaled by its own measured
+    RMS, so the pre-quantization SNR equals the target exactly;
+    rounding to int16 (``np.rint``, banker's rounding — deterministic)
+    and the ±32767 saturation clamp are the only departures.
+    """
+    n = len(pcm)
+    sig = pcm.astype(np.float64)
+    sig_power = float(np.dot(sig, sig))
+    if n == 0 or sig_power == 0.0:
+        return pcm, None
+    noise = np.random.RandomState(seed % (2 ** 32)).standard_normal(n)
+    noise_power = float(np.dot(noise, noise))
+    # scale so that 10*log10(sig_power / scaled_noise_power) == snr_db
+    scale = math.sqrt(sig_power / (noise_power * 10.0 ** (snr_db / 10.0)))
+    mixed = np.clip(np.rint(sig + noise * scale), -32768, 32767)
+    return mixed.astype(np.int16), float(snr_db)
+
+
+def augment_noise(df: DataFrame, snr_db: float = 20.0,
+                  salt: str = "") -> DataFrame:
+    """Deterministic additive-noise augmentation at a target SNR — the
+    second standard ASR training-data perturbation next to
+    :func:`augment_speed` (cf. the noise-mixing recipes popularized by
+    Deep Speech / SpecAugment-era pipelines), expressed so re-running
+    the pipeline reproduces the identical augmented corpus.
+
+    Each clip's noise stream is seeded by ``md5(clip_id || salt)`` —
+    the same engine-portable determinism contract as
+    :func:`augment_speed`'s factor choice and
+    :func:`~datatest_spark.operators.split.hash_split` (changing
+    ``salt`` re-rolls every noise realization; appends never reseed
+    existing rows).  Gaussian noise is scaled by its measured RMS so
+    the pre-quantization SNR is exactly ``snr_db``
+    (:func:`mix_noise_pcm`); silent or empty clips pass through
+    unchanged with ``snr_db`` null (mixing is undefined at zero signal
+    power), undecodable clips surface as ``ok=false`` audit rows.
+
+    One Arrow-batched decode pass over ``(clip_id, bytes)``, no
+    shuffle.  Scale shape: output rows == input rows, output bytes ≈
+    input bytes — linear in executors at 10^12 clips.
+    """
+    import hashlib
+
+    target = float(snr_db)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in NOISE_AUGMENT_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                key = (str(row.clip_id) if row.clip_id is not None
+                       else "") + salt
+                seed = int(hashlib.md5(key.encode("utf-8"))
+                           .hexdigest()[:8], 16)
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, seed, None,
+                                None, None))
+                    continue
+                mixed, achieved = mix_noise_pcm(pcm, seed, target)
+                out.append((row.clip_id, True, sr, seed, achieved,
+                            len(mixed), encode_wav(sr, mixed)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, NOISE_AUGMENT_SCHEMA)

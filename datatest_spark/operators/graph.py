@@ -56,12 +56,13 @@ MAX_ROUNDS = 50
 #: edge count below which the component labelling runs as driver-side
 #: union-find instead of the iterative shuffle loop.  Same philosophy
 #: as Spark's own broadcast-join threshold: the first fingerprint
-#: action tells us |E| for free, and below ~2M edges (≈32 MB of
-#: (long, long) rows) five shuffle rounds of fixed scheduling cost
-#: dwarf a linear O(E α(E)) pass on the driver.  Above the threshold
-#: the large-star/small-star loop runs unchanged — the 10^12-edge
-#: path never collects anything.
-UNION_FIND_MAX_EDGES = 2_000_000
+#: action tells us |E| for free, and below ~1M edges (≤ ~2M label
+#: rows, tens of MB on the driver — the same order as a broadcast
+#: side) five shuffle rounds of fixed scheduling cost dwarf a linear
+#: O(E α(E)) pass on the driver.  Above the threshold the
+#: large-star/small-star loop runs unchanged — the 10^12-edge path
+#: never collects anything.
+UNION_FIND_MAX_EDGES = 1_000_000
 
 
 def _canonical(edges: DataFrame) -> DataFrame:

@@ -2266,3 +2266,60 @@ def transcript_wer_sql(n: int = 2000) -> str:
     return values_sql(transcript_wer_rows(n),
                       ["clip_id", "ref_words", "word_edits", "wer"],
                       ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE"])
+
+
+@lru_cache(maxsize=None)
+def audio_noise_rows(n: int = 600, parts: int = 4,
+                     snr_db: float = 20.0, salt: str = "nz1") -> tuple:
+    """Expected ``augment_noise(audio_clips_df(spark, n, parts),
+    snr_db, salt=salt)`` rows — md5 seed derivation + an inline
+    RandomState noise-mix replay (scale = sqrt(P_sig / (P_noise *
+    10^(snr/10))), rint, int16 clamp — re-stated here, not imported) +
+    independent decode/encode + sha256."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        seed = int(hashlib.md5(
+            (clip_id + salt).encode("utf-8")).hexdigest()[:8], 16)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, seed, None, None, None))
+            continue
+        sig = pcm.astype(np.float64)
+        sig_power = float(np.dot(sig, sig))
+        if len(pcm) == 0 or sig_power == 0.0:
+            mixed, achieved = pcm, None
+        else:
+            noise = np.random.RandomState(
+                seed % (2 ** 32)).standard_normal(len(pcm))
+            noise_power = float(np.dot(noise, noise))
+            scale = (sig_power
+                     / (noise_power * 10.0 ** (snr_db / 10.0))) ** 0.5
+            mixed = np.clip(np.rint(sig + noise * scale),
+                            -32768, 32767).astype(np.int16)
+            achieved = float(snr_db)
+        sha = hashlib.sha256(_sim_encode_wav(sr, mixed)).hexdigest()
+        out.append((clip_id, True, sr, seed, achieved, len(mixed), sha))
+    return tuple(out)
+
+
+_NOISE_COLS = ["clip_id", "ok", "sr_hz", "noise_seed", "snr_db",
+               "n_samples", "content_sha"]
+_NOISE_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "DOUBLE",
+                "BIGINT", "VARCHAR"]
+
+
+def audio_noise_sql(n: int = 600, parts: int = 4,
+                    snr_db: float = 20.0, salt: str = "nz1") -> str:
+    return values_sql(audio_noise_rows(n, parts, snr_db, salt),
+                      _NOISE_COLS, _NOISE_CASTS)

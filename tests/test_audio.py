@@ -995,3 +995,73 @@ class TestPoisonedHeaders:
         for op in (segment_bytes, prepare_training_audio):
             with pytest.raises(ValueError, match="must be positive"):
                 op(src, window_ms=400, hop_ms=0)
+
+
+class TestAugmentNoise:
+    """Deterministic SNR-targeted additive-noise augmentation."""
+
+    def test_achieved_snr_close_to_target(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import augment_noise, decode_bytes
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        t = np.arange(sr, dtype=np.float64) / sr
+        pcm = (8000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+        df = spark.createDataFrame([("a", bytearray(make_wav(sr, pcm)))],
+                                   "clip_id string, bytes binary")
+        for target in (10.0, 20.0, 30.0):
+            row = augment_noise(df, snr_db=target).collect()[0]
+            assert row.ok and row.snr_db == target
+            _, msr, mixed = decode_bytes(bytes(row.bytes))
+            assert msr == sr and len(mixed) == len(pcm)
+            err = mixed.astype(np.float64) - pcm.astype(np.float64)
+            sig_p = float(np.dot(pcm.astype(np.float64),
+                                 pcm.astype(np.float64)))
+            measured = 10 * np.log10(sig_p / float(np.dot(err, err)))
+            # int16 rounding adds ~uniform(±0.5) on top of the scaled
+            # noise; at these amplitudes the dB error stays tiny
+            assert abs(measured - target) < 0.2, (target, measured)
+
+    def test_seed_is_md5_deterministic_and_salted(self, spark):
+        import hashlib
+
+        from datatest_spark.audio import augment_noise
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 120, parts=2)
+        a = {r.clip_id: (r.noise_seed,
+                         bytes(r.bytes) if r.bytes else None)
+             for r in augment_noise(src, salt="v1").collect()}
+        b = {r.clip_id: (r.noise_seed,
+                         bytes(r.bytes) if r.bytes else None)
+             for r in augment_noise(src, salt="v1").collect()}
+        assert a == b  # rerun-identical corpus
+        for cid, (seed, _) in a.items():
+            want = int(hashlib.md5((cid + "v1").encode())
+                       .hexdigest()[:8], 16)
+            assert seed == want
+        c = {r.clip_id: (r.noise_seed,
+                         bytes(r.bytes) if r.bytes else None)
+             for r in augment_noise(src, salt="v2").collect()}
+        assert c != a  # salt re-rolls every realization
+
+    def test_silent_and_corrupt_clips(self, spark):
+        import numpy as np
+
+        from datatest_spark.audio import augment_noise, decode_bytes
+        from datatest_spark.fixtures import make_wav
+
+        sr = 8000
+        silent = np.zeros(400, dtype="<i2")
+        df = spark.createDataFrame(
+            [("sil", bytearray(make_wav(sr, silent))),
+             ("bad", bytearray(b"\x00garbage"))],
+            "clip_id string, bytes binary")
+        rows = {r.clip_id: r for r in augment_noise(df).collect()}
+        assert rows["sil"].ok and rows["sil"].snr_db is None
+        _, _, out = decode_bytes(bytes(rows["sil"].bytes))
+        np.testing.assert_array_equal(out, silent)  # auditable no-op
+        assert rows["bad"].ok is False and rows["bad"].bytes is None
+        assert rows["bad"].noise_seed is not None  # audit row keeps key
