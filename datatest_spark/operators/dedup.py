@@ -313,7 +313,15 @@ def hamming_lsh_pairs(sigs: DataFrame, id_col: str, sig_col: str,
     filter JVM-side.  The Hamming distance is scored BEFORE the
     pair-dedup so the distinct shuffles one small int per pair, not two
     signatures.  Shared by SimHash text near-dup and the audio
-    spectral-fingerprint near-dup (audio.audio_neardup_pairs)."""
+    spectral-fingerprint near-dup (audio.audio_neardup_pairs).
+
+    Recall is EXACTLY 1.0 for ``max_hamming <= 3`` with the bucket cap
+    disabled: ≤3 differing bits touch ≤3 of the 4 bands, so one band
+    always collides (pigeonhole) — certified against brute-force
+    all-pairs ground truth in tests/test_audio.py
+    (TestNeardupLshExactness).  At ``max_hamming >= 4`` or with
+    ``max_bucket_size`` set, the operator is approximate (missed pairs
+    possible by band spread or hot-bucket drop)."""
     handle = CacheHandle(_HANDLES)
     banded = sigs.select(
         F.col(id_col),

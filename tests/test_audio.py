@@ -1065,3 +1065,67 @@ class TestAugmentNoise:
         np.testing.assert_array_equal(out, silent)  # auditable no-op
         assert rows["bad"].ok is False and rows["bad"].bytes is None
         assert rows["bad"].noise_seed is not None  # audit row keeps key
+
+
+class TestNeardupLshExactness:
+    """The 4x16-bit-band LSH is EXACT for max_hamming <= 3: at most 3
+    differing bits touch at most 3 of the 4 bands, so one band always
+    collides (pigeonhole).  With the bucket cap disabled, operator
+    output must therefore EQUAL the brute-force all-pairs ground truth
+    — recall 1.0 is a theorem here, and these tests pin it."""
+
+    def test_hamming_lsh_equals_brute_force_on_random_sigs(self, spark):
+        import itertools
+        import random
+
+        from datatest_spark.operators.dedup import hamming_lsh_pairs
+
+        rng = random.Random(99)
+        base = [rng.getrandbits(63) for _ in range(40)]
+        sigs = []
+        for i, s in enumerate(base):
+            sigs.append((f"c{i:03d}_0", s))
+            # planted neighbours at Hamming 1..4 (4 must NOT pair at
+            # max_hamming=3 unless it collides by chance elsewhere)
+            for d in (1, 2, 3, 4):
+                v = s
+                for bit in rng.sample(range(63), d):
+                    v ^= 1 << bit
+                sigs.append((f"c{i:03d}_{d}", v))
+        df = spark.createDataFrame(sigs, "clip_id string, sig long")
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in hamming_lsh_pairs(
+                   df, "clip_id", "sig", max_hamming=3,
+                   max_bucket_size=None).collect()}
+        want = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sigs), 2):
+            h = bin(sa ^ sb).count("1")
+            if h <= 3:
+                want.add((ia, ib, h))
+        assert got == want
+        assert len(want) >= 3 * len(base)  # planted d=1..3 all found
+
+    def test_audio_neardup_equals_brute_force(self, spark):
+        import itertools
+
+        from datatest_spark.audio import (
+            audio_neardup_pairs,
+            spectral_signatures,
+        )
+        from datatest_spark.fixtures import audio_clips_df
+
+        src = audio_clips_df(spark, 400, parts=2)
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in audio_neardup_pairs(
+                   src, max_hamming=3, max_bucket_size=None).collect()}
+        sig_rows = sorted(
+            (r.clip_id, r.sig)
+            for r in spectral_signatures(src).where("ok").collect())
+        want = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(sig_rows, 2):
+            if ia == ib:  # the fixture's injected duplicate clip_id —
+                continue  # the operator's id_a < id_b drops these too
+            h = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                want.add((ia, ib, h))
+        assert got == want and len(want) > 0
