@@ -616,6 +616,56 @@ def q_iceberg_deletes(spark, sf_dir):
     )
 
 
+def q_iceberg_schema_evolution(spark, sf_dir):
+    """Iceberg schema evolution end-to-end (round 5): write documents
+    (doc_id, lang, n_chars), then two WIDENING appends (add nullable
+    ``quality`` double, then nullable ``tokens`` long) — each evolves
+    the table schema in place (fresh field ids above last-column-id,
+    new schema-id, snapshots pinned to the schema they wrote).  Output
+    = the field-id-diff audit (`validate_schema_evolution`) plus one
+    read-back row proving pre-widen rows null-fill: total rows and
+    per-added-column null counts after the three appends.  Oracle: the
+    audit rows are spec constants; the read-back row is recomputed by
+    DuckDB from the same closed-form doc_id filters."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark.sources import (append_iceberg, read_iceberg,
+                                        validate_schema_evolution)
+
+    tbl = tempfile.mkdtemp(prefix="icelite-evo-")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    append_iceberg(docs, tbl)
+    append_iceberg(
+        docs.where("doc_id % 3 = 0").withColumn(
+            "quality", (F.col("doc_id") % 97).cast("double") / 97.0),
+        tbl)
+    append_iceberg(
+        docs.where("doc_id % 5 = 0")
+        .withColumn("quality",
+                    (F.col("doc_id") % 97).cast("double") / 97.0)
+        .withColumn("tokens", (F.col("n_chars") / 5).cast("long")),
+        tbl)
+
+    audit = validate_schema_evolution(spark, tbl)
+    readback = read_iceberg(spark, tbl).agg(
+        F.lit(-1).alias("from_schema_id"),
+        F.lit(-1).alias("to_schema_id"),
+        F.lit("__readback__").alias("column"),
+        F.lit("nullfill").alias("change"),
+        F.concat_ws(
+            ":",
+            F.count(F.lit(1)),
+            F.count_if(F.col("quality").isNull()),
+            F.count_if(F.col("tokens").isNull()),
+        ).alias("detail"),
+        F.lit(True).alias("compatible"),
+    )
+    return audit.unionByName(readback)
+
+
 def q_transcript_cer(spark, sf_dir):
     """ASR transcript fidelity, character level: CER = levenshtein /
     ref length against the reference manifest — fully JVM
@@ -2882,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_LOCAL.json each round.
     return {
         "audio_noise": q_audio_noise,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "audio_prepare": q_audio_prepare,
         "audio_augment": q_audio_augment,
         "audio_resample": q_audio_resample,
@@ -3925,6 +3976,26 @@ def oracle_sql() -> dict[str, str]:
                                                     salt="aug1"),
         "audio_noise": _oracles.audio_noise_sql(n=600, parts=4,
                                                 snr_db=20.0, salt="nz1"),
+        "iceberg_schema_evolution": """
+            WITH c AS (
+                SELECT count(*) AS n_all,
+                       count(*) FILTER (WHERE doc_id % 3 = 0) AS n_q,
+                       count(*) FILTER (WHERE doc_id % 5 = 0) AS n_t
+                FROM documents
+            )
+            SELECT CAST(0 AS INTEGER) AS from_schema_id,
+                   CAST(1 AS INTEGER) AS to_schema_id,
+                   'quality' AS "column", 'added' AS change,
+                   'double' AS detail, TRUE AS compatible
+            UNION ALL
+            SELECT 1, 2, 'tokens', 'added', 'long', TRUE
+            UNION ALL
+            SELECT -1, -1, '__readback__', 'nullfill',
+                   (SELECT CAST(n_all + n_q + n_t AS VARCHAR) || ':'
+                           || CAST(n_all AS VARCHAR) || ':'
+                           || CAST(n_all + n_q AS VARCHAR) FROM c),
+                   TRUE
+        """,
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

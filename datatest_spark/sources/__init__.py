@@ -22,5 +22,7 @@ from .iceberg_lite import (  # noqa: F401
     read_iceberg,
     read_iceberg_incremental,
     rollback_to_snapshot,
+    schema_history,
     snapshots,
+    validate_schema_evolution,
 )

@@ -70,7 +70,8 @@ from .avro_ocf import read_ocf, write_ocf
 __all__ = ["read_iceberg", "read_iceberg_incremental", "plan_files",
            "incremental_files", "snapshots", "append_iceberg",
            "delete_where", "append_equality_deletes", "is_iceberg_table",
-           "expire_snapshots", "rollback_to_snapshot"]
+           "expire_snapshots", "rollback_to_snapshot",
+           "schema_history", "validate_schema_evolution"]
 
 
 # ---------------------------------------------------------------------------
@@ -116,6 +117,16 @@ def _current_schema(meta: dict) -> dict:
                 return s
         return meta["schemas"][0]
     return meta["schema"]  # v1 single-schema form
+
+
+def _schema_by_id(meta: dict, schema_id: Optional[int]) -> dict:
+    """Schema dict for ``schema_id``, falling back to the current
+    schema when the id is absent (legacy metadata) or unknown."""
+    if schema_id is not None:
+        for s in meta.get("schemas", []):
+            if s.get("schema-id", 0) == schema_id:
+                return s
+    return _current_schema(meta)
 
 
 def _spec_fields(meta: dict, spec_id: int) -> List[dict]:
@@ -288,7 +299,10 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
                 files.append(path)
                 data_seq[path] = int(seq)
                 records += int(df_.get("record_count", 0))
-    schema = _current_schema(meta)
+    # time travel reads under the schema the snapshot was WRITTEN with
+    # (snapshots pin a schema-id) — a pre-widen snapshot must not grow
+    # columns it never had; fall back to current for legacy metadata
+    schema = _schema_by_id(meta, snap.get("schema-id"))
     return {
         "files": files, "total_files": total,
         "pruned_files": total - len(files), "record_count": records,
@@ -897,6 +911,179 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _evolve_schema(meta: dict, df_schema) -> dict:
+    """Reconcile an append's DataFrame schema with the table's current
+    schema, evolving the table when the append WIDENS it.
+
+    The contract is the safe core of Iceberg schema evolution
+    (spec §Schema Evolution) restricted to what this module's
+    explicit-schema parquet read path can serve without per-file
+    casts:
+
+    * the append must contain EVERY current column with the identical
+      iceberg type (type promotions are rejected — old data files
+      would need a read-side upcast the plain parquet scan does not
+      do);
+    * extra columns must be nullable and are ADDED: they get fresh
+      field ids above ``last-column-id`` (existing columns keep their
+      ids — Iceberg's id-stability rule), a new schema entry is
+      appended to ``schemas`` and ``current-schema-id`` advances.
+      Files written before the widen read back with the new columns
+      null-filled (the read path passes the current schema explicitly,
+      so by-name parquet resolution fills the gap).
+
+    Returns the (possibly new) current schema dict; mutates ``meta``
+    in place when evolution happens.  Incidentally this also fixes
+    stats-id drift: appends now key their manifest bound stats by the
+    TABLE's canonical field ids instead of re-deriving ids from the
+    DataFrame's column positions.
+    """
+    current = _current_schema(meta)
+    cur_by_name = {f["name"]: f for f in current["fields"]}
+    df_types = {f.name: _ice_type(f.dataType.simpleString())
+                for f in df_schema.fields}
+    df_nullable = {f.name: f.nullable for f in df_schema.fields}
+
+    missing = [n for n in cur_by_name if n not in df_types]
+    if missing:
+        raise ValueError(
+            f"append_iceberg: append is missing table column(s) "
+            f"{sorted(missing)}; appends must carry every current "
+            "column")
+    for n, f in cur_by_name.items():
+        if df_types[n] != f["type"]:
+            raise ValueError(
+                f"append_iceberg: column {n!r} has type {df_types[n]} "
+                f"but the table schema says {f['type']}; type changes "
+                "are not supported by the iceberg_lite read path")
+
+    new_names = [n for n in df_types if n not in cur_by_name]
+    if not new_names:
+        return current
+    for n in new_names:
+        if not df_nullable[n]:
+            raise ValueError(
+                f"append_iceberg: new column {n!r} must be nullable — "
+                "required columns cannot be added to existing rows "
+                "(Iceberg optional-add rule)")
+
+    last_id = int(meta.get("last-column-id",
+                           max(f["id"] for f in current["fields"])))
+    added = []
+    for n in new_names:
+        last_id += 1
+        added.append({"id": last_id, "name": n, "required": False,
+                      "type": df_types[n]})
+    new_sid = 1 + max(s.get("schema-id", 0)
+                      for s in meta.get("schemas", [current]))
+    evolved = {"type": "struct", "schema-id": new_sid,
+               "fields": [dict(f) for f in current["fields"]] + added}
+    meta.setdefault("schemas", [current])
+    meta["schemas"].append(evolved)
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = last_id
+    return evolved
+
+
+#: safe metadata-level type promotions per the Iceberg spec (readers
+#: of any engine must upcast transparently)
+_SAFE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _promotion_ok(t_old: str, t_new: str) -> bool:
+    if (t_old, t_new) in _SAFE_PROMOTIONS:
+        return True
+    if (isinstance(t_old, str) and isinstance(t_new, str)
+            and t_old.startswith("decimal(") and t_new.startswith("decimal(")):
+        try:
+            po, so = t_old[8:-1].split(",")
+            pn, sn = t_new[8:-1].split(",")
+            return int(sn) == int(so) and int(pn) >= int(po)
+        except ValueError:
+            return False
+    return False
+
+
+def schema_history(table_path: str) -> List[dict]:
+    """All schema versions of a table, ordered by schema-id, plus the
+    snapshot ids pinned to each (``snapshots[*].schema-id``)."""
+    meta = _load_metadata(table_path)
+    schemas = sorted(meta.get("schemas", [_current_schema(meta)]),
+                     key=lambda s: s.get("schema-id", 0))
+    by_sid: Dict[int, List[int]] = {}
+    for s in meta.get("snapshots", []):
+        by_sid.setdefault(s.get("schema-id", 0), []).append(
+            s["snapshot-id"])
+    return [
+        {"schema_id": s.get("schema-id", 0),
+         "fields": s["fields"],
+         "snapshot_ids": by_sid.get(s.get("schema-id", 0), [])}
+        for s in schemas
+    ]
+
+
+def validate_schema_evolution(spark, table_path: str):
+    """Schema-evolution audit: one typed row per column change across
+    each consecutive schema transition in the table's metadata, with a
+    per-change Iceberg-spec compatibility verdict.
+
+    Column identity follows FIELD IDS, not names — Iceberg's own
+    resolution rule — so a rename is recognized as a rename (not a
+    drop + add).  ``change`` ∈ {added, dropped, renamed, type_changed,
+    required_changed}; ``compatible`` says whether the spec blesses it
+    for existing readers: optional adds, drops, renames,
+    required→optional relaxations and int→long / float→double /
+    decimal-precision promotions are compatible; optional→required
+    and any other type change are not.
+
+    Tables written by THIS module only ever evolve compatibly
+    (:func:`_evolve_schema` enforces the safe core at write time), but
+    the validator walks raw metadata, so it audits tables written by
+    any Iceberg writer.  Driver-side by design: schema metadata is
+    KB-scale regardless of table size.
+
+    Returns a DataFrame ``(from_schema_id, to_schema_id, column,
+    change, detail, compatible)``; empty (same schema) when the table
+    never evolved.
+    """
+    hist = schema_history(table_path)
+    rows = []
+    for prev, cur in zip(hist, hist[1:]):
+        old = {f["id"]: f for f in prev["fields"]}
+        new = {f["id"]: f for f in cur["fields"]}
+        sid_a, sid_b = prev["schema_id"], cur["schema_id"]
+        for fid in sorted(old.keys() | new.keys()):
+            if fid not in new:
+                f = old[fid]
+                rows.append((sid_a, sid_b, f["name"], "dropped",
+                             f["type"], True))
+                continue
+            if fid not in old:
+                f = new[fid]
+                rows.append((sid_a, sid_b, f["name"], "added",
+                             f["type"], not f.get("required", False)))
+                continue
+            fo, fn = old[fid], new[fid]
+            if fo["name"] != fn["name"]:
+                rows.append((sid_a, sid_b, fn["name"], "renamed",
+                             f"from {fo['name']}", True))
+            if fo["type"] != fn["type"]:
+                rows.append((sid_a, sid_b, fn["name"], "type_changed",
+                             f"{fo['type']}->{fn['type']}",
+                             _promotion_ok(fo["type"], fn["type"])))
+            ro = fo.get("required", False)
+            rn = fn.get("required", False)
+            if ro != rn:
+                rows.append((sid_a, sid_b, fn["name"], "required_changed",
+                             f"{'required' if ro else 'optional'}->"
+                             f"{'required' if rn else 'optional'}",
+                             ro and not rn))
+    return spark.createDataFrame(
+        rows,
+        "from_schema_id int, to_schema_id int, column string, "
+        "change string, detail string, compatible boolean")
+
+
 def _load_existing(table_path: str):
     """(meta dict or None, existing version int) for a table root."""
     if is_iceberg_table(table_path):
@@ -931,7 +1118,7 @@ def _commit_snapshot(table_path: str, meta: dict, existing_version: int,
     snapshot = {
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq, "manifest-list": mlist_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": operation, **summary},
     }
     meta["last-updated-ms"] = now_ms
@@ -999,14 +1186,22 @@ def append_iceberg(df, table_path: str,
     meta, existing_version = _load_existing(table_path)
 
     # --- schema + spec -----------------------------------------------------
-    fields = []
-    by_name = {}
-    for i, f in enumerate(df.schema.fields, start=1):
-        ice_t = _ice_type(f.dataType.simpleString())
-        fields.append({"id": i, "name": f.name,
-                       "required": not f.nullable, "type": ice_t})
-        by_name[f.name] = i
-    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    if meta is not None:
+        # reconcile with the table's schema: widening appends evolve
+        # it (new schema-id), and field ids come from the TABLE (id
+        # stability), never from DataFrame column positions
+        schema = _evolve_schema(meta, df.schema)
+        fields = schema["fields"]
+        by_name = {f["name"]: f["id"] for f in fields}
+    else:
+        fields = []
+        by_name = {}
+        for i, f in enumerate(df.schema.fields, start=1):
+            ice_t = _ice_type(f.dataType.simpleString())
+            fields.append({"id": i, "name": f.name,
+                           "required": not f.nullable, "type": ice_t})
+            by_name[f.name] = i
+        schema = {"type": "struct", "schema-id": 0, "fields": fields}
     schema_fields = {f["id"]: f["type"] for f in fields}
 
     spec_fields: List[dict] = []

@@ -523,3 +523,146 @@ class TestExpireSnapshots:
         assert res["expired_snapshots"] == 2
         # merge-on-read result unchanged: delete files carried forward
         assert read_iceberg(spark, tbl).count() == before == 21
+
+
+class TestSchemaEvolution:
+    """Widening appends evolve the table schema; the evolution
+    validator audits transitions by field id."""
+
+    def _mk(self, spark, tmp_path):
+        from datatest_spark.sources import append_iceberg
+
+        root = str(tmp_path / "evo")
+        df1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id: long, name: string")
+        append_iceberg(df1, root)
+        return root
+
+    def test_widening_append_evolves_and_nullfills(self, spark, tmp_path):
+        from datatest_spark.sources import (
+            append_iceberg,
+            read_iceberg,
+            schema_history,
+        )
+
+        root = self._mk(spark, tmp_path)
+        df2 = spark.createDataFrame(
+            [(3, "c", 9.5)], "id: long, name: string, score: double")
+        append_iceberg(df2, root)
+
+        hist = schema_history(root)
+        assert [h["schema_id"] for h in hist] == [0, 1]
+        # id stability: existing columns keep ids, new one gets a
+        # fresh id above last-column-id
+        v1 = {f["name"]: f["id"] for f in hist[1]["fields"]}
+        v0 = {f["name"]: f["id"] for f in hist[0]["fields"]}
+        assert v1["id"] == v0["id"] and v1["name"] == v0["name"]
+        assert v1["score"] > max(v0.values())
+        # each snapshot is pinned to the schema it was written under
+        assert len(hist[0]["snapshot_ids"]) == 1
+        assert len(hist[1]["snapshot_ids"]) == 1
+
+        out = read_iceberg(spark, root).orderBy("id").collect()
+        assert [r.id for r in out] == [1, 2, 3]
+        # pre-widen rows read back null-filled in the new column
+        assert [r.score for r in out] == [None, None, 9.5]
+
+    def test_rejects_missing_column_and_type_change(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from datatest_spark.sources import append_iceberg
+
+        root = self._mk(spark, tmp_path)
+        with _pytest.raises(ValueError, match="missing table column"):
+            append_iceberg(
+                spark.createDataFrame([(7,)], "id: long"), root)
+        with _pytest.raises(ValueError, match="type changes"):
+            append_iceberg(
+                spark.createDataFrame([(7, 1)], "id: long, name: int"),
+                root)
+
+    def test_validator_classifies_transitions(self, spark, tmp_path):
+        import json
+        import os
+
+        from datatest_spark.sources import (
+            append_iceberg,
+            validate_schema_evolution,
+        )
+        from datatest_spark.sources.iceberg_lite import (
+            _load_metadata,
+            _metadata_path,
+        )
+
+        root = self._mk(spark, tmp_path)
+        append_iceberg(
+            spark.createDataFrame(
+                [(3, "c", 9.5)], "id: long, name: string, score: double"),
+            root)
+        # hand-craft a third schema exercising every change kind the
+        # writer itself refuses (the validator audits ANY metadata)
+        meta = _load_metadata(root)
+        v1 = next(s for s in meta["schemas"] if s["schema-id"] == 1)
+        fields = [dict(f) for f in v1["fields"]]
+        by = {f["name"]: f for f in fields}
+        by["name"]["name"] = "title"            # rename (id kept)
+        by["id"]["type"] = "int"                # long->int: unsafe
+        by["score"]["required"] = True          # optional->required
+        fields = [f for f in fields if f["name"] != "title"] + [
+            by["name"]]                         # order irrelevant
+        fields.append({"id": 99, "name": "lang", "required": False,
+                       "type": "string"})       # optional add
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": 2, "fields": fields})
+        meta["current-schema-id"] = 2
+        mpath = _metadata_path(root)
+        v = int(os.path.basename(mpath)[1:].split(".")[0]) + 1
+        with open(os.path.join(root, "metadata",
+                               f"v{v}.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(root, "metadata",
+                               "version-hint.text"), "w") as f:
+            f.write(str(v))
+
+        rows = {(r.from_schema_id, r.to_schema_id, r.column, r.change):
+                (r.detail, r.compatible)
+                for r in validate_schema_evolution(spark, root).collect()}
+        assert rows[(0, 1, "score", "added")] == ("double", True)
+        assert rows[(1, 2, "title", "renamed")] == ("from name", True)
+        assert rows[(1, 2, "id", "type_changed")] == ("long->int", False)
+        assert rows[(1, 2, "score", "required_changed")] == (
+            "optional->required", False)
+        assert rows[(1, 2, "lang", "added")] == ("string", True)
+        assert len(rows) == 5
+
+    def test_time_travel_reads_under_pinned_schema(self, spark, tmp_path):
+        from datatest_spark.sources import (
+            append_iceberg,
+            read_iceberg,
+            snapshots,
+        )
+
+        root = self._mk(spark, tmp_path)
+        s1 = snapshots(root)[-1]["snapshot_id"]
+        append_iceberg(
+            spark.createDataFrame(
+                [(3, "c", 9.5)], "id: long, name: string, score: double"),
+            root)
+        # pre-widen snapshot must not grow the column it never had
+        old = read_iceberg(spark, root, snapshot_id=s1)
+        assert old.columns == ["id", "name"]
+        assert old.count() == 2
+        assert "score" in read_iceberg(spark, root).columns
+
+    def test_never_evolved_table_validates_empty(self, spark, tmp_path):
+        from datatest_spark.sources import (
+            append_iceberg,
+            validate_schema_evolution,
+        )
+
+        root = self._mk(spark, tmp_path)
+        # same-schema append: no evolution, still one schema
+        append_iceberg(
+            spark.createDataFrame([(9, "z")], "id: long, name: string"),
+            root)
+        assert validate_schema_evolution(spark, root).count() == 0
