@@ -522,7 +522,9 @@ def incremental_files(table_path: str,
             continue
         range_ids.add(s["snapshot-id"])
 
-    schema = _current_schema(meta)
+    # the delta reads under the RANGE-END snapshot's pinned schema —
+    # a range ending before a widen must not grow the later column
+    schema = _schema_by_id(meta, snaps[to_idx].get("schema-id"))
     plan = {"files": [], "total_files": 0, "record_count": 0,
             "schema_ddl": _spark_ddl(schema),
             "from_snapshot_id": from_snapshot_id,

@@ -654,6 +654,29 @@ class TestSchemaEvolution:
         assert old.count() == 2
         assert "score" in read_iceberg(spark, root).columns
 
+    def test_incremental_range_reads_under_end_snapshot_schema(
+            self, spark, tmp_path):
+        from datatest_spark.sources import (
+            append_iceberg,
+            read_iceberg_incremental,
+            snapshots,
+        )
+
+        root = self._mk(spark, tmp_path)
+        s1 = snapshots(root)[-1]["snapshot_id"]
+        append_iceberg(
+            spark.createDataFrame(
+                [(3, "c", 9.5)], "id: long, name: string, score: double"),
+            root)
+        s2 = snapshots(root)[-1]["snapshot_id"]
+        # range ending BEFORE the widen: old schema
+        old = read_iceberg_incremental(spark, root, None, s1)
+        assert old.columns == ["id", "name"] and old.count() == 2
+        # range ending AT the widen: new schema
+        new = read_iceberg_incremental(spark, root, s1, s2)
+        assert new.columns == ["id", "name", "score"]
+        assert new.collect()[0].score == 9.5
+
     def test_never_evolved_table_validates_empty(self, spark, tmp_path):
         from datatest_spark.sources import (
             append_iceberg,
