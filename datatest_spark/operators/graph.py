@@ -163,9 +163,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     use :func:`dedup_clusters`, which does exactly that).
 
     If ``stats`` (a dict) is passed it is filled with
-    ``{"rounds": r, "edges": n}`` after convergence — the round count
-    is the scale diagnostic (single-digit on real graphs; see module
-    docstring).  ``rounds`` is 0 when the small-graph path ran.
+    ``{"rounds": r, "edges": n}`` — ``edges`` is the INPUT canonical
+    (deduped, loop-free) edge count on both physical paths, and
+    ``rounds`` is the star-contraction round count (the scale
+    diagnostic: single-digit on real graphs; 0 when the small-graph
+    path ran).
 
     Physical strategy is picked by measured size, like Spark's
     broadcast threshold: the first fingerprint action (needed anyway
@@ -184,20 +186,24 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint(eager=False)
     fp = _fingerprint(edges)
+    n_input = fp[0]
 
-    if fp[0] <= small_graph_threshold:
+    if n_input <= small_graph_threshold:
         labels = _union_find_labels(
             ((r["a"], r["b"]) for r in edges.toLocalIterator())
         )
         if stats is not None:
             stats["rounds"] = 0
-            stats["edges"] = fp[0]
+            stats["edges"] = n_input
         spark = pairs.sparkSession
         out_schema = edges.select(
             F.col("a").alias("node"), F.col("a").alias("component")
         ).schema
         out = spark.createDataFrame(labels, out_schema)
-        out._cc_edges = edges
+        # the labels are driver-materialized — nothing downstream
+        # reads the checkpointed edge cache; release it now instead of
+        # pinning up to threshold-many cached rows per call
+        edges.unpersist()
         return out
 
     rounds = 0
@@ -219,7 +225,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     if stats is not None:
         stats["rounds"] = rounds
-        stats["edges"] = fp[0]
+        stats["edges"] = n_input
 
     # Fixpoint ⇒ the graph is a union of stars centred at each
     # component's minimum: every edge is (member, root).  A member

@@ -199,6 +199,7 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
     (``equality_ids`` None for position deletes)."""
     meta = _load_metadata(table_path)
     snaps = meta.get("snapshots", [])
+    time_travel = snapshot_id is not None
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id", -1)
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
@@ -299,10 +300,14 @@ def plan_files(table_path: str, snapshot_id: Optional[int] = None,
                 files.append(path)
                 data_seq[path] = int(seq)
                 records += int(df_.get("record_count", 0))
-    # time travel reads under the schema the snapshot was WRITTEN with
+    # TIME TRAVEL reads under the schema the snapshot was WRITTEN with
     # (snapshots pin a schema-id) — a pre-widen snapshot must not grow
-    # columns it never had; fall back to current for legacy metadata
-    schema = _schema_by_id(meta, snap.get("schema-id"))
+    # columns it never had.  CURRENT reads use current-schema-id: a
+    # real Iceberg writer can ALTER the schema without a new snapshot
+    # (metadata-only commit), and the current read must see the column
+    # null-filled, not dropped.
+    schema = (_schema_by_id(meta, snap.get("schema-id")) if time_travel
+              else _current_schema(meta))
     return {
         "files": files, "total_files": total,
         "pruned_files": total - len(files), "record_count": records,
@@ -489,6 +494,7 @@ def incremental_files(table_path: str,
     meta = _load_metadata(table_path)
     snaps = meta.get("snapshots", [])
     ids = [s["snapshot-id"] for s in snaps]
+    pinned_end = to_snapshot_id is not None
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id", -1)
     if to_snapshot_id not in ids:
@@ -522,9 +528,12 @@ def incremental_files(table_path: str,
             continue
         range_ids.add(s["snapshot-id"])
 
-    # the delta reads under the RANGE-END snapshot's pinned schema —
-    # a range ending before a widen must not grow the later column
-    schema = _schema_by_id(meta, snaps[to_idx].get("schema-id"))
+    # an EXPLICIT range end reads under that snapshot's pinned schema
+    # (a range ending before a widen must not grow the later column);
+    # a head read uses current-schema-id, which may have advanced via
+    # a metadata-only ALTER with no snapshot
+    schema = (_schema_by_id(meta, snaps[to_idx].get("schema-id"))
+              if pinned_end else _current_schema(meta))
     plan = {"files": [], "total_files": 0, "record_count": 0,
             "schema_ddl": _spark_ddl(schema),
             "from_snapshot_id": from_snapshot_id,
@@ -603,6 +612,18 @@ def rollback_to_snapshot(table_path: str, snapshot_id: int) -> int:
 
     now_ms = int(_time.time() * 1000)
     meta["current-snapshot-id"] = snapshot_id
+    # schema changes ride appends in this module (_evolve_schema), so
+    # a rolled-back widening batch must also surrender its schema:
+    # otherwise the rejected column stays current and every future
+    # original-shape append fails the missing-column check — the
+    # write-audit-publish loop would deadlock on one bad batch.  The
+    # evolved schema entry STAYS in `schemas` (the rejected snapshot
+    # remains time-travelable under it); only current-schema-id
+    # reverts to what the target snapshot pinned.
+    target = next(s for s in meta["snapshots"]
+                  if s["snapshot-id"] == snapshot_id)
+    if "schema-id" in target:
+        meta["current-schema-id"] = target["schema-id"]
     meta["last-updated-ms"] = now_ms
     meta.setdefault("snapshot-log", []).append(
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id})

@@ -2303,8 +2303,14 @@ def audio_noise_rows(n: int = 600, parts: int = 4,
             noise = np.random.RandomState(
                 seed % (2 ** 32)).standard_normal(len(pcm))
             noise_power = float(np.dot(noise, noise))
-            scale = (sig_power
-                     / (noise_power * 10.0 ** (snr_db / 10.0))) ** 0.5
+            import math as _math
+
+            # math.sqrt (correctly rounded), NOT ** 0.5 (libm pow, not
+            # guaranteed correctly rounded) — a 1-ulp scale divergence
+            # could flip np.rint at a .5 boundary and break the
+            # bit-exact sha certification on some platforms
+            scale = _math.sqrt(
+                sig_power / (noise_power * 10.0 ** (snr_db / 10.0)))
             mixed = np.clip(np.rint(sig + noise * scale),
                             -32768, 32767).astype(np.int16)
             achieved = float(snr_db)

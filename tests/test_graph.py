@@ -65,7 +65,7 @@ class TestConnectedComponents:
         got, stats = spark_labels(spark, edges, threshold=0)
         assert all(v == 0 for v in got.values())
         assert 1 <= stats["rounds"] <= 12
-        assert stats["edges"] == 63  # final star: 63 members -> root 0
+        assert stats["edges"] == 63  # input canonical edge count
 
     @pytest.mark.parametrize("threshold", [None, 0])
     def test_two_components_and_self_loops(self, spark, threshold):

@@ -677,6 +677,70 @@ class TestSchemaEvolution:
         assert new.columns == ["id", "name", "score"]
         assert new.collect()[0].score == 9.5
 
+    def test_rollback_across_widen_reverts_schema(self, spark, tmp_path):
+        from datatest_spark.sources import (
+            append_iceberg,
+            read_iceberg,
+            rollback_to_snapshot,
+            schema_history,
+            snapshots,
+        )
+
+        root = self._mk(spark, tmp_path)
+        s1 = snapshots(root)[-1]["snapshot_id"]
+        append_iceberg(
+            spark.createDataFrame(
+                [(3, "c", 9.5)], "id: long, name: string, score: double"),
+            root)
+        rollback_to_snapshot(root, s1)
+        # the rejected widen surrendered the current schema...
+        assert read_iceberg(spark, root).columns == ["id", "name"]
+        # ...so the next original-shape batch appends cleanly (the
+        # write-audit-publish loop must not deadlock on one bad batch)
+        append_iceberg(
+            spark.createDataFrame([(9, "z")], "id: long, name: string"),
+            root)
+        out = read_iceberg(spark, root).orderBy("id")
+        assert out.columns == ["id", "name"] and out.count() == 3
+        # the evolved schema stays in history (rejected snapshot is
+        # still time-travelable under it)
+        assert [h["schema_id"] for h in schema_history(root)] == [0, 1]
+
+    def test_metadata_only_alter_reads_nullfilled(self, spark, tmp_path):
+        import json
+        import os
+
+        from datatest_spark.sources import read_iceberg
+        from datatest_spark.sources.iceberg_lite import (
+            _load_metadata,
+            _metadata_path,
+        )
+
+        root = self._mk(spark, tmp_path)
+        # a real Iceberg writer can ALTER ... ADD COLUMN with a
+        # metadata-only commit: new schema, NO new snapshot
+        meta = _load_metadata(root)
+        v0 = meta["schemas"][0]
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": 1,
+             "fields": [dict(f) for f in v0["fields"]] + [
+                 {"id": 3, "name": "lang", "required": False,
+                  "type": "string"}]})
+        meta["current-schema-id"] = 1
+        mpath = _metadata_path(root)
+        v = int(os.path.basename(mpath)[1:].split(".")[0]) + 1
+        with open(os.path.join(root, "metadata",
+                               f"v{v}.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(root, "metadata",
+                               "version-hint.text"), "w") as f:
+            f.write(str(v))
+        # current read sees the column null-filled (NOT dropped, even
+        # though the current snapshot pins the pre-ALTER schema)
+        out = read_iceberg(spark, root)
+        assert out.columns == ["id", "name", "lang"]
+        assert out.where("lang IS NULL").count() == 2
+
     def test_never_evolved_table_validates_empty(self, spark, tmp_path):
         from datatest_spark.sources import (
             append_iceberg,
