@@ -2923,13 +2923,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: first the byte-certified audio materialization ops
-    # (audio_prepare/augment/resample/trim/normalize), then everything
-    # new since the r04 driver run (the audio/curation/drift additions
-    # through audio_analysis / canonical_by_quality / approx_unique),
-    # then the 7 whose last driver row is r03, then the 50 certified in
-    # r04.  Every entry is additionally certified in
-    # CORRECTNESS_LOCAL.json each round.
+    # 5 rotation: the newest entries (audio_noise,
+    # iceberg_schema_evolution), then the byte-certified audio
+    # materialization ops (audio_prepare/augment/resample/trim/
+    # normalize), then everything new since the r04 driver run (the
+    # audio/curation/drift additions through audio_analysis /
+    # canonical_by_quality / approx_unique), then the 7 whose last
+    # driver row is r03, then the 50 certified in r04.  Every entry is
+    # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "audio_noise": q_audio_noise,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,

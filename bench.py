@@ -84,6 +84,8 @@ HEADLINE = [
     "audio_corpus_overlap",
     "transcript_cer",
     "transcript_wer",
+    "audio_noise",
+    "iceberg_schema_evolution",
 ]
 
 
