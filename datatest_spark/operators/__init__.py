@@ -37,6 +37,12 @@ from .split import (  # noqa: F401
     stratified_sample_sql_pred,
 )
 from .graph import connected_components, dedup_clusters  # noqa: F401
+from .shards import (  # noqa: F401
+    plan_shards,
+    shard_tars,
+    tar_member_blocks,
+    write_shards,
+)
 from .asr import (  # noqa: F401
     TranscriptFidelityRule,
     transcript_cer,
