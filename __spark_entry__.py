@@ -406,6 +406,37 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_shard_plan(spark, sf_dir):
+    """Training-shard planning (operators/shards.py): every clip's
+    shard assignment and exact byte offset inside its shard's tar
+    stream, computed by md5 ordering + a two-pass distributed prefix
+    sum (per-partition byte totals -> driver prefix, the
+    accepted.count pattern).  Oracle: a pure-Python replay of the
+    ordering + running-total math (oracles.shard_plan_rows) — full
+    rows/schema/hash certification of the manifest."""
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators.shards import plan_shards
+
+    return plan_shards(audio_clips_df(spark, 600, parts=4),
+                       256 * 1024, salt="sh1")
+
+
+def q_shard_export(spark, sf_dir):
+    """Materialized shard export: byte-deterministic ustar archives
+    (webdataset-style audio+transcript shards), one bounded tar per
+    task, digested per shard.  Oracle: oracles.shard_export_rows
+    re-implements the ustar byte layout FROM THE POSIX SPEC (not
+    stdlib tarfile) and re-derives every shard's sha256 — the tar
+    bytes themselves are what's certified."""
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators.shards import shard_tars
+
+    out = shard_tars(audio_clips_df(spark, 600, parts=4),
+                     256 * 1024, salt="sh1")
+    return out.select("shard_id", "n_clips", "audio_bytes_total",
+                      "tar_len", "tar_sha256")
+
+
 def q_audio_noise(spark, sf_dir):
     """Deterministic additive-noise augmentation at target SNR 20 dB:
     per-clip RandomState seed via the md5 split contract, noise scaled
@@ -2923,7 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the newest entries (audio_noise,
+    # 5 rotation: the newest entries (shard_plan/shard_export — the
+    # tar-byte-certified training-shard exporter — then audio_noise,
     # iceberg_schema_evolution), then the byte-certified audio
     # materialization ops (audio_prepare/augment/resample/trim/
     # normalize), then everything new since the r04 driver run (the
@@ -2932,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "shard_plan": q_shard_plan,
+        "shard_export": q_shard_export,
         "audio_noise": q_audio_noise,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "audio_prepare": q_audio_prepare,
@@ -3977,6 +4011,11 @@ def oracle_sql() -> dict[str, str]:
                                                     salt="aug1"),
         "audio_noise": _oracles.audio_noise_sql(n=600, parts=4,
                                                 snr_db=20.0, salt="nz1"),
+        "shard_plan": _oracles.shard_plan_sql(n=600, target=256 * 1024,
+                                              salt="sh1"),
+        "shard_export": _oracles.shard_export_sql(n=600,
+                                                  target=256 * 1024,
+                                                  salt="sh1"),
         "iceberg_schema_evolution": """
             WITH c AS (
                 SELECT count(*) AS n_all,

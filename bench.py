@@ -86,6 +86,7 @@ HEADLINE = [
     "transcript_wer",
     "audio_noise",
     "iceberg_schema_evolution",
+    "shard_export",
 ]
 
 

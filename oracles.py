@@ -2329,3 +2329,134 @@ def audio_noise_sql(n: int = 600, parts: int = 4,
                     snr_db: float = 20.0, salt: str = "nz1") -> str:
     return values_sql(audio_noise_rows(n, parts, snr_db, salt),
                       _NOISE_COLS, _NOISE_CASTS)
+
+
+# ---------------------------------------------------------------------------
+# Shard export (operators/shards.py) — md5-ordered running-total shard
+# assignment replayed driver-side, and the ustar byte layout
+# re-implemented from the POSIX spec (NOT stdlib tarfile) so the
+# per-shard sha256 certification is genuinely independent
+# ---------------------------------------------------------------------------
+
+
+def _tar_blocks(n: int) -> int:
+    """Footprint of one tar member: 512-byte header + padded payload."""
+    return 512 + ((n + 511) // 512) * 512
+
+
+def _shard_plan(n: int, target: int, salt: str):
+    """Replay plan_shards over the n-clip fixture: returns the ordered
+    list of (clip_id, audio_bytes, text_bytes, block_bytes, shard_id,
+    offset, audio, text) with offsets assigned by the running total."""
+    import hashlib
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    clips = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        audio = synth_clip_bytes(src)
+        text = (clip_params(src).transcript or "").encode("utf-8")
+        ord_key = hashlib.md5((clip_id + salt).encode("utf-8")).hexdigest()
+        clips.append((ord_key, clip_id, audio, text))
+    clips.sort(key=lambda t: (t[0], t[1]))
+
+    out, cum, shard_cum, prev_shard = [], 0, 0, None
+    for _, clip_id, audio, text in clips:
+        block = _tar_blocks(len(audio)) + _tar_blocks(len(text))
+        shard = cum // target
+        if shard != prev_shard:
+            shard_cum, prev_shard = 0, shard
+        out.append((clip_id, len(audio), len(text), block, shard,
+                    shard_cum, audio, text))
+        cum += block
+        shard_cum += block
+    return out
+
+
+def shard_plan_rows(n: int = 600, target: int = 256 * 1024,
+                    salt: str = "sh1") -> tuple:
+    return tuple(r[:6] for r in _shard_plan(n, target, salt))
+
+
+_SHARD_PLAN_COLS = ["clip_id", "audio_bytes", "text_bytes",
+                    "block_bytes", "shard_id", "offset"]
+_SHARD_PLAN_CASTS = ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT",
+                     "BIGINT"]
+
+
+def shard_plan_sql(n: int = 600, target: int = 256 * 1024,
+                   salt: str = "sh1") -> str:
+    return values_sql(shard_plan_rows(n, target, salt),
+                      _SHARD_PLAN_COLS, _SHARD_PLAN_CASTS)
+
+
+def _ustar_header(name: str, size: int) -> bytes:
+    """One POSIX ustar header block with the engine's zeroed-metadata
+    contract (mode 0644, uid/gid/mtime 0, empty uname/gname)."""
+    nb = name.encode("utf-8")
+    h = bytearray(512)
+    h[0:len(nb)] = nb                          # name, NUL padded
+    h[100:108] = b"0000644\x00"                # mode
+    h[108:116] = b"0000000\x00"                # uid
+    h[116:124] = b"0000000\x00"                # gid
+    h[124:136] = ("%011o" % size).encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"            # mtime 0
+    h[148:156] = b" " * 8                      # chksum placeholder
+    h[156:157] = b"0"                          # typeflag: regular file
+    h[257:263] = b"ustar\x00"                  # magic
+    h[263:265] = b"00"                         # version
+    chksum = sum(h)
+    h[148:156] = ("%06o" % chksum).encode() + b"\x00 "
+    return bytes(h)
+
+
+def _replay_tar(members) -> bytes:
+    """members: [(name, payload_bytes)] — the full archive stream
+    including end-of-archive blocks and 10 KiB record padding."""
+    out = bytearray()
+    for name, data in members:
+        out += _ustar_header(name, len(data))
+        out += data
+        out += b"\x00" * ((-len(data)) % 512)
+    out += b"\x00" * 1024
+    out += b"\x00" * ((-len(out)) % 10240)
+    return bytes(out)
+
+
+def shard_export_rows(n: int = 600, target: int = 256 * 1024,
+                      salt: str = "sh1", audio_ext: str = "wav") -> tuple:
+    """Expected shard_tars digests: per-shard (shard_id, n_clips,
+    audio_bytes_total, tar_len, tar_sha256)."""
+    import hashlib
+
+    plan = _shard_plan(n, target, salt)
+    shards = {}
+    for clip_id, a_len, _t_len, _blk, shard, _off, audio, text in plan:
+        shards.setdefault(shard, []).append((clip_id, a_len, audio, text))
+    out = []
+    for shard in sorted(shards):
+        members = []
+        total = 0
+        for clip_id, a_len, audio, text in shards[shard]:
+            members.append((f"{clip_id}.{audio_ext}", audio))
+            members.append((f"{clip_id}.txt", text))
+            total += a_len
+        raw = _replay_tar(members)
+        out.append((shard, len(shards[shard]), total, len(raw),
+                    hashlib.sha256(raw).hexdigest()))
+    return tuple(out)
+
+
+_SHARD_EXPORT_COLS = ["shard_id", "n_clips", "audio_bytes_total",
+                      "tar_len", "tar_sha256"]
+_SHARD_EXPORT_CASTS = ["BIGINT", "BIGINT", "BIGINT", "BIGINT", "VARCHAR"]
+
+
+def shard_export_sql(n: int = 600, target: int = 256 * 1024,
+                     salt: str = "sh1") -> str:
+    return values_sql(shard_export_rows(n, target, salt),
+                      _SHARD_EXPORT_COLS, _SHARD_EXPORT_CASTS)
