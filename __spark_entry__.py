@@ -406,6 +406,29 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_transcript_wer_norm(spark, sf_dir):
+    """Benchmark-standard normalized WER: hypotheses surface-corrupted
+    (uppercased + trailing ' !!') then scored with normalize=True —
+    casing and punctuation must cost zero edits, so the metric equals
+    the plain-fixture WER row for row.  Normalization is JVM-side
+    (lower + two codegen regexp_replace); oracle replays the contract
+    and the word DP in pure Python."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.fixtures import (audio_clips_df,
+                                         reference_transcripts_df)
+    from datatest_spark.operators import transcript_wer
+
+    hyp = audio_clips_df(spark, 2000, parts=4).select(
+        "clip_id",
+        F.concat(F.upper("transcript"), F.lit(" !!")).alias("transcript"),
+    )
+    return transcript_wer(
+        hyp, reference_transcripts_df(spark, 2000, with_pcm_sha=False),
+        normalize=True,
+    )
+
+
 def q_shard_plan(spark, sf_dir):
     """Training-shard planning (operators/shards.py): every clip's
     shard assignment and exact byte offset inside its shard's tar
@@ -2966,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shard_plan": q_shard_plan,
         "shard_export": q_shard_export,
+        "transcript_wer_norm": q_transcript_wer_norm,
         "audio_noise": q_audio_noise,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "audio_prepare": q_audio_prepare,
@@ -4016,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_export": _oracles.shard_export_sql(n=600,
                                                   target=256 * 1024,
                                                   salt="sh1"),
+        "transcript_wer_norm": _oracles.transcript_wer_norm_sql(2000),
         "iceberg_schema_evolution": """
             WITH c AS (
                 SELECT count(*) AS n_all,

@@ -45,6 +45,7 @@ from .shards import (  # noqa: F401
 )
 from .asr import (  # noqa: F401
     TranscriptFidelityRule,
+    normalize_transcript,
     transcript_cer,
     transcript_fidelity,
     transcript_wer,

@@ -51,7 +51,26 @@ from ..requirements import Rule, ValidationContext, finalize_cols
 from ..schema import DEVIATION, INVALID
 
 __all__ = ["transcript_cer", "transcript_wer", "word_edit_distance",
-           "TranscriptFidelityRule", "transcript_fidelity"]
+           "normalize_transcript", "TranscriptFidelityRule",
+           "transcript_fidelity"]
+
+
+def normalize_transcript(col):
+    """Standard ASR scoring normalization (the Whisper/Kaldi-style
+    surface form): lowercase → every char outside letters/digits/
+    whitespace becomes a space → whitespace collapsed → trimmed.
+
+    Entirely JVM-side (``lower`` + two codegen ``regexp_replace``).
+    The character classes are Unicode (``\\p{L}``/``\\p{N}``), so
+    "café" keeps its accent and CJK text is untouched; only
+    punctuation/symbols are scoring-neutral.  Both metric functions
+    apply it to BOTH sides when ``normalize=True`` — hypothesis
+    casing and punctuation then cost zero edits, which is how WER is
+    reported for every modern ASR benchmark.
+    """
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"[^\p{L}\p{N}\s]+", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
 def word_edit_distance(a_words, b_words) -> int:
@@ -100,26 +119,36 @@ def _word_edits_udf():
 
 
 def _joined(hyp: DataFrame, ref: DataFrame, id_col: str,
-            hyp_col: str, ref_col: str, how: str) -> DataFrame:
-    h = hyp.select(F.col(id_col), F.col(hyp_col).alias("__hyp"))
-    r = ref.select(F.col(id_col), F.col(ref_col).alias("__ref"))
+            hyp_col: str, ref_col: str, how: str,
+            normalize: bool = False) -> DataFrame:
+    h_expr: object = F.col(hyp_col)
+    r_expr: object = F.col(ref_col)
+    if normalize:
+        h_expr = normalize_transcript(h_expr)
+        r_expr = normalize_transcript(r_expr)
+    h = hyp.select(F.col(id_col), h_expr.alias("__hyp"))
+    r = ref.select(F.col(id_col), r_expr.alias("__ref"))
     return h.join(r, id_col, how)
 
 
 def transcript_cer(hyp: DataFrame, ref: DataFrame,
                    id_col: str = "clip_id",
                    hyp_col: str = "transcript",
-                   ref_col: str = "transcript_ref") -> DataFrame:
+                   ref_col: str = "transcript_ref",
+                   normalize: bool = False) -> DataFrame:
     """Per-clip character error rate vs the reference manifest.
 
     Output: ``(id_col, ref_chars, char_edits, cer)`` — one row per
     hypothesis row whose id exists in the manifest (inner join; use
     the suite's completeness rules for manifest-coverage checks).
     ``cer = char_edits / max(ref_chars, 1)`` rounded to 6 decimals.
+    ``normalize=True`` scores both sides through
+    :func:`normalize_transcript` (case/punctuation cost nothing).
     Fully JVM-side: ``F.levenshtein`` + ``F.length`` projections over
     one sort-merge/broadcast join.
     """
-    j = _joined(hyp, ref, id_col, hyp_col, ref_col, "inner")
+    j = _joined(hyp, ref, id_col, hyp_col, ref_col, "inner",
+                normalize=normalize)
     ref_chars = F.length(F.col("__ref"))
     edits = F.levenshtein(F.coalesce(F.col("__hyp"), F.lit("")),
                           F.col("__ref"))
@@ -134,7 +163,8 @@ def transcript_cer(hyp: DataFrame, ref: DataFrame,
 def transcript_wer(hyp: DataFrame, ref: DataFrame,
                    id_col: str = "clip_id",
                    hyp_col: str = "transcript",
-                   ref_col: str = "transcript_ref") -> DataFrame:
+                   ref_col: str = "transcript_ref",
+                   normalize: bool = False) -> DataFrame:
     """Per-clip word error rate vs the reference manifest.
 
     Output: ``(id_col, ref_words, word_edits, wer)``.  The word-level
@@ -142,8 +172,11 @@ def transcript_wer(hyp: DataFrame, ref: DataFrame,
     module docstring); word counts and the ratio are JVM projections.
     Whitespace tokenisation on both sides (``\\s+`` after trim —
     identical to Python ``str.split()`` for the distance stage).
+    ``normalize=True`` scores both sides through
+    :func:`normalize_transcript` — the benchmark-standard WER.
     """
-    j = _joined(hyp, ref, id_col, hyp_col, ref_col, "inner")
+    j = _joined(hyp, ref, id_col, hyp_col, ref_col, "inner",
+                normalize=normalize)
     ref_trim = F.trim(F.col("__ref"))
     ref_words = F.when(
         F.col("__ref").isNull() | (ref_trim == F.lit("")), F.lit(0)

@@ -2460,3 +2460,43 @@ def shard_export_sql(n: int = 600, target: int = 256 * 1024,
                      salt: str = "sh1") -> str:
     return values_sql(shard_export_rows(n, target, salt),
                       _SHARD_EXPORT_COLS, _SHARD_EXPORT_CASTS)
+
+
+# ---------------------------------------------------------------------------
+# Normalized WER (operators/asr.py normalize=True) — Python replay of
+# the normalization contract + the textbook word DP
+# ---------------------------------------------------------------------------
+
+
+def _norm_transcript(s):
+    """Python twin of asr.normalize_transcript: lowercase, non-
+    letter/digit/whitespace → space, collapse, trim.  str.isalnum()
+    matches Java's \\p{L}\\p{N} on the fixture's ASCII vocabulary."""
+    if s is None:
+        return None
+    low = s.lower()
+    swapped = "".join(
+        ch if (ch.isalnum() or ch.isspace()) else " " for ch in low
+    )
+    return " ".join(swapped.split())
+
+
+def transcript_wer_norm_rows(n: int = 2000) -> tuple:
+    """Expected transcript_wer(normalize=True) over hypotheses
+    surface-corrupted as upper(transcript) || ' !!' — casing and
+    punctuation must cost zero edits, so the result equals the plain
+    fixture WER row for row."""
+    rows = []
+    for cid, hyp, ref in transcript_pair_rows(n):
+        h = _norm_transcript((hyp or "").upper() + " !!")
+        r = _norm_transcript(ref)
+        rw = len(r.split())
+        wd = _word_dp((h or "").split(), r.split())
+        rows.append((cid, rw, wd, round(wd / max(rw, 1), 6)))
+    return tuple(rows)
+
+
+def transcript_wer_norm_sql(n: int = 2000) -> str:
+    return values_sql(transcript_wer_norm_rows(n),
+                      ["clip_id", "ref_words", "word_edits", "wer"],
+                      ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE"])

@@ -209,3 +209,79 @@ class TestFidelityRule:
         # the CER rule adds no Arrow stage (fixture gen is MapInPandas,
         # which is the table source, not the rule)
         assert "ArrowEvalPython" not in plan
+
+
+class TestNormalizedScoring:
+    """normalize=True: case and punctuation are scoring-neutral
+    (the benchmark-standard WER/CER surface form)."""
+
+    def _pair(self, spark, hyp_text, ref_text):
+        hyp = spark.createDataFrame([("a", hyp_text)],
+                                    "clip_id: string, transcript: string")
+        ref = spark.createDataFrame(
+            [("a", ref_text)],
+            "clip_id: string, transcript_ref: string")
+        return hyp, ref
+
+    def test_normalize_transcript_expr(self, spark):
+        from datatest_spark.operators import normalize_transcript
+
+        got = spark.createDataFrame(
+            [("  Hello,   WORLD!! (ok) café #1 ",)], "s: string"
+        ).select(normalize_transcript(F.col("s")).alias("n")
+                 ).collect()[0]["n"]
+        assert got == "hello world ok café 1"
+
+    def test_case_punct_cost_zero_when_normalized(self, spark):
+        hyp, ref = self._pair(spark, "The QUICK, brown fox!",
+                              "the quick brown fox")
+        raw = transcript_wer(hyp, ref).collect()[0]
+        norm = transcript_wer(hyp, ref, normalize=True).collect()[0]
+        assert raw["word_edits"] > 0
+        assert norm["word_edits"] == 0 and norm["wer"] == 0.0
+        assert norm["ref_words"] == 4
+
+    def test_cer_normalized(self, spark):
+        hyp, ref = self._pair(spark, "HELLO world.", "hello world")
+        raw = transcript_cer(hyp, ref).collect()[0]
+        norm = transcript_cer(hyp, ref, normalize=True).collect()[0]
+        assert raw["char_edits"] > 0
+        assert norm["char_edits"] == 0
+        assert norm["ref_chars"] == len("hello world")
+
+    def test_real_edits_still_cost(self, spark):
+        hyp, ref = self._pair(spark, "the quick RED fox!!",
+                              "the quick brown fox")
+        norm = transcript_wer(hyp, ref, normalize=True).collect()[0]
+        assert norm["word_edits"] == 1
+
+    def test_normalized_plan_stays_jvm_for_cer(self, spark):
+        from datatest_spark.plans.inspect import explain_str
+
+        hyp, ref = self._pair(spark, "A b", "a b")
+        plan = explain_str(transcript_cer(hyp, ref, normalize=True),
+                           "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_oracle_python_twin_matches_engine(self, spark):
+        """The oracle's Python normalization reproduces the JVM one on
+        the fixture vocabulary + the corruption used by the registry
+        entry."""
+        import oracles
+
+        from datatest_spark import fixtures as FX
+
+        n = 120
+        hyp = FX.audio_clips_df(spark, n, parts=2).select(
+            "clip_id",
+            F.concat(F.upper("transcript"), F.lit(" !!")).alias(
+                "transcript"),
+        )
+        ref = FX.reference_transcripts_df(spark, n, with_pcm_sha=False)
+        got = sorted(
+            tuple(r) for r in transcript_wer(hyp, ref, normalize=True)
+            .collect()
+        )
+        want = sorted(oracles.transcript_wer_norm_rows(n))
+        assert got == [tuple(w) for w in want]
