@@ -406,6 +406,27 @@ def q_audio_prepare(spark, sf_dir):
     )
 
 
+def q_shard_roundtrip(spark, sf_dir):
+    """Shard re-ingest (read_shards ∘ shard_tars): every clip comes
+    back out of its archive at the planned (shard, offset) slot with
+    its exact payload and transcript — the parser's reported member
+    offset doubles as a check of the manifest math.  Oracle replays
+    the plan and shas the source payloads directly."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.fixtures import audio_clips_df
+    from datatest_spark.operators.shards import read_shards, shard_tars
+
+    rt = read_shards(shard_tars(audio_clips_df(spark, 600, parts=4),
+                                256 * 1024, salt="sh1"))
+    return rt.select(
+        "shard_id", "clip_id",
+        F.sha2(F.coalesce(F.col("bytes"), F.lit(b"")), 256)
+        .alias("content_sha"),
+        "transcript", "offset",
+    )
+
+
 def q_transcript_wer_norm(spark, sf_dir):
     """Benchmark-standard normalized WER: hypotheses surface-corrupted
     (uppercased + trailing ' !!') then scored with normalize=True —
@@ -2989,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shard_plan": q_shard_plan,
         "shard_export": q_shard_export,
+        "shard_roundtrip": q_shard_roundtrip,
         "transcript_wer_norm": q_transcript_wer_norm,
         "audio_noise": q_audio_noise,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
@@ -4040,6 +4062,9 @@ def oracle_sql() -> dict[str, str]:
         "shard_export": _oracles.shard_export_sql(n=600,
                                                   target=256 * 1024,
                                                   salt="sh1"),
+        "shard_roundtrip": _oracles.shard_roundtrip_sql(n=600,
+                                                        target=256 * 1024,
+                                                        salt="sh1"),
         "transcript_wer_norm": _oracles.transcript_wer_norm_sql(2000),
         "iceberg_schema_evolution": """
             WITH c AS (

@@ -39,6 +39,9 @@ from .split import (  # noqa: F401
 from .graph import connected_components, dedup_clusters  # noqa: F401
 from .shards import (  # noqa: F401
     plan_shards,
+    read_shard_files,
+    read_shards,
+    shard_audit,
     shard_tars,
     tar_member_blocks,
     write_shards,

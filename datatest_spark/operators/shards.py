@@ -64,6 +64,7 @@ from pyspark.sql.window import Window
 from ..caching import CacheHandle, evict_all
 
 __all__ = ["plan_shards", "shard_tars", "write_shards",
+           "read_shards", "read_shard_files", "shard_audit",
            "tar_member_blocks", "unpersist_cached"]
 
 _HANDLES: list = []
@@ -352,3 +353,156 @@ def write_shards(df: DataFrame, out_dir: str, target_bytes: int,
         [f for f in _TAR_SCHEMA.fields if f.name != "tar_bytes"]
     )
     return tars.mapInPandas(sink, manifest_schema)
+
+
+_READ_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType(), True),
+    T.StructField("clip_id", T.StringType(), True),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("transcript", T.StringType(), True),
+    T.StructField("offset", T.LongType(), True),
+])
+
+
+def read_shards(tars: DataFrame, shard_id_col: str = "shard_id",
+                tar_col: str = "tar_bytes") -> DataFrame:
+    """Re-ingest tar shards into a ``(shard_id, clip_id, bytes,
+    transcript, offset)`` table — the inverse of :func:`shard_tars`.
+
+    One Arrow-batched pass, one tar per row: members are paired by
+    stem (``<clip_id>.<ext>`` payload + ``<clip_id>.txt`` transcript);
+    ``offset`` is the audio member's header offset as reported by the
+    parser, so a round-trip re-derives the :func:`plan_shards`
+    manifest from the archives alone.  A payload member with no
+    ``.txt`` twin (or vice versa) still yields a row, with the absent
+    side NULL — :func:`shard_audit` then surfaces it.
+
+    Scale shape: no shuffle; parallelism = shard count, per-task
+    memory = one shard.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _READ_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for sid, raw in zip(pdf[shard_id_col], pdf[tar_col]):
+                sid = None if sid is None else int(sid)
+                clips: dict = {}
+                order: list = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(raw))) as tf:
+                    for m in tf.getmembers():
+                        stem, _, kind = m.name.rpartition(".")
+                        data = (tf.extractfile(m).read()
+                                if m.size else b"")
+                        slot = clips.get(stem)
+                        # duplicate clip_ids: a stem whose audio slot
+                        # is already filled starts a new row pair
+                        if kind == "txt":
+                            if slot is None or slot.get("txt_done"):
+                                slot = {"off": None}
+                                clips[stem] = slot
+                                order.append((stem, slot))
+                            slot["transcript"] = data.decode("utf-8")
+                            slot["txt_done"] = True
+                        else:
+                            if slot is None or "bytes" in slot:
+                                slot = {}
+                                clips[stem] = slot
+                                order.append((stem, slot))
+                            slot["bytes"] = data
+                            slot["off"] = int(m.offset)
+                        if all(k in slot
+                               for k in ("bytes", "transcript")):
+                            clips.pop(stem, None)
+                for stem, slot in order:
+                    out.append((sid, stem, slot.get("bytes"),
+                                slot.get("transcript"),
+                                slot.get("off")))
+            yield pd.DataFrame(out, columns=cols)
+
+    return tars.select(shard_id_col, tar_col).mapInPandas(
+        gen, _READ_SCHEMA)
+
+
+def read_shard_files(spark, path: str) -> DataFrame:
+    """:func:`read_shards` over ``<path>/shard-NNNNNN.tar`` files via
+    Spark's binaryFile source (pushdown-pruned to ``*.tar``)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.tar$", 1)
+            .cast("long").alias("shard_id"),
+            F.col("content").alias("tar_bytes"),
+        )
+    )
+    return read_shards(files)
+
+
+def shard_audit(corpus: DataFrame, roundtrip: DataFrame,
+                id_col: str = "clip_id", bytes_col: str = "bytes",
+                text_col: str = "transcript",
+                rule_id: str = "shards:content") -> DataFrame:
+    """Validate re-ingested shards against the source corpus, emitting
+    the engine's typed violation rows (the difference vocabulary of
+    reference datatest/differences.py, distributed form):
+
+    * ``MISSING`` — a source (clip_id, content) the shards lack
+    * ``EXTRA`` — shard content absent from the source
+    * ``DEVIATION`` — content present on both sides but with a
+      different multiplicity (duplicate clips dropped or doubled);
+      ``deviation = shards_count − corpus_count``
+
+    Contents compare by ``(xxhash64(bytes), octet_length,
+    xxhash64(transcript))`` — audio payloads never shuffle, only
+    16-byte keys + counts.  An empty result certifies the export:
+    every source byte is in exactly one shard slot.
+    """
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("clip_id"),
+            F.xxhash64(F.coalesce(F.col(bytes_col), F.lit(b""))
+                       ).alias("a_hash"),
+            F.coalesce(F.octet_length(F.col(bytes_col)), F.lit(0))
+            .alias("a_len"),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+            .alias("t_hash"),
+        ).groupBy("clip_id", "a_hash", "a_len", "t_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    keys = ["clip_id", "a_hash", "a_len", "t_hash"]
+    j = keyed(corpus).alias("c").join(
+        keyed(roundtrip).alias("s"), keys, "full_outer"
+    ).select(
+        *keys,
+        F.col("c.n").alias("n_corpus"),
+        F.col("s.n").alias("n_shards"),
+    )
+    diff_type = (
+        F.when(F.col("n_shards").isNull(), F.lit("MISSING"))
+        .when(F.col("n_corpus").isNull(), F.lit("EXTRA"))
+        .otherwise(F.lit("DEVIATION"))
+    )
+    content = F.concat(
+        F.lit("xxh64:"), F.col("a_hash").cast("string"),
+        F.lit("/len:"), F.col("a_len").cast("string"),
+    )
+    return j.where(
+        F.col("n_shards").isNull() | F.col("n_corpus").isNull()
+        | (F.col("n_shards") != F.col("n_corpus"))
+    ).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.col("clip_id").cast("string").alias("key"),
+        F.lit(bytes_col).alias("column"),
+        diff_type.alias("diff_type"),
+        content.alias("invalid"),
+        F.lit(None).cast("string").alias("expected"),
+        (F.coalesce(F.col("n_shards"), F.lit(0))
+         - F.coalesce(F.col("n_corpus"), F.lit(0)))
+        .cast("double").alias("deviation"),
+        F.coalesce(F.col("n_corpus"), F.lit(0)).cast("double")
+        .alias("expected_num"),
+        F.lit(None).cast("string").alias("partition_id"),
+    )

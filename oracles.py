@@ -2500,3 +2500,30 @@ def transcript_wer_norm_sql(n: int = 2000) -> str:
     return values_sql(transcript_wer_norm_rows(n),
                       ["clip_id", "ref_words", "word_edits", "wer"],
                       ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE"])
+
+
+def shard_roundtrip_rows(n: int = 600, target: int = 256 * 1024,
+                         salt: str = "sh1") -> tuple:
+    """Expected read_shards(shard_tars(...)) rows: every clip comes
+    back out of its archive at the planned (shard, offset) slot with
+    its exact payload (sha256) and transcript."""
+    import hashlib
+
+    rows = []
+    for clip_id, _a, _t, _blk, shard, off, audio, text in _shard_plan(
+            n, target, salt):
+        rows.append((shard, clip_id,
+                     hashlib.sha256(audio).hexdigest(),
+                     text.decode("utf-8"), off))
+    return tuple(rows)
+
+
+_SHARD_RT_COLS = ["shard_id", "clip_id", "content_sha", "transcript",
+                  "offset"]
+_SHARD_RT_CASTS = ["BIGINT", "VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"]
+
+
+def shard_roundtrip_sql(n: int = 600, target: int = 256 * 1024,
+                        salt: str = "sh1") -> str:
+    return values_sql(shard_roundtrip_rows(n, target, salt),
+                      _SHARD_RT_COLS, _SHARD_RT_CASTS)

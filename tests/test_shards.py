@@ -173,3 +173,92 @@ def test_tar_member_blocks_expr(spark):
     assert (df["z"], df["one"], df["full"], df["spill"]) == (
         512, 1024, 1024, 1536
     )
+
+
+class TestRoundTrip:
+    """read_shards/read_shard_files invert shard_tars; shard_audit
+    certifies the inversion with typed violation rows."""
+
+    def test_read_shards_inverts(self, spark, corpus):
+        from datatest_spark.operators.shards import read_shards
+
+        rt = read_shards(shard_tars(corpus, TARGET))
+        src = sorted(
+            (r["clip_id"],
+             bytes(r["bytes"]) if r["bytes"] is not None else b"",
+             r["transcript"] or "")
+            for r in corpus.collect()
+        )
+        got = sorted(
+            (r["clip_id"],
+             bytes(r["bytes"]) if r["bytes"] is not None else b"",
+             r["transcript"] or "")
+            for r in rt.collect()
+        )
+        assert got == src
+
+    def test_roundtrip_offsets_match_plan(self, spark, corpus, plan_rows):
+        from datatest_spark.operators.shards import read_shards
+
+        rt = {(r["shard_id"], r["offset"]): r["clip_id"]
+              for r in read_shards(shard_tars(corpus, TARGET)).collect()}
+        for p in plan_rows:
+            assert rt[(p["shard_id"], p["offset"])] == p["clip_id"]
+
+    def test_read_shard_files(self, spark, tmp_path, corpus):
+        from datatest_spark.operators.shards import read_shard_files
+
+        out = str(tmp_path / "rt")
+        write_shards(corpus, out, TARGET).collect()
+        rt = read_shard_files(spark, out)
+        assert rt.count() == corpus.count()
+        assert rt.where(F.col("shard_id").isNull()).count() == 0
+
+    def test_audit_clean_export_is_empty(self, spark, corpus):
+        from datatest_spark.operators.shards import (read_shards,
+                                                     shard_audit)
+
+        rt = read_shards(shard_tars(corpus, TARGET))
+        assert shard_audit(corpus, rt).count() == 0
+
+    def test_audit_flags_missing_extra_deviation(self, spark):
+        from datatest_spark.operators.shards import shard_audit
+
+        corpus = spark.createDataFrame(
+            [("a", b"1", "x"), ("b", b"2", "y"), ("d", b"4", "w"),
+             ("d", b"4", "w")],
+            "clip_id: string, bytes: binary, transcript: string",
+        )
+        shards = spark.createDataFrame(
+            [("a", b"1", "x"), ("c", b"3", "z"), ("d", b"4", "w")],
+            "clip_id: string, bytes: binary, transcript: string",
+        )
+        rows = {r["key"]: r for r in shard_audit(corpus, shards).collect()}
+        assert rows["b"]["diff_type"] == "MISSING"
+        assert rows["c"]["diff_type"] == "EXTRA"
+        assert rows["d"]["diff_type"] == "DEVIATION"
+        assert rows["d"]["deviation"] == -1.0
+        assert rows["d"]["expected_num"] == 2.0
+        assert set(rows) == {"b", "c", "d"}
+
+    def test_audit_flags_corrupted_payload(self, spark, corpus):
+        from datatest_spark.operators.shards import (read_shards,
+                                                     shard_audit)
+
+        rt = read_shards(shard_tars(corpus, TARGET))
+        tampered = rt.withColumn(
+            "bytes",
+            F.when(F.col("clip_id") == "clip-000000000003",
+                   F.lit(b"corrupt")).otherwise(F.col("bytes")),
+        )
+        rows = shard_audit(corpus, tampered).collect()
+        assert {r["key"] for r in rows} == {"clip-000000000003"}
+        assert sorted(r["diff_type"] for r in rows) == ["EXTRA", "MISSING"]
+
+    def test_audit_schema_is_violation_schema(self, spark, corpus):
+        from datatest_spark.operators.shards import (read_shards,
+                                                     shard_audit)
+        from datatest_spark.schema import VIOLATION_COLUMNS
+
+        rt = read_shards(shard_tars(corpus, TARGET))
+        assert shard_audit(corpus, rt).columns == VIOLATION_COLUMNS
