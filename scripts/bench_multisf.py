@@ -304,12 +304,35 @@ def main():
         results[label]["semantic_sec"] = sec
         results[label]["semantic_rows"] = rows
 
+    # round-5 shard exporter on the cached clip tables: tar assembly
+    # is linear in bytes by construction (bounded shards, one decode-
+    # free pass); at a fixed target size the shard COUNT scales with
+    # input while per-task memory stays one shard
+    from datatest_spark.operators.shards import shard_tars
+    from datatest_spark.operators.shards import (
+        unpersist_cached as _shards_unpersist,
+    )
+
+    def _shards(df):
+        return shard_tars(df, 16 * 1024 * 1024)
+
+    _shards(
+        spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{AUDIO_1X}"))
+    ).count()  # warm-up
+    _shards_unpersist(True)
+    for label, n in (("1x", AUDIO_1X), ("5x", SCALE * AUDIO_1X)):
+        df = spark.read.parquet(os.path.join(CACHE, f"audio_v2_n{n}"))
+        sec, rows = timed(_shards, df, runs=2)
+        _shards_unpersist(True)
+        results[label]["shards_sec"] = sec
+        results[label]["shards_count"] = rows
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
         for op in ("minhash", "ngram", "simhash", "audio",
                    "afeat", "adedup", "clusters", "decontam",
                    "analysis", "labelconf", "fuzzydecon", "canonical",
-                   "semantic")
+                   "semantic", "shards")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()
