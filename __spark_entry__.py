@@ -350,6 +350,18 @@ def q_audio_knn(spark, sf_dir):
                     id_col="clip_id")
 
 
+def q_audio_fbank(spark, sf_dir):
+    """Log-mel filterbank front end (25 ms Hamming frames / 10 ms hop /
+    40 HTK mel bins, 0.97 pre-emphasis) — the standard ASR acoustic
+    training feature, certified down to the full feature MATRIX via a
+    round-6 sha256 digest per clip (the oracle recomputes the fbank
+    from first principles on an independent decode)."""
+    from datatest_spark.audio import fbank_features
+    from datatest_spark.fixtures import audio_clips_df
+
+    return fbank_features(audio_clips_df(spark, 600, parts=4))
+
+
 def q_audio_trim(spark, sf_dir):
     """Silence-trim materialization: one decode pass, exact integer
     trim arithmetic, WAV re-encode — certified down to the output
@@ -3008,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "audio_fbank": q_audio_fbank,
         "shard_plan": q_shard_plan,
         "shard_export": q_shard_export,
         "shard_roundtrip": q_shard_roundtrip,
@@ -4086,6 +4099,7 @@ def oracle_sql() -> dict[str, str]:
                            || CAST(n_all + n_q AS VARCHAR) FROM c),
                    TRUE
         """,
+        "audio_fbank": _oracles.audio_fbank_sql(n=600, parts=4),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

@@ -57,7 +57,9 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "prepare_training_audio", "PREPARE_SCHEMA",
            "resample_audio", "resample_pcm", "RESAMPLE_SCHEMA",
            "augment_speed", "AUGMENT_SCHEMA", "SPEED_FACTORS",
-           "augment_noise", "mix_noise_pcm", "NOISE_AUGMENT_SCHEMA"]
+           "augment_noise", "mix_noise_pcm", "NOISE_AUGMENT_SCHEMA",
+           "fbank", "fbank_features", "mel_filterbank", "hz_to_mel",
+           "mel_to_hz", "FBANK_SCHEMA", "FBANK_FEATS_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -1630,3 +1632,178 @@ def augment_noise(df: DataFrame, snr_db: float = 20.0,
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, NOISE_AUGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Log-mel filterbank features (fbank) — the standard ASR training feature
+# ---------------------------------------------------------------------------
+
+def hz_to_mel(f):
+    """HTK mel scale: ``2595 * log10(1 + f/700)`` (O'Shaughnessy 1987,
+    the formula used by HTK/Kaldi fbank front ends)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    """Inverse of :func:`hz_to_mel`."""
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+_MEL_CACHE: dict = {}
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int = 40,
+                   fmin: float = 20.0,
+                   fmax: Optional[float] = None) -> np.ndarray:
+    """``(n_mels, n_fft//2 + 1)`` triangular mel filter matrix, HTK
+    bin-index construction: band edges equally spaced on the mel scale
+    between ``fmin`` and ``fmax`` (default Nyquist), each mapped to an
+    FFT bin via ``floor((n_fft+1) * f / sr)``.  At small FFT sizes
+    (short frames at 8 kHz) adjacent edges can collapse onto one bin,
+    leaving a zero filter — deterministic, and log-floored downstream.
+    Cached per ``(sr, n_fft, n_mels, fmin, fmax)``; the matrix is tiny
+    (40 x n_fft/2) and shared by every clip of the same layout."""
+    top = float(fmax) if fmax is not None else sr / 2.0
+    key = (int(sr), int(n_fft), int(n_mels), float(fmin), top)
+    got = _MEL_CACHE.get(key)
+    if got is not None:
+        return got
+    n_bins = n_fft // 2 + 1
+    edges_hz = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(top),
+                                     n_mels + 2))
+    bins = np.minimum(
+        np.floor((n_fft + 1) * edges_hz / sr).astype(np.int64),
+        n_bins - 1)
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = int(bins[m]), int(bins[m + 1]), int(bins[m + 2])
+        for k in range(lo, ctr):
+            fb[m, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            fb[m, k] = (hi - k) / (hi - ctr)
+    _MEL_CACHE[key] = fb
+    return fb
+
+
+def fbank(sr: int, pcm: np.ndarray, frame_ms: float = 25.0,
+          hop_ms: float = 10.0, n_mels: int = 40,
+          preemph: float = 0.97, fmin: float = 20.0,
+          fmax: Optional[float] = None) -> np.ndarray:
+    """Log-mel filterbank matrix ``(n_frames, n_mels)`` for one PCM
+    buffer — the standard ASR acoustic front end (25 ms Hamming
+    frames, 10 ms hop, 0.97 pre-emphasis, power spectrum through
+    :func:`mel_filterbank`, natural log with a 1e-10 floor).  Frames
+    are strided views (no copy until the FFT); FFT size is the next
+    power of two >= the frame length.  Clips shorter than one frame
+    return an empty ``(0, n_mels)`` matrix."""
+    flen = int(round(sr * frame_ms / 1000.0))
+    hop = int(round(sr * hop_ms / 1000.0))
+    x = pcm.astype(np.float64)
+    if preemph:
+        x = np.concatenate(([x[0]], x[1:] - preemph * x[:-1])) \
+            if len(x) else x
+    if len(x) < flen or flen <= 0 or hop <= 0:
+        return np.zeros((0, n_mels), dtype=np.float64)
+    n_frames = 1 + (len(x) - flen) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(
+        x, flen)[::hop][:n_frames]
+    n_fft = 1
+    while n_fft < flen:
+        n_fft *= 2
+    spec = np.fft.rfft(frames * np.hamming(flen), n=n_fft)
+    power = np.abs(spec) ** 2
+    mel = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    return np.log(np.maximum(power @ mel.T, 1e-10))
+
+
+FBANK_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_mels", T.IntegerType(), True),
+        T.StructField("logmel_mean", T.DoubleType(), True),
+        T.StructField("logmel_min", T.DoubleType(), True),
+        T.StructField("logmel_max", T.DoubleType(), True),
+        T.StructField("feat_sha", T.LongType(), True),
+    ]
+)
+
+FBANK_FEATS_SCHEMA = T.StructType(
+    list(FBANK_SCHEMA.fields) + [
+        T.StructField("feats", T.ArrayType(T.ArrayType(T.DoubleType())),
+                      True),
+    ]
+)
+
+
+def _fbank_digest(logm: np.ndarray):
+    """(mean, min, max, sha64) of a round-6 log-mel matrix.  Rounding
+    to 6 decimals before hashing makes the digest reproducible across
+    BLAS builds; ``+ 0.0`` folds any ``-0.0`` produced by rounding
+    into ``+0.0`` so the byte image is canonical.  The 64-bit digest
+    is the big-endian first 8 bytes of sha256 over the little-endian
+    float64 bytes, two's-complement signed (Spark LongType)."""
+    import hashlib
+
+    r = np.round(logm, 6) + 0.0
+    sha = int.from_bytes(
+        hashlib.sha256(r.astype("<f8").tobytes()).digest()[:8],
+        "big", signed=True)
+    if r.size == 0:
+        return None, None, None, sha
+    return (round(float(r.mean()), 6), round(float(r.min()), 6),
+            round(float(r.max()), 6), sha)
+
+
+def fbank_features(df: DataFrame, frame_ms: float = 25.0,
+                   hop_ms: float = 10.0, n_mels: int = 40,
+                   with_feats: bool = False) -> DataFrame:
+    """Per-clip log-mel filterbank features in one Arrow decode pass —
+    the acoustic-model training input next to the waveform-level
+    :func:`prepare_training_audio` family.  Default output is the
+    certifiable digest row (frame count + round-6 mean/min/max +
+    64-bit content sha); ``with_feats=True`` appends the full round-6
+    ``(n_frames, n_mels)`` matrix as ``array<array<double>>`` for
+    shard export.  Undecodable clips surface as ``ok=false`` audit
+    rows (reference parity: datatest surfaces Invalid rows rather
+    than dropping them — test_validation.py semantics).
+
+    Scale shape: narrow projection ``(clip_id, bytes)``, no shuffle,
+    output rows == input rows; digest mode emits ~70 bytes/clip, so
+    the certify pass over 10^12 clips is scan-bound, not sink-bound.
+    """
+    schema = FBANK_FEATS_SCHEMA if with_feats else FBANK_SCHEMA
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    rec = (row.clip_id, False, None, None, None,
+                           None, None, None, None)
+                    out.append(rec + ((None,) if with_feats else ()))
+                    continue
+                logm = fbank(sr, pcm, frame_ms, hop_ms, n_mels)
+                mean, mn, mx, sha = _fbank_digest(logm)
+                rec = (row.clip_id, True, sr, int(logm.shape[0]),
+                       n_mels, mean, mn, mx, sha)
+                if with_feats:
+                    rec = rec + ([[float(v) for v in fr]
+                                  for fr in np.round(logm, 6) + 0.0],)
+                out.append(rec)
+            # build int columns as nullable Int64 UP FRONT: a batch
+            # holding one undecodable clip would otherwise coerce
+            # int+None to float64 and shear feat_sha's low ~11 bits
+            # (53-bit mantissa < 64-bit sha) before any astype ran
+            data = {c: [r[k] for r in out]
+                    for k, c in enumerate(cols)}
+            for c in ("n_frames", "feat_sha"):
+                data[c] = pd.array(data[c], dtype="Int64")
+            yield pd.DataFrame(data, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(gen, schema)

@@ -2527,3 +2527,98 @@ def shard_roundtrip_sql(n: int = 600, target: int = 256 * 1024,
                         salt: str = "sh1") -> str:
     return values_sql(shard_roundtrip_rows(n, target, salt),
                       _SHARD_RT_COLS, _SHARD_RT_CASTS)
+
+
+@lru_cache(maxsize=None)
+def audio_fbank_rows(n: int = 600, parts: int = 4,
+                     frame_ms: float = 25.0, hop_ms: float = 10.0,
+                     n_mels: int = 40) -> tuple:
+    """Expected ``fbank_features(audio_clips_df(spark, n, parts))``
+    digest rows — independent decode (struct walk above) + a
+    standalone log-mel front end written from the HTK fbank recipe
+    (0.97 pre-emphasis, Hamming frames, next-pow2 rfft, floor-mapped
+    triangular mel bins, ln with 1e-10 floor).  The engine and this
+    sim share only the published formulas; both run the same
+    deterministic numpy primitives, and the round-6-then-hash digest
+    absorbs any summation-order ulps."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_id_for, clip_params, \
+        synth_clip_bytes
+
+    fb_cache = {}
+
+    def filt(sr, n_fft):
+        got = fb_cache.get((sr, n_fft))
+        if got is not None:
+            return got
+        m = 2595.0 * np.log10(1.0 + np.array([20.0, sr / 2.0]) / 700.0)
+        edges = 700.0 * (10.0 ** (np.linspace(m[0], m[1], n_mels + 2)
+                                  / 2595.0) - 1.0)
+        n_bins = n_fft // 2 + 1
+        bins = np.minimum(np.floor((n_fft + 1) * edges / sr)
+                          .astype(np.int64), n_bins - 1)
+        fb = np.zeros((n_mels, n_bins))
+        for j in range(n_mels):
+            lo, c, hi = int(bins[j]), int(bins[j + 1]), int(bins[j + 2])
+            for k in range(lo, c):
+                fb[j, k] = (k - lo) / (c - lo)
+            for k in range(c, hi):
+                fb[j, k] = (hi - k) / (hi - c)
+        fb_cache[(sr, n_fft)] = fb
+        return fb
+
+    out = []
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        clip_id = clip_id_for(i)
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None,
+                        None, None, None, None))
+            continue
+        flen = int(round(sr * frame_ms / 1000.0))
+        hop = int(round(sr * hop_ms / 1000.0))
+        x = pcm.astype(np.float64)
+        if len(x):
+            x = np.concatenate(([x[0]], x[1:] - 0.97 * x[:-1]))
+        if len(x) < flen:
+            logm = np.zeros((0, n_mels))
+        else:
+            nf = 1 + (len(x) - flen) // hop
+            frames = np.lib.stride_tricks.sliding_window_view(
+                x, flen)[::hop][:nf]
+            n_fft = 1
+            while n_fft < flen:
+                n_fft *= 2
+            power = np.abs(np.fft.rfft(frames * np.hamming(flen),
+                                       n=n_fft)) ** 2
+            logm = np.log(np.maximum(power @ filt(sr, n_fft).T, 1e-10))
+        r = np.round(logm, 6) + 0.0
+        sha = int.from_bytes(
+            hashlib.sha256(r.astype("<f8").tobytes()).digest()[:8],
+            "big", signed=True)
+        if r.size == 0:
+            out.append((clip_id, True, sr, 0, n_mels,
+                        None, None, None, sha))
+        else:
+            out.append((clip_id, True, sr, int(r.shape[0]), n_mels,
+                        round(float(r.mean()), 6),
+                        round(float(r.min()), 6),
+                        round(float(r.max()), 6), sha))
+    return tuple(out)
+
+
+_FBANK_COLS = ["clip_id", "ok", "sr_hz", "n_frames", "n_mels",
+               "logmel_mean", "logmel_min", "logmel_max", "feat_sha"]
+_FBANK_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "INTEGER",
+                "DOUBLE", "DOUBLE", "DOUBLE", "BIGINT"]
+
+
+def audio_fbank_sql(n: int = 600, parts: int = 4) -> str:
+    return values_sql(audio_fbank_rows(n, parts),
+                      _FBANK_COLS, _FBANK_CASTS)

@@ -1129,3 +1129,115 @@ class TestNeardupLshExactness:
             if h <= 3:
                 want.add((ia, ib, h))
         assert got == want and len(want) > 0
+
+
+class TestFbank:
+    """Log-mel filterbank front end (fbank / fbank_features)."""
+
+    def test_mel_scale_roundtrip(self):
+        from datatest_spark.audio import hz_to_mel, mel_to_hz
+        f = np.array([20.0, 440.0, 4000.0, 8000.0])
+        assert np.allclose(mel_to_hz(hz_to_mel(f)), f)
+
+    def test_filterbank_shape_and_rows(self):
+        from datatest_spark.audio import mel_filterbank
+        fb = mel_filterbank(16000, 512, n_mels=40)
+        assert fb.shape == (40, 257)
+        # triangles: non-negative, each bounded by 1
+        assert fb.min() >= 0.0 and fb.max() <= 1.0
+        # cached instance is reused
+        assert mel_filterbank(16000, 512, n_mels=40) is fb
+
+    def test_fbank_frame_count(self):
+        from datatest_spark.audio import fbank
+        sr = 16000
+        pcm = (1000 * np.sin(2 * np.pi * 440 *
+                             np.arange(sr) / sr)).astype(np.int16)
+        m = fbank(sr, pcm)  # 1 s @ 25ms/10ms -> 1 + (16000-400)//160
+        assert m.shape == (1 + (sr - 400) // 160, 40)
+
+    def test_fbank_short_clip_empty(self):
+        from datatest_spark.audio import fbank
+        m = fbank(16000, np.zeros(100, dtype=np.int16))
+        assert m.shape == (0, 40)
+
+    def test_fbank_tone_peaks_in_right_band(self):
+        from datatest_spark.audio import fbank, mel_filterbank
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        pcm = (8000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+        m = fbank(sr, pcm, preemph=0.0)
+        mean = m.mean(axis=0)
+        fb = mel_filterbank(sr, 512, 40)
+        freqs = np.fft.rfftfreq(512, d=1.0 / sr)
+        # centre frequency of the arg-max mel band should bracket 1 kHz
+        band = int(mean.argmax())
+        w = fb[band]
+        centre = float((freqs * w).sum() / w.sum())
+        assert 700.0 < centre < 1400.0
+
+    def test_fbank_amplitude_shifts_level_not_argmax(self):
+        from datatest_spark.audio import fbank
+        sr = 16000
+        t = np.arange(sr) / sr
+        quiet = (500 * np.sin(2 * np.pi * 800 * t)).astype(np.int16)
+        loud = (16000 * np.sin(2 * np.pi * 800 * t)).astype(np.int16)
+        mq, ml = fbank(sr, quiet), fbank(sr, loud)
+        assert ml.mean() > mq.mean()
+        assert np.array_equal(mq.mean(axis=0).argmax(),
+                              ml.mean(axis=0).argmax())
+
+    def test_features_digest_matches_local_recompute(self, spark):
+        import hashlib
+        from datatest_spark.audio import (decode_bytes, fbank,
+                                          fbank_features)
+        df = FX.audio_clips_df(spark, 60, parts=2)
+        collected = fbank_features(df).collect()
+        assert len(collected) == 60  # one fixture dup id, same bytes
+        rows = {r.clip_id: r for r in collected}
+        src = {r.clip_id: r.bytes
+               for r in df.select("clip_id", "bytes").collect()}
+        checked = 0
+        for cid, r in rows.items():
+            try:
+                _, sr, pcm = decode_bytes(src[cid])
+            except ValueError:
+                assert r.ok is False and r.feat_sha is None
+                continue
+            logm = np.round(fbank(sr, pcm), 6) + 0.0
+            sha = int.from_bytes(
+                hashlib.sha256(logm.astype("<f8").tobytes())
+                .digest()[:8], "big", signed=True)
+            assert r.ok and r.feat_sha == sha
+            assert r.n_frames == logm.shape[0] and r.n_mels == 40
+            assert r.logmel_mean == round(float(logm.mean()), 6)
+            checked += 1
+        assert checked > 40
+
+    def test_with_feats_matrix_roundtrip(self, spark):
+        from datatest_spark.audio import decode_bytes, fbank, \
+            fbank_features
+        df = FX.audio_clips_df(spark, 12, parts=2)
+        out = {r.clip_id: r for r in
+               fbank_features(df, with_feats=True).collect()}
+        src = {r.clip_id: r.bytes
+               for r in df.select("clip_id", "bytes").collect()}
+        seen = 0
+        for cid, r in out.items():
+            if not r.ok:
+                assert r.feats is None
+                continue
+            _, sr, pcm = decode_bytes(src[cid])
+            exp = np.round(fbank(sr, pcm), 6) + 0.0
+            assert np.array_equal(np.array(r.feats), exp)
+            seen += 1
+        assert seen >= 10
+
+    def test_oracle_parity(self, spark):
+        import oracles
+        from datatest_spark.audio import fbank_features
+        got = {r.clip_id: tuple(r)[1:] for r in
+               fbank_features(FX.audio_clips_df(spark, 80, parts=2))
+               .collect()}
+        exp = {r[0]: r[1:] for r in oracles.audio_fbank_rows(80, 2)}
+        assert got == exp
