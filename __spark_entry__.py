@@ -362,6 +362,21 @@ def q_audio_fbank(spark, sf_dir):
     return fbank_features(audio_clips_df(spark, 600, parts=4))
 
 
+def q_audio_feature_pipeline(spark, sf_dir):
+    """Full acoustic training-feature pipeline in one decode pass:
+    fbank → deterministic SpecAugment (md5-seeded span draws) →
+    per-utterance CMVN → 13-coeff MFCC (orthonormal DCT-II) —
+    certified down to the final feature MATRIX via the round-6 sha256
+    digest (the oracle replays every stage from first principles,
+    including the frozen-stream mask draws)."""
+    from datatest_spark.audio import feature_pipeline
+    from datatest_spark.fixtures import audio_clips_df
+
+    return feature_pipeline(audio_clips_df(spark, 600, parts=4),
+                            apply_cmvn=True, augment=True, salt="sa1",
+                            n_mfcc=13)
+
+
 def q_audio_trim(spark, sf_dir):
     """Silence-trim materialization: one decode pass, exact integer
     trim arithmetic, WAV re-encode — certified down to the output
@@ -3021,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
         "audio_fbank": q_audio_fbank,
+        "audio_feature_pipeline": q_audio_feature_pipeline,
         "shard_plan": q_shard_plan,
         "shard_export": q_shard_export,
         "shard_roundtrip": q_shard_roundtrip,
@@ -4100,6 +4116,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE
         """,
         "audio_fbank": _oracles.audio_fbank_sql(n=600, parts=4),
+        "audio_feature_pipeline": _oracles.audio_pipeline_sql(
+            n=600, parts=4, apply_cmvn=True, augment=True, salt="sa1",
+            n_mfcc=13),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

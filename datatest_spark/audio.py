@@ -59,7 +59,9 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "augment_speed", "AUGMENT_SCHEMA", "SPEED_FACTORS",
            "augment_noise", "mix_noise_pcm", "NOISE_AUGMENT_SCHEMA",
            "fbank", "fbank_features", "mel_filterbank", "hz_to_mel",
-           "mel_to_hz", "FBANK_SCHEMA", "FBANK_FEATS_SCHEMA"]
+           "mel_to_hz", "FBANK_SCHEMA", "FBANK_FEATS_SCHEMA",
+           "cmvn", "spec_augment", "mfcc", "dct_matrix",
+           "feature_pipeline", "PIPELINE_DIGEST_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
@@ -1807,3 +1809,171 @@ def fbank_features(df: DataFrame, frame_ms: float = 25.0,
             yield pd.DataFrame(data, columns=cols)
 
     return df.select("clip_id", "bytes").mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Acoustic feature pipeline on top of fbank: CMVN, SpecAugment, MFCC
+# ---------------------------------------------------------------------------
+
+def cmvn(feats: np.ndarray, var_norm: bool = True,
+         eps: float = 1e-8) -> np.ndarray:
+    """Per-utterance cepstral mean (and variance) normalization — the
+    standard ASR feature post-process (Kaldi ``apply-cmvn`` utterance
+    mode): subtract each coefficient's mean over frames; with
+    ``var_norm`` also divide by its population std.  Coefficients
+    whose std is <= ``eps`` (constant columns — e.g. a SpecAugment
+    frequency mask filled them with one value) are zeroed, NOT divided
+    by the floor: their post-mean residual is pure summation noise
+    (~1e-16 relative), and dividing it by 1e-8 would amplify
+    BLAS-thread-order ulps into the round-6 digest — the variance of a
+    constant is 0, so 0 is the correct normalized value.  Empty
+    matrices pass through."""
+    if feats.shape[0] == 0:
+        return feats
+    out = feats - feats.mean(axis=0)
+    if var_norm:
+        std = np.sqrt((out ** 2).mean(axis=0))
+        inv = np.zeros_like(std)
+        live = std > eps
+        inv[live] = 1.0 / std[live]
+        out = out * inv
+    return out
+
+
+def spec_augment(feats: np.ndarray, seed: int,
+                 freq_masks: int = 2, freq_width: int = 8,
+                 time_masks: int = 2, time_pct: float = 0.05
+                 ) -> np.ndarray:
+    """Deterministic SpecAugment (Park et al. 2019) masking of one
+    log-mel matrix: ``freq_masks`` frequency bands up to
+    ``freq_width`` bins wide and ``time_masks`` time spans up to
+    ``ceil(time_pct * n_frames)`` frames long, filled with the
+    pre-mask matrix mean (the paper's mean-fill variant).  All span
+    draws come from one seeded frozen-stream RandomState — frequency
+    spans first, then time spans — so a given ``(clip, salt)``
+    reproduces the identical augmented features on any
+    platform/partitioning."""
+    if feats.shape[0] == 0:
+        return feats
+    out = feats.copy()
+    fill = float(feats.mean())
+    t_cap = int(math.ceil(time_pct * feats.shape[0]))
+    rs = np.random.RandomState(seed & 0x7FFFFFFF)
+    for _ in range(freq_masks):
+        cap = min(freq_width, feats.shape[1])
+        w = int(rs.randint(0, cap + 1))
+        s = int(rs.randint(0, feats.shape[1] - w + 1))
+        out[:, s:s + w] = fill
+    for _ in range(time_masks):
+        cap = min(t_cap, feats.shape[0])
+        w = int(rs.randint(0, cap + 1)) if cap > 0 else 0
+        s = int(rs.randint(0, feats.shape[0] - w + 1))
+        out[s:s + w, :] = fill
+    return out
+
+
+_DCT_CACHE: dict = {}
+
+
+def dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix ``(n_mfcc, n_mels)`` (the HTK/Kaldi
+    cepstral transform): ``C[k,j] = sqrt(2/N) cos(pi k (2j+1) / 2N)``
+    with the ``k=0`` row scaled by ``1/sqrt(2)``."""
+    key = (int(n_mfcc), int(n_mels))
+    got = _DCT_CACHE.get(key)
+    if got is None:
+        j = np.arange(n_mels, dtype=np.float64)
+        k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+        got = np.sqrt(2.0 / n_mels) * np.cos(
+            np.pi * k * (2.0 * j + 1.0) / (2.0 * n_mels))
+        got[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[key] = got
+    return got
+
+
+def mfcc(sr: int, pcm: np.ndarray, n_mfcc: int = 13,
+         n_mels: int = 40, **fbank_kw) -> np.ndarray:
+    """MFCC matrix ``(n_frames, n_mfcc)``: orthonormal DCT-II over the
+    :func:`fbank` log-mel rows — the classical compact ASR feature
+    (Davis & Mermelstein 1980 by way of the HTK recipe)."""
+    return fbank(sr, pcm, n_mels=n_mels, **fbank_kw) \
+        @ dct_matrix(n_mfcc, n_mels).T
+
+
+PIPELINE_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_coeffs", T.IntegerType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("feat_min", T.DoubleType(), True),
+        T.StructField("feat_max", T.DoubleType(), True),
+        T.StructField("feat_sha", T.LongType(), True),
+    ]
+)
+
+
+def feature_pipeline(df: DataFrame, *, n_mels: int = 40,
+                     frame_ms: float = 25.0, hop_ms: float = 10.0,
+                     apply_cmvn: bool = False,
+                     augment: bool = False, salt: str = "",
+                     freq_masks: int = 2, freq_width: int = 8,
+                     time_masks: int = 2, time_pct: float = 0.05,
+                     n_mfcc: Optional[int] = None) -> DataFrame:
+    """The full acoustic training-feature pipeline in ONE Arrow decode
+    pass: fbank → [SpecAugment] → [per-utterance CMVN] → [MFCC],
+    emitting the same certifiable digest row shape as
+    :func:`fbank_features` (``n_coeffs`` = mel bins, or ``n_mfcc``
+    when the DCT stage is on).  Stage order is the standard training
+    order: masking operates on log-mels *before* normalization so the
+    mean-fill value is in the mel domain, and the DCT (if any) runs
+    last.  SpecAugment spans are seeded per clip by
+    ``md5(clip_id || salt)`` — the corpus-wide determinism contract
+    shared with :func:`augment_speed`/:func:`augment_noise` (re-runs
+    reproduce the identical augmented features; ``salt`` re-rolls).
+
+    Scale shape: identical to :func:`fbank_features` — narrow
+    ``(clip_id, bytes)`` projection, zero shuffle, ~70 output
+    bytes/clip; every stage is numpy-vectorized per Arrow batch.
+    """
+    import hashlib
+
+    cols = [f.name for f in PIPELINE_DIGEST_SCHEMA.fields]
+    out_coeffs = int(n_mfcc) if n_mfcc else int(n_mels)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None, None, None))
+                    continue
+                feats = fbank(sr, pcm, frame_ms, hop_ms, n_mels)
+                if augment:
+                    key = (str(row.clip_id)
+                           if row.clip_id is not None else "") + salt
+                    seed = int(hashlib.md5(key.encode("utf-8"))
+                               .hexdigest()[:8], 16)
+                    feats = spec_augment(feats, seed, freq_masks,
+                                         freq_width, time_masks,
+                                         time_pct)
+                if apply_cmvn:
+                    feats = cmvn(feats)
+                if n_mfcc:
+                    feats = feats @ dct_matrix(n_mfcc, n_mels).T
+                mean, mn, mx, sha = _fbank_digest(feats)
+                out.append((row.clip_id, True, sr,
+                            int(feats.shape[0]), out_coeffs,
+                            mean, mn, mx, sha))
+            data = {c: [r[k] for r in out] for k, c in enumerate(cols)}
+            for c in ("n_frames", "feat_sha"):
+                data[c] = pd.array(data[c], dtype="Int64")
+            yield pd.DataFrame(data, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, PIPELINE_DIGEST_SCHEMA)

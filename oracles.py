@@ -2622,3 +2622,144 @@ _FBANK_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "INTEGER",
 def audio_fbank_sql(n: int = 600, parts: int = 4) -> str:
     return values_sql(audio_fbank_rows(n, parts),
                       _FBANK_COLS, _FBANK_CASTS)
+
+
+@lru_cache(maxsize=None)
+def audio_pipeline_rows(n: int = 600, parts: int = 4,
+                        apply_cmvn: bool = False,
+                        augment: bool = False, salt: str = "",
+                        n_mfcc: int = 0, n_mels: int = 40) -> tuple:
+    """Expected ``feature_pipeline(...)`` digest rows — extends the
+    :func:`audio_fbank_rows` first-principles fbank replay with
+    standalone SpecAugment (frozen-stream RandomState span draws,
+    mean fill), per-utterance CMVN (population std, 1e-8 floor) and
+    an orthonormal DCT-II built from its textbook formula.  Stage
+    order matches the engine contract: mask → normalize → DCT."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_params, clip_id_for, \
+        synth_clip_bytes
+
+    # reuse the fbank replay for the front end (same file, still
+    # independent of the engine)
+    base = {}
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        base[i] = (clip_id_for(i), src)
+
+    fb_cache = {}
+
+    def filt(sr, n_fft):
+        got = fb_cache.get((sr, n_fft))
+        if got is not None:
+            return got
+        m = 2595.0 * np.log10(1.0 + np.array([20.0, sr / 2.0]) / 700.0)
+        edges = 700.0 * (10.0 ** (np.linspace(m[0], m[1], n_mels + 2)
+                                  / 2595.0) - 1.0)
+        n_bins = n_fft // 2 + 1
+        bins = np.minimum(np.floor((n_fft + 1) * edges / sr)
+                          .astype(np.int64), n_bins - 1)
+        fb = np.zeros((n_mels, n_bins))
+        for j in range(n_mels):
+            lo, c, hi = int(bins[j]), int(bins[j + 1]), int(bins[j + 2])
+            for k in range(lo, c):
+                fb[j, k] = (k - lo) / (c - lo)
+            for k in range(c, hi):
+                fb[j, k] = (hi - k) / (hi - c)
+        fb_cache[(sr, n_fft)] = fb
+        return fb
+
+    if n_mfcc:
+        jj = np.arange(n_mels, dtype=np.float64)
+        kk = np.arange(n_mfcc, dtype=np.float64)[:, None]
+        dct = np.sqrt(2.0 / n_mels) * np.cos(
+            np.pi * kk * (2.0 * jj + 1.0) / (2.0 * n_mels))
+        dct[0] *= 1.0 / np.sqrt(2.0)
+
+    out = []
+    out_coeffs = n_mfcc if n_mfcc else n_mels
+    for i in range(n):
+        clip_id, src = base[i]
+        try:
+            _, sr, pcm = _sim_decode_pcm(synth_clip_bytes(src))
+        except ValueError:
+            out.append((clip_id, False, None, None, None,
+                        None, None, None, None))
+            continue
+        flen = int(round(sr * 25.0 / 1000.0))
+        hop = int(round(sr * 10.0 / 1000.0))
+        x = pcm.astype(np.float64)
+        if len(x):
+            x = np.concatenate(([x[0]], x[1:] - 0.97 * x[:-1]))
+        if len(x) < flen:
+            feats = np.zeros((0, n_mels))
+        else:
+            nf = 1 + (len(x) - flen) // hop
+            frames = np.lib.stride_tricks.sliding_window_view(
+                x, flen)[::hop][:nf]
+            n_fft = 1
+            while n_fft < flen:
+                n_fft *= 2
+            power = np.abs(np.fft.rfft(frames * np.hamming(flen),
+                                       n=n_fft)) ** 2
+            feats = np.log(np.maximum(power @ filt(sr, n_fft).T,
+                                      1e-10))
+        if augment and feats.shape[0]:
+            import math as _math
+            seed = int(hashlib.md5((clip_id + salt).encode("utf-8"))
+                       .hexdigest()[:8], 16)
+            rs = np.random.RandomState(seed & 0x7FFFFFFF)
+            f2 = feats.copy()
+            fill = float(feats.mean())
+            for _ in range(2):
+                cap = min(8, feats.shape[1])
+                w = int(rs.randint(0, cap + 1))
+                s = int(rs.randint(0, feats.shape[1] - w + 1))
+                f2[:, s:s + w] = fill
+            t_cap = int(_math.ceil(0.05 * feats.shape[0]))
+            for _ in range(2):
+                cap = min(t_cap, feats.shape[0])
+                w = int(rs.randint(0, cap + 1)) if cap > 0 else 0
+                s = int(rs.randint(0, feats.shape[0] - w + 1))
+                f2[s:s + w, :] = fill
+            feats = f2
+        if apply_cmvn and feats.shape[0]:
+            feats = feats - feats.mean(axis=0)
+            std = np.sqrt((feats ** 2).mean(axis=0))
+            inv = np.zeros_like(std)
+            live = std > 1e-8
+            inv[live] = 1.0 / std[live]
+            feats = feats * inv
+        if n_mfcc:
+            feats = feats @ dct.T
+        r = np.round(feats, 6) + 0.0
+        sha = int.from_bytes(
+            hashlib.sha256(r.astype("<f8").tobytes()).digest()[:8],
+            "big", signed=True)
+        if r.size == 0:
+            out.append((clip_id, True, sr, 0, out_coeffs,
+                        None, None, None, sha))
+        else:
+            out.append((clip_id, True, sr, int(r.shape[0]), out_coeffs,
+                        round(float(r.mean()), 6),
+                        round(float(r.min()), 6),
+                        round(float(r.max()), 6), sha))
+    return tuple(out)
+
+
+_PIPE_COLS = ["clip_id", "ok", "sr_hz", "n_frames", "n_coeffs",
+              "feat_mean", "feat_min", "feat_max", "feat_sha"]
+_PIPE_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "INTEGER",
+               "DOUBLE", "DOUBLE", "DOUBLE", "BIGINT"]
+
+
+def audio_pipeline_sql(n: int = 600, parts: int = 4,
+                       apply_cmvn: bool = False, augment: bool = False,
+                       salt: str = "", n_mfcc: int = 0) -> str:
+    return values_sql(
+        audio_pipeline_rows(n, parts, apply_cmvn, augment, salt,
+                            n_mfcc),
+        _PIPE_COLS, _PIPE_CASTS)

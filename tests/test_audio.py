@@ -1241,3 +1241,118 @@ class TestFbank:
                .collect()}
         exp = {r[0]: r[1:] for r in oracles.audio_fbank_rows(80, 2)}
         assert got == exp
+
+
+class TestFeaturePipeline:
+    """CMVN + SpecAugment + MFCC + the fused feature_pipeline."""
+
+    def test_cmvn_zero_mean_unit_var(self):
+        from datatest_spark.audio import cmvn
+        rng = np.random.RandomState(3)
+        m = cmvn(rng.randn(50, 8) * 4 + 7)
+        assert np.allclose(m.mean(axis=0), 0.0, atol=1e-12)
+        assert np.allclose((m ** 2).mean(axis=0), 1.0, atol=1e-12)
+
+    def test_cmvn_constant_column_zeroed_not_amplified(self):
+        from datatest_spark.audio import cmvn
+        m = np.ones((30, 3)) * 5.0
+        m[:, 1] = np.arange(30.0)
+        out = cmvn(m)
+        # constant columns: exactly zero (no 1/eps noise blow-up)
+        assert np.all(out[:, 0] == 0.0) and np.all(out[:, 2] == 0.0)
+        assert np.allclose((out[:, 1] ** 2).mean(), 1.0)
+
+    def test_cmvn_mean_only(self):
+        from datatest_spark.audio import cmvn
+        m = np.arange(20.0).reshape(10, 2)
+        out = cmvn(m, var_norm=False)
+        assert np.allclose(out.mean(axis=0), 0.0)
+        assert not np.allclose((out ** 2).mean(axis=0), 1.0)
+
+    def test_spec_augment_deterministic_and_masks(self):
+        from datatest_spark.audio import fbank, spec_augment
+        sr = 16000
+        pcm = (3000 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr)
+               ).astype(np.int16)
+        feats = fbank(sr, pcm)
+        a1 = spec_augment(feats, 1234)
+        a2 = spec_augment(feats, 1234)
+        assert np.array_equal(a1, a2)
+        a3 = spec_augment(feats, 1235)
+        assert not np.array_equal(a1, a3)
+        # masked cells take the pre-mask mean; unmasked cells untouched
+        fill = float(feats.mean())
+        changed = a1 != feats
+        assert np.all(a1[changed] == fill)
+        # frequency masks are whole columns, time masks whole rows
+        assert changed.sum() > 0
+
+    def test_spec_augment_empty_passthrough(self):
+        from datatest_spark.audio import spec_augment
+        m = np.zeros((0, 40))
+        assert spec_augment(m, 7).shape == (0, 40)
+
+    def test_dct_matrix_orthonormal(self):
+        from datatest_spark.audio import dct_matrix
+        c = dct_matrix(40, 40)
+        assert np.allclose(c @ c.T, np.eye(40), atol=1e-12)
+
+    def test_mfcc_shape_and_energy_compaction(self):
+        from datatest_spark.audio import fbank, mfcc
+        sr = 16000
+        pcm = (5000 * np.sin(2 * np.pi * 900 * np.arange(sr) / sr)
+               ).astype(np.int16)
+        m = mfcc(sr, pcm, n_mfcc=13)
+        fb = fbank(sr, pcm)
+        assert m.shape == (fb.shape[0], 13)
+        # DCT on smooth log-mel rows compacts energy into low coeffs
+        lo = np.abs(m[:, 1:4]).mean()
+        hi = np.abs(m[:, 10:13]).mean()
+        assert lo > hi
+
+    def test_pipeline_stage_composition_parity(self, spark):
+        """feature_pipeline == manual fbank→aug→cmvn→dct composition."""
+        import hashlib
+        from datatest_spark.audio import (cmvn, dct_matrix,
+                                          decode_bytes, fbank,
+                                          feature_pipeline,
+                                          spec_augment, _fbank_digest)
+        df = FX.audio_clips_df(spark, 40, parts=2)
+        got = {r.clip_id: r for r in feature_pipeline(
+            df, apply_cmvn=True, augment=True, salt="zz",
+            n_mfcc=13).collect()}
+        src = {r.clip_id: r.bytes
+               for r in df.select("clip_id", "bytes").collect()}
+        checked = 0
+        for cid, r in got.items():
+            if not r.ok:
+                continue
+            _, sr, pcm = decode_bytes(src[cid])
+            seed = int(hashlib.md5((cid + "zz").encode())
+                       .hexdigest()[:8], 16)
+            m = cmvn(spec_augment(fbank(sr, pcm), seed)) \
+                @ dct_matrix(13, 40).T
+            assert r.feat_sha == _fbank_digest(m)[3]
+            assert r.n_coeffs == 13 and r.n_frames == m.shape[0]
+            checked += 1
+        assert checked > 30
+
+    def test_pipeline_oracle_parity(self, spark):
+        import oracles
+        from datatest_spark.audio import feature_pipeline
+        got = sorted(tuple(r) for r in feature_pipeline(
+            FX.audio_clips_df(spark, 80, parts=2), apply_cmvn=True,
+            augment=True, salt="sa1", n_mfcc=13).collect())
+        exp = sorted(oracles.audio_pipeline_rows(
+            80, 2, True, True, "sa1", 13))
+        assert got == exp
+
+    def test_salt_rerolls_masks(self, spark):
+        from datatest_spark.audio import feature_pipeline
+        df = FX.audio_clips_df(spark, 30, parts=2)
+        a = {r.clip_id: r.feat_sha for r in feature_pipeline(
+            df, augment=True, salt="a").collect() if r.ok}
+        b = {r.clip_id: r.feat_sha for r in feature_pipeline(
+            df, augment=True, salt="b").collect() if r.ok}
+        assert set(a) == set(b)
+        assert any(a[k] != b[k] for k in a)
