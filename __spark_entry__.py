@@ -365,16 +365,16 @@ def q_audio_fbank(spark, sf_dir):
 def q_audio_feature_pipeline(spark, sf_dir):
     """Full acoustic training-feature pipeline in one decode pass:
     fbank → deterministic SpecAugment (md5-seeded span draws) →
-    per-utterance CMVN → 13-coeff MFCC (orthonormal DCT-II) —
-    certified down to the final feature MATRIX via the round-6 sha256
-    digest (the oracle replays every stage from first principles,
-    including the frozen-stream mask draws)."""
+    per-utterance CMVN → 13-coeff MFCC (orthonormal DCT-II) → Δ/ΔΔ
+    deltas (39 coeffs) — certified down to the final feature MATRIX
+    via the round-6 sha256 digest (the oracle replays every stage
+    from first principles, including the frozen-stream mask draws)."""
     from datatest_spark.audio import feature_pipeline
     from datatest_spark.fixtures import audio_clips_df
 
     return feature_pipeline(audio_clips_df(spark, 600, parts=4),
                             apply_cmvn=True, augment=True, salt="sa1",
-                            n_mfcc=13)
+                            n_mfcc=13, deltas=2)
 
 
 def q_audio_trim(spark, sf_dir):
@@ -4118,7 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fbank": _oracles.audio_fbank_sql(n=600, parts=4),
         "audio_feature_pipeline": _oracles.audio_pipeline_sql(
             n=600, parts=4, apply_cmvn=True, augment=True, salt="sa1",
-            n_mfcc=13),
+            n_mfcc=13, deltas=2),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

@@ -61,7 +61,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "fbank", "fbank_features", "mel_filterbank", "hz_to_mel",
            "mel_to_hz", "FBANK_SCHEMA", "FBANK_FEATS_SCHEMA",
            "cmvn", "spec_augment", "mfcc", "dct_matrix",
-           "feature_pipeline", "PIPELINE_DIGEST_SCHEMA"]
+           "feature_pipeline", "PIPELINE_DIGEST_SCHEMA",
+           "delta_features", "add_deltas"]
 
 
 # ---------------------------------------------------------------------------
@@ -1921,7 +1922,8 @@ def feature_pipeline(df: DataFrame, *, n_mels: int = 40,
                      augment: bool = False, salt: str = "",
                      freq_masks: int = 2, freq_width: int = 8,
                      time_masks: int = 2, time_pct: float = 0.05,
-                     n_mfcc: Optional[int] = None) -> DataFrame:
+                     n_mfcc: Optional[int] = None,
+                     deltas: int = 0) -> DataFrame:
     """The full acoustic training-feature pipeline in ONE Arrow decode
     pass: fbank → [SpecAugment] → [per-utterance CMVN] → [MFCC],
     emitting the same certifiable digest row shape as
@@ -1941,7 +1943,8 @@ def feature_pipeline(df: DataFrame, *, n_mels: int = 40,
     import hashlib
 
     cols = [f.name for f in PIPELINE_DIGEST_SCHEMA.fields]
-    out_coeffs = int(n_mfcc) if n_mfcc else int(n_mels)
+    out_coeffs = (int(n_mfcc) if n_mfcc else int(n_mels)) \
+        * (1 + int(deltas))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1966,6 +1969,8 @@ def feature_pipeline(df: DataFrame, *, n_mels: int = 40,
                     feats = cmvn(feats)
                 if n_mfcc:
                     feats = feats @ dct_matrix(n_mfcc, n_mels).T
+                if deltas:
+                    feats = add_deltas(feats, order=deltas)
                 mean, mn, mx, sha = _fbank_digest(feats)
                 out.append((row.clip_id, True, sr,
                             int(feats.shape[0]), out_coeffs,
@@ -1977,3 +1982,33 @@ def feature_pipeline(df: DataFrame, *, n_mels: int = 40,
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, PIPELINE_DIGEST_SCHEMA)
+
+
+def delta_features(feats: np.ndarray, window: int = 2) -> np.ndarray:
+    """First-order delta (velocity) coefficients of a feature matrix —
+    the standard regression formula (HTK book / Kaldi ``add-deltas``):
+    ``d_t = sum_k k (x_{t+k} - x_{t-k}) / (2 sum_k k^2)`` over
+    ``k = 1..window``, with edge frames replicated.  Empty matrices
+    pass through."""
+    n = feats.shape[0]
+    if n == 0:
+        return feats
+    denom = 2.0 * sum(k * k for k in range(1, window + 1))
+    idx = np.arange(n)
+    out = np.zeros_like(feats)
+    for k in range(1, window + 1):
+        fwd = feats[np.minimum(idx + k, n - 1)]
+        bwd = feats[np.maximum(idx - k, 0)]
+        out += k * (fwd - bwd)
+    return out / denom
+
+
+def add_deltas(feats: np.ndarray, order: int = 2,
+               window: int = 2) -> np.ndarray:
+    """Append ``order`` delta streams column-wise: ``[x, Δx, ΔΔx]``
+    for the default order 2 — tripling ``n_coeffs`` exactly as ASR
+    front ends feed acoustic models."""
+    blocks = [feats]
+    for _ in range(order):
+        blocks.append(delta_features(blocks[-1], window))
+    return np.hstack(blocks)

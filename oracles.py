@@ -2628,7 +2628,8 @@ def audio_fbank_sql(n: int = 600, parts: int = 4) -> str:
 def audio_pipeline_rows(n: int = 600, parts: int = 4,
                         apply_cmvn: bool = False,
                         augment: bool = False, salt: str = "",
-                        n_mfcc: int = 0, n_mels: int = 40) -> tuple:
+                        n_mfcc: int = 0, n_mels: int = 40,
+                        deltas: int = 0) -> tuple:
     """Expected ``feature_pipeline(...)`` digest rows — extends the
     :func:`audio_fbank_rows` first-principles fbank replay with
     standalone SpecAugment (frozen-stream RandomState span draws,
@@ -2680,7 +2681,18 @@ def audio_pipeline_rows(n: int = 600, parts: int = 4,
         dct[0] *= 1.0 / np.sqrt(2.0)
 
     out = []
-    out_coeffs = n_mfcc if n_mfcc else n_mels
+    out_coeffs = (n_mfcc if n_mfcc else n_mels) * (1 + deltas)
+
+    def delta(m, window=2):
+        nfr = m.shape[0]
+        denom = 2.0 * sum(k * k for k in range(1, window + 1))
+        ii = np.arange(nfr)
+        d = np.zeros_like(m)
+        for k in range(1, window + 1):
+            d += k * (m[np.minimum(ii + k, nfr - 1)]
+                      - m[np.maximum(ii - k, 0)])
+        return d / denom
+
     for i in range(n):
         clip_id, src = base[i]
         try:
@@ -2735,6 +2747,13 @@ def audio_pipeline_rows(n: int = 600, parts: int = 4,
             feats = feats * inv
         if n_mfcc:
             feats = feats @ dct.T
+        if deltas and feats.shape[0]:
+            blocks = [feats]
+            for _ in range(deltas):
+                blocks.append(delta(blocks[-1]))
+            feats = np.hstack(blocks)
+        elif deltas:
+            feats = np.zeros((0, out_coeffs))
         r = np.round(feats, 6) + 0.0
         sha = int.from_bytes(
             hashlib.sha256(r.astype("<f8").tobytes()).digest()[:8],
@@ -2758,8 +2777,9 @@ _PIPE_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "INTEGER",
 
 def audio_pipeline_sql(n: int = 600, parts: int = 4,
                        apply_cmvn: bool = False, augment: bool = False,
-                       salt: str = "", n_mfcc: int = 0) -> str:
+                       salt: str = "", n_mfcc: int = 0,
+                       deltas: int = 0) -> str:
     return values_sql(
         audio_pipeline_rows(n, parts, apply_cmvn, augment, salt,
-                            n_mfcc),
+                            n_mfcc, 40, deltas),
         _PIPE_COLS, _PIPE_CASTS)

@@ -1356,3 +1356,47 @@ class TestFeaturePipeline:
             df, augment=True, salt="b").collect() if r.ok}
         assert set(a) == set(b)
         assert any(a[k] != b[k] for k in a)
+
+
+class TestDeltaFeatures:
+    def test_delta_of_linear_ramp_is_constant_slope(self):
+        from datatest_spark.audio import delta_features
+        m = np.arange(20.0)[:, None] * np.array([1.0, 2.0])
+        d = delta_features(m)
+        # interior frames of a linear ramp: delta == exact slope
+        assert np.allclose(d[2:-2, 0], 1.0)
+        assert np.allclose(d[2:-2, 1], 2.0)
+        # edges replicate → attenuated but finite
+        assert 0 < d[0, 0] < 1.0 and 0 < d[-1, 0] < 1.0
+
+    def test_delta_constant_is_zero(self):
+        from datatest_spark.audio import delta_features
+        assert np.all(delta_features(np.full((15, 4), 3.3)) == 0.0)
+
+    def test_add_deltas_shape_and_blocks(self):
+        from datatest_spark.audio import add_deltas, delta_features
+        rng = np.random.RandomState(0)
+        m = rng.randn(30, 13)
+        out = add_deltas(m, order=2)
+        assert out.shape == (30, 39)
+        assert np.array_equal(out[:, :13], m)
+        d1 = delta_features(m)
+        assert np.array_equal(out[:, 13:26], d1)
+        assert np.array_equal(out[:, 26:], delta_features(d1))
+
+    def test_empty_keeps_output_width(self):
+        from datatest_spark.audio import add_deltas
+        # zero frames still widen to the stacked coefficient count so
+        # downstream consumers see a stable schema
+        assert add_deltas(np.zeros((0, 13))).shape == (0, 39)
+
+    def test_pipeline_deltas_oracle_parity(self, spark):
+        import oracles
+        from datatest_spark.audio import feature_pipeline
+        got = sorted(tuple(r) for r in feature_pipeline(
+            FX.audio_clips_df(spark, 60, parts=2), apply_cmvn=True,
+            augment=True, salt="sa1", n_mfcc=13, deltas=2).collect())
+        exp = sorted(oracles.audio_pipeline_rows(
+            60, 2, True, True, "sa1", 13, 40, 2))
+        assert got == exp
+        assert all(r[4] == 39 for r in got if r[1])  # n_coeffs
