@@ -377,6 +377,37 @@ def q_audio_feature_pipeline(spark, sf_dir):
                             n_mfcc=13, deltas=2)
 
 
+def q_audio_vad(spark, sf_dir):
+    """Energy-VAD segmentation over the F7 speech-shaped fixture
+    (utterance bursts + injected silence structure): one decode pass,
+    vectorized frame energies, gap-merge + min-duration spec —
+    certified down to each segment's re-encoded WAV BYTES via sha256
+    (the oracle replays decode + a per-frame state machine + an
+    independent RIFF writer)."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import vad_segments
+    from datatest_spark.fixtures import speech_clips_df
+
+    out = vad_segments(speech_clips_df(spark, 600, parts=8),
+                       with_bytes=True)
+    return out.select(
+        "clip_id", "ok", "seg_idx", "start_ms", "end_ms", "dur_ms",
+        "energy_dbfs", "sr_hz",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
+def q_audio_vad_stats(spark, sf_dir):
+    """Per-clip speech accounting (total/speech ms, exact ratio,
+    segment count) from the same VAD spec — the 'mostly dead air'
+    curation signal; one decode pass, 1:1 output rows."""
+    from datatest_spark.audio import vad_stats
+    from datatest_spark.fixtures import speech_clips_df
+
+    return vad_stats(speech_clips_df(spark, 600, parts=8))
+
+
 def q_audio_trim(spark, sf_dir):
     """Silence-trim materialization: one decode pass, exact integer
     trim arithmetic, WAV re-encode — certified down to the output
@@ -3035,6 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "audio_vad": q_audio_vad,
+        "audio_vad_stats": q_audio_vad_stats,
         "audio_fbank": q_audio_fbank,
         "audio_feature_pipeline": q_audio_feature_pipeline,
         "shard_plan": q_shard_plan,
@@ -4119,6 +4152,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_feature_pipeline": _oracles.audio_pipeline_sql(
             n=600, parts=4, apply_cmvn=True, augment=True, salt="sa1",
             n_mfcc=13, deltas=2),
+        "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),
+        "audio_vad_stats": _oracles.audio_vad_stats_sql(n=600, parts=8),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,
                                               threshold=2000),
         "audio_normalize": _oracles.audio_normalize_sql(n=600, parts=4),

@@ -38,6 +38,10 @@ __all__ = [
     "audio_clips_df",
     "reference_transcripts_df",
     "AUDIO_SCHEMA",
+    "speech_pcm",
+    "speech_clip_bytes",
+    "speech_clips_df",
+    "SPEECH_SCHEMA",
     "image_table_df",
     "video_table_df",
     "synth_image_array",
@@ -288,6 +292,95 @@ def reference_transcripts_df(spark: SparkSession, n_rows: int,
     # manifest is a strict superset: extra 1% of ids beyond the data
     n_manifest = n_rows + max(1, n_rows // 100)
     return spark.range(0, n_manifest, 1).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# F7: deterministic SPEECH-shaped clips (utterance bursts separated by
+# silence) — the VAD test surface.  The F1 clips are continuous tones
+# (no internal silence), so voice-activity segmentation over them is
+# degenerate (one segment per clip); this table injects known silence
+# structure.  Same doctrine as every fixture: a pure function of the
+# index i.  Injection periods:
+#   i%97==13  corrupt payload (garbled magic)       → ok=false audit rows
+#   i%89==7   all-silence clip (digital zeros)      → zero segments
+#   j%2==0    short inter-burst gap (40–119 ms)     → merged by max_gap
+#   j%2==1    long gap (250–549 ms)                 → separate segments
+#   _mix%5==0 short burst (30–69 ms)                → dropped by min_speech
+# ---------------------------------------------------------------------------
+
+
+def speech_pcm(i: int):
+    """``(sr, pcm)`` for speech-shaped clip ``i``: 2–5 sinusoid
+    "utterances" (amplitude 9000, ~−14 dBFS RMS) separated by digital
+    silence, with leading/trailing silence pads."""
+    sr = 8000 if _mix(i, 30) % 2 == 0 else 16000
+
+    def silence(ms: int) -> np.ndarray:
+        return np.zeros(ms * sr // 1000, dtype="<i2")
+
+    segs = [silence(30 + _mix(i, 33) % 120)]
+    k = 2 + _mix(i, 31) % 4
+    for j in range(k):
+        if _mix(i, 50 + j) % 5 == 0:
+            bur_ms = 30 + _mix(i, 60 + j) % 40
+        else:
+            bur_ms = 150 + _mix(i, 60 + j) % 500
+        f0 = 100.0 + (_mix(i, 70 + j) % 300)
+        nb = bur_ms * sr // 1000
+        t = np.arange(nb, dtype=np.float64) / sr
+        segs.append(
+            np.round(9000.0 * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+        )
+        if j < k - 1:
+            gap_ms = (40 + _mix(i, 80 + j) % 80) if j % 2 == 0 \
+                else (250 + _mix(i, 80 + j) % 300)
+            segs.append(silence(gap_ms))
+    segs.append(silence(20 + _mix(i, 34) % 200))
+    return sr, np.concatenate(segs)
+
+
+def speech_clip_bytes(i: int) -> bytes:
+    """Container bytes for speech clip ``i`` (codec skew as F1)."""
+    if i % 89 == 7:
+        sr = 8000 if _mix(i, 30) % 2 == 0 else 16000
+        pcm = np.zeros((400 + _mix(i, 35) % 1200) * sr // 1000,
+                       dtype="<i2")
+        return make_container(_true_codec(i), sr, pcm)
+    sr, pcm = speech_pcm(i)
+    buf = make_container(_true_codec(i), sr, pcm)
+    if i % 97 == 13:
+        buf = b"XXXX" + buf[4:]
+    return buf
+
+
+SPEECH_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("part_id", T.IntegerType(), False),
+    ]
+)
+
+
+def speech_clips_df(spark: SparkSession, n_rows: int,
+                    parts: int = 8) -> DataFrame:
+    """The F7 speech_clips table: ``spark.range`` → Arrow-batched synth
+    (distributed, partitioning-invariant like :func:`audio_clips_df`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (f"sp-{int(i):08d}", speech_clip_bytes(int(i)),
+                 int(i) % parts)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPEECH_SCHEMA.fields]
+            )
+
+    return spark.range(0, n_rows, 1).repartition(
+        max(spark.sparkContext.defaultParallelism, parts)
+    ).mapInPandas(gen, SPEECH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

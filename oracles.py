@@ -2783,3 +2783,130 @@ def audio_pipeline_sql(n: int = 600, parts: int = 4,
         audio_pipeline_rows(n, parts, apply_cmvn, augment, salt,
                             n_mfcc, 40, deltas),
         _PIPE_COLS, _PIPE_CASTS)
+
+
+# ---------------------------------------------------------------------------
+# Energy-VAD oracle: independent frame state machine vs the engine's
+# vectorized pass (datatest_spark/audio.py:vad_runs)
+# ---------------------------------------------------------------------------
+
+
+def _sim_vad_runs(sr: int, pcm, frame_ms: int = 20,
+                  threshold_dbfs: float = -40.0, max_gap_ms: int = 150,
+                  min_speech_ms: int = 100):
+    """Standalone replay of the documented VAD spec as a per-frame
+    Python state machine (the engine uses one vectorized reshape +
+    flatnonzero — agreement certifies the spec, not the code)."""
+    import numpy as np
+
+    frame_n = max(1, frame_ms * sr // 1000)
+    n = len(pcm)
+    flags = []
+    pos = 0
+    while pos < n:
+        fr = pcm[pos:pos + frame_n].astype(np.int64)
+        ssq = int((fr * fr).sum())
+        m = len(fr)
+        flags.append(
+            float(ssq) > m * (32768.0 ** 2)
+            * (10.0 ** (threshold_dbfs / 10.0))
+        )
+        pos += frame_n
+    gap = max_gap_ms // max(1, frame_ms)
+    runs = []
+    cur_start = None
+    last_speech = None
+    for f, sp in enumerate(flags):
+        if not sp:
+            continue
+        if cur_start is None:
+            cur_start = f
+        elif f - last_speech - 1 > gap:
+            runs.append((cur_start, last_speech))
+            cur_start = f
+        last_speech = f
+    if cur_start is not None:
+        runs.append((cur_start, last_speech))
+    out = []
+    for a, b in runs:
+        lo = a * frame_n
+        hi = min(n, (b + 1) * frame_n)
+        if (hi - lo) * 1000 // sr >= min_speech_ms:
+            out.append((lo, hi))
+    return out
+
+
+_VAD_COLS = ["clip_id", "ok", "seg_idx", "start_ms", "end_ms",
+             "dur_ms", "energy_dbfs", "sr_hz", "content_sha"]
+_VAD_CASTS = ["VARCHAR", "BOOLEAN", "BIGINT", "BIGINT", "BIGINT",
+              "BIGINT", "DOUBLE", "INTEGER", "VARCHAR"]
+
+
+@lru_cache(maxsize=None)
+def audio_vad_rows(n: int = 600, parts: int = 8) -> tuple:
+    """Expected ``vad_segments(speech_clips_df(spark, n), with_bytes=
+    True)`` rows with bytes → sha256: independent decode (struct
+    walk), independent VAD state machine, independent WAV encode,
+    hashlib digest."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from datatest_spark.fixtures import speech_clip_bytes
+
+    out = []
+    for i in range(n):
+        cid = f"sp-{i:08d}"
+        try:
+            _, sr, pcm = _sim_decode_pcm(speech_clip_bytes(i))
+        except ValueError:
+            out.append((cid, False, None, None, None, None, None,
+                        None, None))
+            continue
+        for k, (lo, hi) in enumerate(_sim_vad_runs(sr, pcm)):
+            seg = pcm[lo:hi]
+            ssq = int(np.sum(seg.astype(np.int64) ** 2))
+            energy = (10.0 * math.log10(ssq / (len(seg) * 32768.0 ** 2))
+                      if ssq > 0 else None)
+            sha = hashlib.sha256(_sim_encode_wav(sr, seg)).hexdigest()
+            out.append((cid, True, k, lo * 1000 // sr, hi * 1000 // sr,
+                        (hi - lo) * 1000 // sr, energy, sr, sha))
+    return tuple(out)
+
+
+def audio_vad_sql(n: int = 600, parts: int = 8) -> str:
+    return values_sql(audio_vad_rows(n, parts), _VAD_COLS, _VAD_CASTS)
+
+
+_VAD_STATS_COLS = ["clip_id", "ok", "total_ms", "speech_ms",
+                   "speech_ratio", "n_segments"]
+_VAD_STATS_CASTS = ["VARCHAR", "BOOLEAN", "BIGINT", "BIGINT", "DOUBLE",
+                    "BIGINT"]
+
+
+@lru_cache(maxsize=None)
+def audio_vad_stats_rows(n: int = 600, parts: int = 8) -> tuple:
+    """Expected ``vad_stats(speech_clips_df(spark, n))`` rows — same
+    independent decode + state machine, per-clip accounting."""
+    from datatest_spark.fixtures import speech_clip_bytes
+
+    out = []
+    for i in range(n):
+        cid = f"sp-{i:08d}"
+        try:
+            _, sr, pcm = _sim_decode_pcm(speech_clip_bytes(i))
+        except ValueError:
+            out.append((cid, False, None, None, None, None))
+            continue
+        runs = _sim_vad_runs(sr, pcm)
+        m = len(pcm)
+        sp = sum(hi - lo for lo, hi in runs)
+        out.append((cid, True, m * 1000 // sr, sp * 1000 // sr,
+                    (sp / m) if m else 0.0, len(runs)))
+    return tuple(out)
+
+
+def audio_vad_stats_sql(n: int = 600, parts: int = 8) -> str:
+    return values_sql(audio_vad_stats_rows(n, parts), _VAD_STATS_COLS,
+                      _VAD_STATS_CASTS)

@@ -1400,3 +1400,128 @@ class TestDeltaFeatures:
             60, 2, True, True, "sa1", 13, 40, 2))
         assert got == exp
         assert all(r[4] == 39 for r in got if r[1])  # n_coeffs
+
+
+class TestVad:
+    """Energy-VAD segmentation (audio.vad_runs/vad_segments/vad_stats)
+    over the F7 speech-shaped fixture and hand-built PCM."""
+
+    def _tone(self, sr, ms, amp=9000.0, f0=220.0):
+        t = np.arange(ms * sr // 1000, dtype=np.float64) / sr
+        return np.round(amp * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+
+    def _silence(self, sr, ms):
+        return np.zeros(ms * sr // 1000, dtype="<i2")
+
+    def test_runs_merge_short_gap_split_long(self):
+        from datatest_spark.audio import vad_runs
+
+        sr = 8000
+        pcm = np.concatenate([
+            self._silence(sr, 100), self._tone(sr, 300),
+            self._silence(sr, 100),   # <= max_gap 150 → merged
+            self._tone(sr, 300),
+            self._silence(sr, 400),   # > max_gap → split
+            self._tone(sr, 300), self._silence(sr, 100),
+        ])
+        runs = vad_runs(sr, pcm)
+        assert len(runs) == 2
+        # first run spans both bursts + the short gap (~700 ms)
+        (l0, h0), (l1, h1) = runs
+        assert 650 <= (h0 - l0) * 1000 // sr <= 750
+        assert 250 <= (h1 - l1) * 1000 // sr <= 350
+        # boundaries land on frame edges near the true burst edges
+        assert abs(l0 * 1000 // sr - 100) <= 20
+        assert abs(l1 * 1000 // sr - 1200) <= 20
+
+    def test_runs_drop_short_blip_and_all_silence(self):
+        from datatest_spark.audio import vad_runs
+
+        sr = 16000
+        pcm = np.concatenate([
+            self._silence(sr, 200), self._tone(sr, 40),  # < min_speech
+            self._silence(sr, 400), self._tone(sr, 200),
+            self._silence(sr, 50),
+        ])
+        runs = vad_runs(sr, pcm)
+        assert len(runs) == 1
+        lo, hi = runs[0]
+        assert 180 <= (hi - lo) * 1000 // sr <= 220
+        assert vad_runs(sr, self._silence(sr, 500)) == []
+        assert vad_runs(sr, np.array([], dtype="<i2")) == []
+
+    def test_threshold_is_dbfs_exact(self):
+        from datatest_spark.audio import vad_runs
+
+        sr = 8000
+        # constant amplitude a → rms_dbfs = 20 log10(a/32768);
+        # -40 dBFS ↔ a ≈ 327.68: a=320 stays silent, a=340 is speech
+        quiet = np.full(sr, 320, dtype="<i2")
+        loud = np.full(sr, 340, dtype="<i2")
+        assert vad_runs(sr, quiet) == []
+        assert vad_runs(sr, loud) == [(0, sr)]
+
+    def test_segments_bytes_and_stats_agree(self, spark):
+        from datatest_spark.audio import (decode_bytes, vad_segments,
+                                          vad_stats)
+        from datatest_spark.fixtures import (speech_clip_bytes,
+                                             speech_clips_df)
+
+        df = speech_clips_df(spark, 120, parts=4)
+        segs = vad_segments(df, with_bytes=True).collect()
+        stats = {r.clip_id: r for r in vad_stats(df).collect()}
+        assert len(stats) == 120
+        # per-clip: segment count + summed sample-ms consistent
+        by_clip = {}
+        bad_clips = set()
+        for r in segs:
+            if not r.ok:
+                bad_clips.add(r.clip_id)
+                continue
+            by_clip.setdefault(r.clip_id, []).append(r)
+        for cid, st in stats.items():
+            i = int(cid.split("-")[1])
+            if i % 97 == 13:
+                assert not st.ok and cid in bad_clips
+                assert cid not in by_clip
+                continue
+            assert st.ok
+            rows = by_clip.get(cid, [])
+            assert st.n_segments == len(rows)
+            if i % 89 == 7:
+                assert st.speech_ms == 0 and rows == []
+                continue
+            assert st.n_segments >= 1
+            assert 0.0 < st.speech_ratio <= 1.0
+            # each materialized segment decodes back to the exact slice
+            _, sr0, full = decode_bytes(speech_clip_bytes(i))
+            for r in rows:
+                codec, sr, seg = decode_bytes(r.bytes)
+                assert codec == "pcm_s16le" and sr == sr0 == r.sr_hz
+                lo = r.start_ms * sr // 1000
+                np.testing.assert_array_equal(
+                    seg, full[lo:lo + len(seg)])
+                assert r.dur_ms == len(seg) * 1000 // sr
+                assert r.energy_dbfs is not None and r.energy_dbfs < 0
+
+    def test_without_bytes_plan_stays_thin(self, spark):
+        from datatest_spark.audio import vad_segments
+        from datatest_spark.fixtures import speech_clips_df
+
+        out = vad_segments(speech_clips_df(spark, 40, parts=2))
+        rows = out.collect()
+        assert rows and all(r.bytes is None for r in rows if r.ok)
+
+    def test_oracle_state_machine_parity(self):
+        """Engine's vectorized pass == oracle's per-frame state machine
+        on every fixture clip (the independence certificate)."""
+        import oracles
+        from datatest_spark.audio import decode_bytes, vad_runs
+        from datatest_spark.fixtures import speech_clip_bytes
+
+        for i in range(150):
+            try:
+                _, sr, pcm = decode_bytes(speech_clip_bytes(i))
+            except ValueError:
+                continue
+            assert vad_runs(sr, pcm) == oracles._sim_vad_runs(sr, pcm)
