@@ -377,6 +377,37 @@ def q_audio_feature_pipeline(spark, sf_dir):
                             n_mfcc=13, deltas=2)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Corpus-fit BPE tokenizer, fit half: 150 merges learned from the
+    documents table's word frequencies (one map-side-combined groupBy,
+    driver fit over the bounded word vocabulary, deterministic
+    max-count/lexicographic tie-break).  Oracle: textbook
+    get_stats/merge_vocab replay with full per-step recounts."""
+    from datatest_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, "text", num_merges=150)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE encode half: tokenize every document with the learned merge
+    table (broadcast ranks in one Arrow-batched pandas UDF with a
+    per-batch word memo) — certified down to the exact token STREAM via
+    sha256 over the \\x01-joined tokens."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, "text", num_merges=150)
+    enc = bpe_encode(docs, merges, "text")
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.sha2(F.encode(F.concat_ws("\x01", "tokens"), "UTF-8"),
+               256).alias("tok_sha"),
+    )
+
+
 def q_audio_vad(spark, sf_dir):
     """Energy-VAD segmentation over the F7 speech-shaped fixture
     (utterance bursts + injected silence structure): one decode pass,
@@ -3066,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row is r03, then the 50 certified in r04.  Every entry is
     # additionally certified in CORRECTNESS_LOCAL.json each round.
     return {
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
         "audio_fbank": q_audio_fbank,
@@ -4152,6 +4185,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_feature_pipeline": _oracles.audio_pipeline_sql(
             n=600, parts=4, apply_cmvn=True, augment=True, salt="sa1",
             n_mfcc=13, deltas=2),
+        "bpe_merges": _oracles.bpe_merges_sql(num_merges=150),
+        "bpe_tokens": _oracles.bpe_tokens_sql(num_merges=150),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),
         "audio_vad_stats": _oracles.audio_vad_stats_sql(n=600, parts=8),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,

@@ -54,6 +54,12 @@ from .asr import (  # noqa: F401
     transcript_wer,
     word_edit_distance,
 )
+from .bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_encode_word,
+    bpe_merges_from_counts,
+    bpe_train,
+)
 from .funnel import curation_funnel  # noqa: F401
 from .mixture import (  # noqa: F401
     bucket_int,

@@ -2910,3 +2910,122 @@ def audio_vad_stats_rows(n: int = 600, parts: int = 8) -> tuple:
 def audio_vad_stats_sql(n: int = 600, parts: int = 8) -> str:
     return values_sql(audio_vad_stats_rows(n, parts), _VAD_STATS_COLS,
                       _VAD_STATS_CASTS)
+
+
+# ---------------------------------------------------------------------------
+# BPE oracle: textbook fit/encode (naive per-step recount — a different
+# algorithm shape than the engine's inverted-index fit) on the
+# documents table
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _bpe_fit(sf_dir: str, num_merges: int,
+             min_pair_count: int = 2) -> tuple:
+    """Textbook BPE fit (Sennrich et al. get_stats/merge_vocab shape,
+    full recount every step) → ((left, right, count), ...)."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for _, text in _read_docs(sf_dir):
+        for w in (text or "").split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: tuple(w) + ("</w>",) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        stats: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    return tuple(merges)
+
+
+def bpe_merges_rows(sf_dir: str = SF001_DIR,
+                    num_merges: int = 150) -> tuple:
+    return tuple(
+        (k, left, right, cnt)
+        for k, (left, right, cnt) in enumerate(_bpe_fit(sf_dir,
+                                                        num_merges))
+    )
+
+
+def bpe_merges_sql(sf_dir: str = SF001_DIR,
+                   num_merges: int = 150) -> str:
+    return values_sql(bpe_merges_rows(sf_dir, num_merges),
+                      ["rank", "left", "right", "pair_count"],
+                      ["INTEGER", "VARCHAR", "VARCHAR", "BIGINT"])
+
+
+def _bpe_apply(word: str, ranks: dict) -> list:
+    """Independent encode: recompute the present-pair set each sweep
+    (vs the engine's positional scan) — same documented spec."""
+    syms = list(word) + ["</w>"]
+    while True:
+        present = {
+            (syms[i], syms[i + 1])
+            for i in range(len(syms) - 1)
+        } & ranks.keys()
+        if not present:
+            return syms
+        left, right = min(present, key=ranks.get)
+        out = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+@lru_cache(maxsize=None)
+def bpe_tokens_rows(sf_dir: str = SF001_DIR,
+                    num_merges: int = 150) -> tuple:
+    import hashlib
+
+    ranks = {
+        (left, right): k
+        for k, (left, right, _) in enumerate(_bpe_fit(sf_dir,
+                                                      num_merges))
+    }
+    out = []
+    for doc_id, text in _read_docs(sf_dir):
+        toks = []
+        for w in (text or "").split(" "):
+            if w:
+                toks.extend(_bpe_apply(w, ranks))
+        sha = hashlib.sha256("\x01".join(toks).encode("utf-8")).hexdigest()
+        out.append((doc_id, len(toks), sha))
+    return tuple(out)
+
+
+def bpe_tokens_sql(sf_dir: str = SF001_DIR,
+                   num_merges: int = 150) -> str:
+    return values_sql(bpe_tokens_rows(sf_dir, num_merges),
+                      ["doc_id", "n_tokens", "tok_sha"],
+                      ["BIGINT", "INTEGER", "VARCHAR"])

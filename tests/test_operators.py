@@ -994,3 +994,102 @@ class TestIvfIndex:
         assert back.column == "vec" and back.id_col == "item"
         rows = ivf_query(back, [1.0, 0.05, 0.0, 0.0], k=2, nprobe=1).collect()
         assert rows and rows[0]["item"] in (0, 4)
+
+
+class TestBpe:
+    """Corpus-fit BPE tokenizer (operators/bpe.py): classic-algorithm
+    agreement, determinism, and the distributed fit/encode path."""
+
+    CORPUS = ["low low low low low lower lower newest newest",
+              "newest newest newest widest widest widest new"]
+
+    def test_merges_match_textbook_on_classic_corpus(self):
+        from collections import Counter
+
+        from datatest_spark.operators.bpe import bpe_merges_from_counts
+
+        wc = Counter()
+        for line in self.CORPUS:
+            wc.update(w for w in line.split(" ") if w)
+        fast = bpe_merges_from_counts(sorted(wc.items()), 10,
+                                      min_pair_count=2)
+        # naive reference fit: full recount each step
+        words = {w: tuple(w) + ("</w>",) for w in wc}
+        naive = []
+        for _ in range(10):
+            stats = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += wc[w]
+            if not stats:
+                break
+            (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            naive.append((l, r, c))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = tuple(out)
+        assert fast == naive
+        # the most frequent pair involves 'est</w>' or 'lo' family
+        assert fast[0][2] >= fast[-1][2]
+
+    def test_encode_word_uses_rank_order(self):
+        from datatest_spark.operators.bpe import bpe_encode_word
+
+        # ranks: merge ('l','o') first, then ('lo','w')
+        ranks = {("l", "o"): 0, ("lo", "w"): 1, ("w", "e"): 2}
+        assert bpe_encode_word("low", ranks) == ["low", "</w>"]
+        # unseen word falls back to chars + EOW
+        assert bpe_encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+        # all occurrences merge in one sweep
+        assert bpe_encode_word("lolo", {("l", "o"): 0}) == \
+            ["lo", "lo", "</w>"]
+
+    def test_train_and_encode_distributed(self, spark):
+        from datatest_spark.operators.bpe import (EOW, bpe_encode,
+                                                  bpe_encode_word,
+                                                  bpe_train)
+
+        df = spark.createDataFrame(
+            [(i, line) for i, line in enumerate(self.CORPUS * 3)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(df, "text", num_merges=8)
+        rows = merges.orderBy("rank").collect()
+        assert [r.rank for r in rows] == list(range(len(rows)))
+        assert all(r.pair_count >= 2 for r in rows)
+        enc = bpe_encode(df, merges, "text").collect()
+        ranks = {(r.left, r.right): r.rank for r in rows}
+        for r in enc:
+            text = (self.CORPUS * 3)[r.doc_id]
+            exp = []
+            for w in text.split(" "):
+                if w:
+                    exp.extend(bpe_encode_word(w, ranks))
+            assert list(r.tokens) == exp
+            assert r.n_tokens == len(exp)
+            # tokens reassemble to the original words
+            joined = "".join(r.tokens).replace(EOW, " ").strip()
+            assert joined == " ".join(w for w in text.split(" ") if w)
+
+    def test_vocab_cap_and_empty_corpus(self, spark):
+        from datatest_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        assert bpe_train(df, "text", num_merges=5).count() == 0
+        df2 = spark.createDataFrame(
+            [(i, "aa bb aa") for i in range(4)], "doc_id long, text string")
+        # cap=1 keeps only the most frequent word type ('aa', count 8)
+        capped = bpe_train(df2, "text", num_merges=5, vocab_cap=1)
+        got = {(r.left, r.right) for r in capped.collect()}
+        # tie at count 8 between ('a','</w>') and ('a','a'): lexicographic
+        # tie-break takes ('a','</w>') first, then ('a','a</w>')
+        assert got == {("a", "</w>"), ("a", "a</w>")}
