@@ -408,6 +408,67 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_bpe_packing(spark, sf_dir):
+    """Tokenizer → packer composition: REAL learned-BPE token counts
+    (not whitespace proxies) feed the greedy token-budget packer per
+    lang shard — the count a training run actually bills.  Oracle: the
+    independent textbook BPE token counts as a VALUES table joined to
+    documents, then the identical window + integer division."""
+    from datatest_spark.operators import pack_sequences
+    from datatest_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, "text", num_merges=150)
+    enc = bpe_encode(docs, merges, "text").select("doc_id", "n_tokens")
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    packed = pack_sequences(j, "n_tokens", "doc_id", budget=3000,
+                            shard_col="lang")
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+
+
+def _bpe_packing_sql() -> str:
+    rows = [(d, t) for d, t, _ in _oracles.bpe_tokens_rows(num_merges=150)]
+    vals = _oracles.values_sql(rows, ["doc_id", "n_tokens"],
+                               ["BIGINT", "INTEGER"])
+    return f"""
+        WITH tok AS ({vals}),
+        j AS (
+          SELECT d.lang, t.doc_id, t.n_tokens
+          FROM tok t JOIN documents d USING (doc_id)),
+        b AS (
+          SELECT lang, n_tokens,
+                 (CAST(sum(n_tokens) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS BIGINT) - n_tokens) // 3000 AS bin_id
+          FROM j)
+        SELECT lang, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM b GROUP BY lang, bin_id
+    """
+
+
+def q_audio_remove_silence(spark, sf_dir):
+    """VAD dead-air compaction over the F7 speech fixture: internal
+    silence removed, speech segments concatenated, one WAV per clip —
+    certified down to the output BYTES via sha256 (independent decode
+    + state-machine VAD + concat + independent RIFF writer)."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import remove_silence
+    from datatest_spark.fixtures import speech_clips_df
+
+    out = remove_silence(speech_clips_df(spark, 600, parts=8))
+    return out.select(
+        "clip_id", "ok", "sr_hz", "orig_ms", "dur_ms", "removed_ms",
+        "n_segments",
+        F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_audio_vad(spark, sf_dir):
     """Energy-VAD segmentation over the F7 speech-shaped fixture
     (utterance bursts + injected silence structure): one decode pass,
@@ -3099,6 +3160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_packing": q_bpe_packing,
+        "audio_remove_silence": q_audio_remove_silence,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
         "audio_fbank": q_audio_fbank,
@@ -4187,6 +4250,9 @@ def oracle_sql() -> dict[str, str]:
             n_mfcc=13, deltas=2),
         "bpe_merges": _oracles.bpe_merges_sql(num_merges=150),
         "bpe_tokens": _oracles.bpe_tokens_sql(num_merges=150),
+        "bpe_packing": _bpe_packing_sql(),
+        "audio_remove_silence": _oracles.audio_remove_silence_sql(
+            n=600, parts=8),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),
         "audio_vad_stats": _oracles.audio_vad_stats_sql(n=600, parts=8),
         "audio_trim": _oracles.audio_trim_sql(n=600, parts=4,

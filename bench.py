@@ -87,6 +87,8 @@ HEADLINE = [
     "audio_noise",
     "iceberg_schema_evolution",
     "shard_export",
+    "audio_vad",
+    "bpe_tokens",
 ]
 
 

@@ -63,7 +63,8 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "cmvn", "spec_augment", "mfcc", "dct_matrix",
            "feature_pipeline", "PIPELINE_DIGEST_SCHEMA",
            "delta_features", "add_deltas",
-           "vad_runs", "vad_segments", "vad_stats",
+           "vad_runs", "vad_segments", "vad_stats", "remove_silence",
+           "REMOVE_SILENCE_SCHEMA",
            "VAD_SEGMENTS_SCHEMA", "VAD_STATS_SCHEMA"]
 
 
@@ -2198,3 +2199,68 @@ def vad_stats(df: DataFrame, frame_ms: int = 20,
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, VAD_STATS_SCHEMA)
+
+
+REMOVE_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("orig_ms", T.LongType(), True),
+        T.StructField("dur_ms", T.LongType(), True),
+        T.StructField("removed_ms", T.LongType(), True),
+        T.StructField("n_segments", T.LongType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def remove_silence(df: DataFrame, frame_ms: int = 20,
+                   threshold_dbfs: float = -40.0, max_gap_ms: int = 150,
+                   min_speech_ms: int = 100) -> DataFrame:
+    """Dead-air compaction: keep only the VAD speech segments,
+    concatenated in order, re-encoded as one canonical WAV per clip.
+
+    :func:`trim_silence` strips clip boundaries; this removes INTERNAL
+    silence too (the same :func:`vad_runs` spec, so gaps ≤
+    ``max_gap_ms`` survive inside an utterance and natural short pauses
+    are preserved).  The standard storage/compute compaction for
+    long-form speech — a 10-minute recording with 40% dead air becomes
+    6 minutes of trainable audio, and duration-budget packing then
+    bills true speech time.
+
+    Output mirrors :func:`trim_silence`: ``ok=false`` audit rows for
+    undecodable clips, ``dur_ms=0`` + null bytes when no speech was
+    detected, exact integer sample/ms arithmetic throughout so the
+    output bytes hash is independently replayable.  Same scale shape as
+    every materialization op: one Arrow decode pass, zero shuffle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in REMOVE_SILENCE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    _, sr, pcm = decode_bytes(row.bytes)
+                except ValueError:
+                    out.append((row.clip_id, False, None, None, None,
+                                None, None, None))
+                    continue
+                n = len(pcm)
+                orig_ms = n * 1000 // sr
+                runs = vad_runs(sr, pcm, frame_ms, threshold_dbfs,
+                                max_gap_ms, min_speech_ms)
+                if not runs:
+                    out.append((row.clip_id, True, sr, orig_ms, 0,
+                                orig_ms, 0, None))
+                    continue
+                kept = np.concatenate([pcm[lo:hi] for lo, hi in runs])
+                dur = len(kept) * 1000 // sr
+                out.append((row.clip_id, True, sr, orig_ms, dur,
+                            orig_ms - dur, len(runs),
+                            encode_wav(sr, kept)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        gen, REMOVE_SILENCE_SCHEMA)

@@ -3029,3 +3029,48 @@ def bpe_tokens_sql(sf_dir: str = SF001_DIR,
     return values_sql(bpe_tokens_rows(sf_dir, num_merges),
                       ["doc_id", "n_tokens", "tok_sha"],
                       ["BIGINT", "INTEGER", "VARCHAR"])
+
+
+_RMSIL_COLS = ["clip_id", "ok", "sr_hz", "orig_ms", "dur_ms",
+               "removed_ms", "n_segments", "content_sha"]
+_RMSIL_CASTS = ["VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "BIGINT",
+                "BIGINT", "BIGINT", "VARCHAR"]
+
+
+@lru_cache(maxsize=None)
+def audio_remove_silence_rows(n: int = 600, parts: int = 8) -> tuple:
+    """Expected ``remove_silence(speech_clips_df(spark, n))`` rows with
+    bytes → sha256: independent decode + VAD state machine + segment
+    concatenation + independent WAV encode + hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    from datatest_spark.fixtures import speech_clip_bytes
+
+    out = []
+    for i in range(n):
+        cid = f"sp-{i:08d}"
+        try:
+            _, sr, pcm = _sim_decode_pcm(speech_clip_bytes(i))
+        except ValueError:
+            out.append((cid, False, None, None, None, None, None,
+                        None))
+            continue
+        m = len(pcm)
+        orig_ms = m * 1000 // sr
+        runs = _sim_vad_runs(sr, pcm)
+        if not runs:
+            out.append((cid, True, sr, orig_ms, 0, orig_ms, 0, None))
+            continue
+        kept = np.concatenate([pcm[lo:hi] for lo, hi in runs])
+        dur = len(kept) * 1000 // sr
+        sha = hashlib.sha256(_sim_encode_wav(sr, kept)).hexdigest()
+        out.append((cid, True, sr, orig_ms, dur, orig_ms - dur,
+                    len(runs), sha))
+    return tuple(out)
+
+
+def audio_remove_silence_sql(n: int = 600, parts: int = 8) -> str:
+    return values_sql(audio_remove_silence_rows(n, parts), _RMSIL_COLS,
+                      _RMSIL_CASTS)

@@ -1525,3 +1525,36 @@ class TestVad:
             except ValueError:
                 continue
             assert vad_runs(sr, pcm) == oracles._sim_vad_runs(sr, pcm)
+
+
+class TestRemoveSilence:
+    def test_compaction_equals_concatenated_segments(self, spark):
+        from datatest_spark.audio import (decode_bytes, remove_silence,
+                                          vad_runs)
+        from datatest_spark.fixtures import speech_clip_bytes, \
+            speech_clips_df
+
+        out = {r.clip_id: r for r in remove_silence(
+            speech_clips_df(spark, 100, parts=4)).collect()}
+        assert len(out) == 100
+        for i in range(100):
+            r = out[f"sp-{i:08d}"]
+            if i % 97 == 13:
+                assert not r.ok
+                continue
+            assert r.ok
+            _, sr, pcm = decode_bytes(speech_clip_bytes(i))
+            runs = vad_runs(sr, pcm)
+            if i % 89 == 7:
+                assert runs == [] and r.dur_ms == 0 and r.bytes is None
+                assert r.removed_ms == r.orig_ms
+                continue
+            _, sr2, kept = decode_bytes(r.bytes)
+            assert sr2 == sr == r.sr_hz
+            exp = np.concatenate([pcm[lo:hi] for lo, hi in runs])
+            np.testing.assert_array_equal(kept, exp)
+            assert r.n_segments == len(runs)
+            assert r.orig_ms == len(pcm) * 1000 // sr
+            assert r.dur_ms == len(exp) * 1000 // sr
+            assert r.removed_ms == r.orig_ms - r.dur_ms
+            assert r.dur_ms <= r.orig_ms
