@@ -451,6 +451,19 @@ def _bpe_packing_sql() -> str:
     """
 
 
+def q_audio_dataset_card(spark, sf_dir):
+    """Corpus health card over the F1 audio table: per-codec +
+    __all__ rows of integer-exact counts (clips, distinct content via
+    JVM xxhash64, declared/decoded ms, decode-failure / clipping /
+    dead-air / missing-transcript counts) — one decode pass, one
+    rollup.  Oracle: full independent replay incl. pure-Python
+    xxhash64 content identity."""
+    from datatest_spark.audio import dataset_card
+    from datatest_spark.fixtures import audio_clips_df
+
+    return dataset_card(audio_clips_df(spark, 2000, parts=4))
+
+
 def q_audio_remove_silence(spark, sf_dir):
     """VAD dead-air compaction over the F7 speech fixture: internal
     silence removed, speech segments concatenated, one WAV per clip —
@@ -3161,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "bpe_packing": q_bpe_packing,
+        "audio_dataset_card": q_audio_dataset_card,
         "audio_remove_silence": q_audio_remove_silence,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
@@ -4251,6 +4265,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _oracles.bpe_merges_sql(num_merges=150),
         "bpe_tokens": _oracles.bpe_tokens_sql(num_merges=150),
         "bpe_packing": _bpe_packing_sql(),
+        "audio_dataset_card": _oracles.audio_dataset_card_sql(
+            n=2000, parts=4),
         "audio_remove_silence": _oracles.audio_remove_silence_sql(
             n=600, parts=8),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),

@@ -64,6 +64,7 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "feature_pipeline", "PIPELINE_DIGEST_SCHEMA",
            "delta_features", "add_deltas",
            "vad_runs", "vad_segments", "vad_stats", "remove_silence",
+           "dataset_card", "DATASET_CARD_SCHEMA",
            "REMOVE_SILENCE_SCHEMA",
            "VAD_SEGMENTS_SCHEMA", "VAD_STATS_SCHEMA"]
 
@@ -2264,3 +2265,125 @@ def remove_silence(df: DataFrame, frame_ms: int = 20,
 
     return df.select("clip_id", "bytes").mapInPandas(
         gen, REMOVE_SILENCE_SCHEMA)
+
+
+DATASET_CARD_SCHEMA = T.StructType(
+    [
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_clips", T.LongType(), False),
+        T.StructField("n_undecodable", T.LongType(), False),
+        T.StructField("n_distinct_content", T.LongType(), False),
+        T.StructField("declared_ms", T.LongType(), True),
+        T.StructField("decoded_ms", T.LongType(), True),
+        T.StructField("n_clipped", T.LongType(), False),
+        T.StructField("n_near_silent", T.LongType(), False),
+        T.StructField("n_null_transcript", T.LongType(), False),
+    ]
+)
+
+
+def dataset_card(df: DataFrame, clipped_above: float = 0.01,
+                 near_silent_above: float = 0.9) -> DataFrame:
+    """Corpus health card: one row per declared codec plus a
+    ``__all__`` total — the summary a 100 TB audio corpus publishes
+    with each snapshot (clips, duplicate content, declared-vs-decoded
+    duration, decode-failure / clipping / dead-air / missing-label
+    counts).
+
+    Every aggregate is INTEGER-exact (counts, long sums, distinct
+    64-bit content hashes) — float means would depend on partition
+    reduction order and break replay certification, so rate columns
+    are materialized as threshold COUNTS (``clipping_ratio >
+    clipped_above``, ``silence_ratio >= near_silent_above``) and the
+    reader divides.
+
+    Plan: ``xxhash64(bytes)`` content identity is computed JVM-side in
+    the scan projection, then ONE Arrow decode pass carries the thin
+    metadata columns through alongside the waveform flags — no join
+    anywhere (a ``clip_id`` join would fan out on duplicate-id rows,
+    the very violation the card is counting), so the card is exactly
+    one decode pass + one ``rollup(codec)`` aggregate over thin rows.
+    Output is O(codecs) rows.
+    """
+
+    flags_schema = T.StructType(
+        [
+            T.StructField("_codec", T.StringType(), True),
+            T.StructField("_decl_ms", T.LongType(), True),
+            T.StructField("_tr_null", T.IntegerType(), False),
+            T.StructField("_content", T.LongType(), False),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_dec_ms", T.LongType(), True),
+            T.StructField("_clipped", T.IntegerType(), True),
+            T.StructField("_near_silent", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in flags_schema.fields]
+        for pdf in batches:
+            out = []
+            # name=None: itertuples would positionalize the
+            # underscore-prefixed column names
+            for codec, decl_ms, tr_null, content, bts in pdf.itertuples(
+                    index=False, name=None):
+                base = (codec,
+                        None if pd.isna(decl_ms) else int(decl_ms),
+                        int(tr_null), int(content))
+                try:
+                    _, sr, pcm = decode_bytes(bts)
+                except ValueError:
+                    out.append(base + (False, None, None, None))
+                    continue
+                n = len(pcm)
+                if n == 0:
+                    out.append(base + (True, 0, None, None))
+                    continue
+                # same integer counting math as pcm_features, minus
+                # the rfft the card never uses (no centroid here —
+                # one FFT per clip would double the pass's compute)
+                a = np.abs(pcm.astype(np.int64))
+                clip_r = int((a >= 32767).sum()) / n
+                sil_r = int((a <= SILENCE_THRESHOLD).sum()) / n
+                out.append(base + (
+                    True, n * 1000 // sr,
+                    int(clip_r > float(clipped_above)),
+                    int(sil_r >= float(near_silent_above)),
+                ))
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for c in ("_decl_ms", "_content", "_dec_ms",
+                      "_clipped", "_near_silent"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="Int64")
+            yield pdf_out
+
+    flags = df.select(
+        F.col("codec").alias("_codec"),
+        F.col("dur_ms").cast("long").alias("_decl_ms"),
+        F.col("transcript").isNull().cast("int").alias("_tr_null"),
+        F.xxhash64("bytes").alias("_content"),
+        "bytes",
+    ).mapInPandas(gen, flags_schema)
+
+    return (
+        flags.rollup("_codec")
+        .agg(
+            F.grouping("_codec").alias("_is_total"),
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum((~F.col("_ok")).cast("long")).alias("n_undecodable"),
+            F.countDistinct("_content").alias("n_distinct_content"),
+            F.sum("_decl_ms").alias("declared_ms"),
+            F.sum("_dec_ms").alias("decoded_ms"),
+            F.sum(F.col("_clipped").cast("long")).alias("n_clipped"),
+            F.sum(F.col("_near_silent").cast("long"))
+            .alias("n_near_silent"),
+            F.sum(F.col("_tr_null").cast("long"))
+            .alias("n_null_transcript"),
+        )
+        .select(
+            F.when(F.col("_is_total") == 1, F.lit("__all__"))
+            .otherwise(F.col("_codec")).alias("codec"),
+            "n_clips", "n_undecodable", "n_distinct_content",
+            "declared_ms", "decoded_ms", "n_clipped", "n_near_silent",
+            "n_null_transcript",
+        )
+    )

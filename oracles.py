@@ -3074,3 +3074,67 @@ def audio_remove_silence_rows(n: int = 600, parts: int = 8) -> tuple:
 def audio_remove_silence_sql(n: int = 600, parts: int = 8) -> str:
     return values_sql(audio_remove_silence_rows(n, parts), _RMSIL_COLS,
                       _RMSIL_CASTS)
+
+
+_CARD_COLS = ["codec", "n_clips", "n_undecodable", "n_distinct_content",
+              "declared_ms", "decoded_ms", "n_clipped", "n_near_silent",
+              "n_null_transcript"]
+_CARD_CASTS = ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT",
+               "BIGINT", "BIGINT", "BIGINT", "BIGINT"]
+
+
+@lru_cache(maxsize=None)
+def audio_dataset_card_rows(n: int = 2000, parts: int = 4,
+                            clipped_above: float = 0.01,
+                            near_silent_above: float = 0.9) -> tuple:
+    """Expected ``dataset_card(audio_clips_df(spark, n))`` rows:
+    independent decode + integer flag counting + pure-Python xxhash64
+    content identity, aggregated per declared codec + __all__."""
+    import numpy as np
+
+    from datatest_spark.fixtures import clip_params, synth_clip_bytes
+
+    groups: dict = {}
+
+    def bucket(codec):
+        return groups.setdefault(
+            codec,
+            {"clips": 0, "bad": 0, "content": set(), "decl": 0,
+             "dec": 0, "clip": 0, "sil": 0, "null_tr": 0},
+        )
+
+    for i in range(n):
+        p = clip_params(i)
+        src = p.dup_of if p.dup_of is not None else i
+        decl = clip_params(src)
+        buf = synth_clip_bytes(src)
+        for key in (decl.codec, "__all__"):
+            g = bucket(key)
+            g["clips"] += 1
+            g["content"].add(xxh64_signed(buf))
+            g["decl"] += decl.decl_dur_ms
+            if decl.transcript is None:
+                g["null_tr"] += 1
+            try:
+                _, sr, pcm = _sim_decode_pcm(buf)
+            except ValueError:
+                g["bad"] += 1
+                continue
+            m = len(pcm)
+            g["dec"] += m * 1000 // sr
+            if m:
+                a = np.abs(pcm.astype(np.int64))
+                if int((a >= 32767).sum()) / m > clipped_above:
+                    g["clip"] += 1
+                if int((a <= 327).sum()) / m >= near_silent_above:
+                    g["sil"] += 1
+    return tuple(
+        (codec, g["clips"], g["bad"], len(g["content"]), g["decl"],
+         g["dec"], g["clip"], g["sil"], g["null_tr"])
+        for codec, g in sorted(groups.items())
+    )
+
+
+def audio_dataset_card_sql(n: int = 2000, parts: int = 4) -> str:
+    return values_sql(audio_dataset_card_rows(n, parts), _CARD_COLS,
+                      _CARD_CASTS)

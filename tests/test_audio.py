@@ -1558,3 +1558,44 @@ class TestRemoveSilence:
             assert r.dur_ms == len(exp) * 1000 // sr
             assert r.removed_ms == r.orig_ms - r.dur_ms
             assert r.dur_ms <= r.orig_ms
+
+
+class TestDatasetCard:
+    def test_card_counts_against_direct_replay(self, spark):
+        from datatest_spark.audio import dataset_card, decode_bytes
+        from datatest_spark.fixtures import audio_clips_df, clip_params, \
+            synth_clip_bytes
+
+        rows = {r.codec: r for r in dataset_card(
+            audio_clips_df(spark, 1200, parts=4)).collect()}
+        total = rows["__all__"]
+        assert total.n_clips == 1200
+        # total row is the sum of the per-codec rows
+        per = [r for c, r in rows.items() if c != "__all__"]
+        for col in ("n_clips", "n_undecodable", "declared_ms",
+                    "decoded_ms", "n_clipped", "n_near_silent",
+                    "n_null_transcript"):
+            assert sum(getattr(r, col) for r in per) == getattr(total, col)
+        # distinct content: exact dups (i%1000==7) collapse
+        n_dups = sum(1 for i in range(1200) if i % 1000 == 7 and i > 0)
+        assert total.n_distinct_content == 1200 - n_dups - (
+            # distinct-content counting is over distinct BYTES: clips
+            # sharing bytes only via dup injection
+            0)
+        # undecodable count matches the corruption injection
+        n_bad = 0
+        for i in range(1200):
+            p = clip_params(i)
+            src = p.dup_of if p.dup_of is not None else i
+            try:
+                decode_bytes(synth_clip_bytes(src))
+            except ValueError:
+                n_bad += 1
+        assert total.n_undecodable == n_bad
+        # declared hours match metadata sum
+        exp_decl = 0
+        for i in range(1200):
+            p = clip_params(i)
+            decl = clip_params(p.dup_of) if p.dup_of is not None else p
+            exp_decl += decl.decl_dur_ms
+        assert total.declared_ms == exp_decl
