@@ -451,6 +451,38 @@ def _bpe_packing_sql() -> str:
     """
 
 
+def q_streaming_vad(spark, sf_dir):
+    """STREAMING VAD: speech clips streamed one file per micro-batch
+    through `transform_stream(vad_stats)` with idempotent batch_id-
+    partitioned writes.  vad_stats is row-local, so the union over
+    micro-batches equals the batch run — the oracle is the same
+    independent decode + state-machine replay as `audio_vad_stats`."""
+    import os
+    import tempfile
+
+    from datatest_spark.audio import vad_stats
+    from datatest_spark.fixtures import speech_clips_df
+    from datatest_spark.streaming import transform_stream
+
+    src = speech_clips_df(spark, 400, parts=4)
+    tmp = tempfile.mkdtemp(prefix="dts_vadstream_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    for p in range(4):
+        (src.where(F.col("part_id") == p).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = transform_stream(stream, vad_stats, output_path=out_dir,
+                         checkpoint_path=ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def q_audio_dataset_card(spark, sf_dir):
     """Corpus health card over the F1 audio table: per-codec +
     __all__ rows of integer-exact counts (clips, distinct content via
@@ -3175,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_packing": q_bpe_packing,
         "audio_dataset_card": q_audio_dataset_card,
+        "streaming_vad": q_streaming_vad,
         "audio_remove_silence": q_audio_remove_silence,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
@@ -4267,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_packing": _bpe_packing_sql(),
         "audio_dataset_card": _oracles.audio_dataset_card_sql(
             n=2000, parts=4),
+        "streaming_vad": _oracles.audio_vad_stats_sql(n=400, parts=4),
         "audio_remove_silence": _oracles.audio_remove_silence_sql(
             n=600, parts=8),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),

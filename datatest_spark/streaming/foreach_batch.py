@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..requirements import Rule
 from ..validation import Engine
 
-__all__ = ["validate_stream"]
+__all__ = ["validate_stream", "transform_stream"]
 
 
 def validate_stream(
@@ -60,6 +60,51 @@ def validate_stream(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(violations_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def transform_stream(
+    stream_df: DataFrame,
+    transform,
+    output_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Run any batch DataFrame→DataFrame operator over a stream.
+
+    The streaming twin of the whole §2F operator family: every
+    row-local operator (VAD stats, audio features, text quality, BPE
+    encode with a pre-fit merge table, …) is a pure transformation, so
+    applying it inside ``foreachBatch`` yields micro-batch outputs
+    whose union equals the batch run — same idempotency contract as
+    :func:`validate_stream` (dynamic partition overwrite keyed by
+    ``batch_id``; a replayed batch overwrites its own partition, so
+    restarts never duplicate output rows).
+
+    Operators that aggregate ACROSS rows (dedup, drift, profiles)
+    compute per-batch results under this wrapper — batch-scoped, not
+    all-of-history; use the stateful/windowed modules for history
+    semantics.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            transform(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
         )
 
     writer = (

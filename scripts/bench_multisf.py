@@ -327,12 +327,43 @@ def main():
         results[label]["shards_sec"] = sec
         results[label]["shards_count"] = rows
 
+    # round-5 VAD over speech-shaped clips (decode + frame energies:
+    # linear by construction, measured anyway) and corpus-fit BPE
+    # (one word-count shuffle + driver fit over the Zipf-bounded
+    # vocabulary + broadcast encode)
+    from datatest_spark.audio import vad_stats
+    from datatest_spark.fixtures import speech_clips_df
+    from datatest_spark.operators.bpe import bpe_encode, bpe_train
+
+    vad_1x = AUDIO_1X // 2
+    for label, n in (("1x", vad_1x), ("5x", SCALE * vad_1x)):
+        path = os.path.join(CACHE, f"speech_n{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            speech_clips_df(spark, n, parts=CPUS * 2).write.mode(
+                "overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        if label == "1x":
+            vad_stats(df).count()  # warm-up
+        sec, rows = timed(vad_stats, df, runs=2)
+        results[label]["vad_sec"] = sec
+        results[label]["vad_rows"] = rows
+
+    def _bpe(df):
+        merges = bpe_train(df, "text", num_merges=150)
+        return bpe_encode(df, merges, "text")
+
+    _bpe(frames["1x"]).count()  # warm-up
+    for label in ("1x", "5x"):
+        sec, rows = timed(_bpe, frames[label], runs=2)
+        results[label]["bpe_sec"] = sec
+        results[label]["bpe_rows"] = rows
+
     ratios = {
         op: round(results["5x"][f"{op}_sec"] / results["1x"][f"{op}_sec"], 2)
         for op in ("minhash", "ngram", "simhash", "audio",
                    "afeat", "adedup", "clusters", "decontam",
                    "analysis", "labelconf", "fuzzydecon", "canonical",
-                   "semantic", "shards")
+                   "semantic", "shards", "vad", "bpe")
     }
     print(json.dumps({"results": results, "growth_ratio_5x": ratios}))
     spark.stop()

@@ -407,3 +407,42 @@ class TestWindowedProfile:
         shifted = same.select((F.col("v") + 200.0).alias("v"))
         viol = engine.validate(shifted, [mk()]).violations.collect()
         assert len(viol) == 1 and viol[0]["deviation"] > 0.5
+
+
+class TestTransformStream:
+    def test_operator_union_equals_batch_run(self, spark, stream_dirs):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from datatest_spark.audio import vad_stats
+        from datatest_spark.fixtures import speech_clips_df
+        from datatest_spark.streaming import transform_stream
+
+        src_dir, out_base, ckpt_base = stream_dirs
+        in_dir = os.path.join(src_dir, "vin")
+        out_dir = os.path.join(out_base, "vout")
+        ckpt = os.path.join(ckpt_base, "vckpt")
+        src = speech_clips_df(spark, 120, parts=3)
+        for p in range(3):
+            (src.where(F.col("part_id") == p).coalesce(1)
+             .write.mode("append").parquet(in_dir))
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = transform_stream(stream, vad_stats, output_path=out_dir,
+                             checkpoint_path=ckpt)
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir)
+        # multiple micro-batches actually ran
+        assert got.select("batch_id").distinct().count() == 3
+        streamed = {
+            r.clip_id: (r.ok, r.total_ms, r.speech_ms, r.n_segments)
+            for r in got.collect()
+        }
+        batch = {
+            r.clip_id: (r.ok, r.total_ms, r.speech_ms, r.n_segments)
+            for r in vad_stats(src).collect()
+        }
+        assert streamed == batch
