@@ -451,6 +451,25 @@ def _bpe_packing_sql() -> str:
     """
 
 
+def q_audio_prepare_vad(spark, sf_dir):
+    """Fused VAD-compaction training materializer over the F7 speech
+    fixture: decode → VAD dead-air removal → gain → 500 ms windows in
+    ONE pass (parity-tested bit-identical to the staged
+    remove_silence → normalize_loudness → segment_bytes composition).
+    Oracle: full first-principles replay, sha256 per output chunk."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.audio import prepare_training_audio
+    from datatest_spark.fixtures import speech_clips_df
+
+    out = prepare_training_audio(speech_clips_df(spark, 600, parts=8),
+                                 vad=True, window_ms=500)
+    return out.select(
+        "clip_id", "ok", "chunk_idx", "start_ms", "chunk_ms", "sr_hz",
+        "gain_db", F.sha2(F.col("bytes"), 256).alias("content_sha"),
+    )
+
+
 def q_streaming_vad(spark, sf_dir):
     """STREAMING VAD: speech clips streamed one file per micro-batch
     through `transform_stream(vad_stats)` with idempotent batch_id-
@@ -3208,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packing": q_bpe_packing,
         "audio_dataset_card": q_audio_dataset_card,
         "streaming_vad": q_streaming_vad,
+        "audio_prepare_vad": q_audio_prepare_vad,
         "audio_remove_silence": q_audio_remove_silence,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
@@ -4301,6 +4321,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_dataset_card": _oracles.audio_dataset_card_sql(
             n=2000, parts=4),
         "streaming_vad": _oracles.audio_vad_stats_sql(n=400, parts=4),
+        "audio_prepare_vad": _oracles.audio_prepare_vad_sql(
+            n=600, parts=8, window_ms=500),
         "audio_remove_silence": _oracles.audio_remove_silence_sql(
             n=600, parts=8),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),

@@ -1451,7 +1451,12 @@ def prepare_training_audio(df: DataFrame,
                            window_ms: int = 5000,
                            hop_ms: Optional[int] = None,
                            min_ms: int = 1,
-                           target_sr: Optional[int] = None) -> DataFrame:
+                           target_sr: Optional[int] = None,
+                           vad: bool = False,
+                           vad_frame_ms: int = 20,
+                           vad_threshold_dbfs: float = -40.0,
+                           vad_max_gap_ms: int = 150,
+                           vad_min_speech_ms: int = 100) -> DataFrame:
     """Fused training-audio materialization: [resample →] silence-trim
     → loudness-normalize → fixed-window segmentation in ONE decode
     pass.
@@ -1476,6 +1481,14 @@ def prepare_training_audio(df: DataFrame,
     row; all-silent clips as one ``ok=true`` row with null
     ``chunk_idx``/``bytes`` (staged composition silently drops them —
     the fused op keeps the audit trail).
+
+    ``vad=True`` swaps the boundary trim for full VAD dead-air
+    compaction (the :func:`vad_runs` spec: internal silence gaps >
+    ``vad_max_gap_ms`` removed too, segments concatenated before gain +
+    windowing) — bit-identical to staging :func:`remove_silence` →
+    :func:`normalize_loudness` → :func:`segment_bytes` (parity-tested)
+    at ¼ the decode I/O; ``threshold``/``pad_ms`` are trim-path knobs
+    and are ignored under VAD.
 
     Scale shape: one Arrow-batched pass over ``(clip_id, bytes)``,
     no shuffle, output ≈ corpus duration / hop.
@@ -1511,13 +1524,25 @@ def prepare_training_audio(df: DataFrame,
                 if tsr is not None and sr != tsr:
                     pcm = resample_pcm(pcm, sr, tsr)
                     sr = tsr
-                bounds = _trim_bounds(pcm, thr, pad * sr // 1000)
-                if bounds is None:
-                    out.append((row.clip_id, True, None, None, None,
-                                sr, None, None))
-                    continue
-                lo, hi = bounds
-                gained = _apply_gain(pcm[lo:hi], target, max_gain,
+                if vad:
+                    runs = vad_runs(sr, pcm, vad_frame_ms,
+                                    vad_threshold_dbfs, vad_max_gap_ms,
+                                    vad_min_speech_ms)
+                    if not runs:
+                        out.append((row.clip_id, True, None, None,
+                                    None, sr, None, None))
+                        continue
+                    seg = np.concatenate(
+                        [pcm[lo:hi] for lo, hi in runs])
+                else:
+                    bounds = _trim_bounds(pcm, thr, pad * sr // 1000)
+                    if bounds is None:
+                        out.append((row.clip_id, True, None, None,
+                                    None, sr, None, None))
+                        continue
+                    lo, hi = bounds
+                    seg = pcm[lo:hi]
+                gained = _apply_gain(seg, target, max_gain,
                                      peak_guard)
                 if gained is None:  # unreachable when threshold >= 0
                     out.append((row.clip_id, True, None, None, None,

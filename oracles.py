@@ -3138,3 +3138,67 @@ def audio_dataset_card_rows(n: int = 2000, parts: int = 4,
 def audio_dataset_card_sql(n: int = 2000, parts: int = 4) -> str:
     return values_sql(audio_dataset_card_rows(n, parts), _CARD_COLS,
                       _CARD_CASTS)
+
+
+@lru_cache(maxsize=None)
+def audio_prepare_vad_rows(n: int = 600, parts: int = 8,
+                           target_dbfs: float = -20.0,
+                           max_gain_db: float = 40.0,
+                           window_ms: int = 500) -> tuple:
+    """Expected ``prepare_training_audio(speech_clips_df(...),
+    vad=True, window_ms=500)`` chunk rows — VAD compaction → gain →
+    window replayed from first principles over the F7 speech fixture."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from datatest_spark.fixtures import speech_clip_bytes
+
+    out = []
+    for i in range(n):
+        cid = f"sp-{i:08d}"
+        try:
+            _, sr, pcm = _sim_decode_pcm(speech_clip_bytes(i))
+        except ValueError:
+            out.append((cid, False, None, None, None, None, None,
+                        None))
+            continue
+        runs = _sim_vad_runs(sr, pcm)
+        if not runs:
+            out.append((cid, True, None, None, None, sr, None, None))
+            continue
+        seg = np.concatenate([pcm[lo:hi] for lo, hi in runs])
+        m = len(seg)
+        sum_sq = int(np.sum(seg.astype(np.int64) ** 2))
+        if sum_sq == 0:
+            out.append((cid, True, None, None, None, sr, None, None))
+            continue
+        rms_dbfs = 20.0 * math.log10(math.sqrt(sum_sq / m) / 32768.0)
+        gain_db = min(max(target_dbfs - rms_dbfs, -max_gain_db),
+                      max_gain_db)
+        peak = int(np.abs(seg.astype(np.int64)).max())
+        gain_db = min(gain_db, 20.0 * math.log10(32767.0 / peak))
+        proc = np.clip(np.rint(seg.astype(np.float64)
+                               * 10.0 ** (gain_db / 20.0)),
+                       -32768, 32767).astype("<i2")
+        g = round(gain_db, 6)
+        win = max(1, window_ms * sr // 1000)
+        k = 0
+        while k * win < m:
+            chunk = proc[k * win: k * win + win]
+            ms = len(chunk) * 1000 // sr
+            if ms >= 1:
+                sha = hashlib.sha256(
+                    _sim_encode_wav(sr, chunk)).hexdigest()
+                out.append((cid, True, k, k * win * 1000 // sr, ms, sr,
+                            g, sha))
+            k += 1
+    return tuple(out)
+
+
+def audio_prepare_vad_sql(n: int = 600, parts: int = 8,
+                          window_ms: int = 500) -> str:
+    return values_sql(audio_prepare_vad_rows(n, parts,
+                                             window_ms=window_ms),
+                      _PREPARE_COLS, _PREPARE_CASTS)

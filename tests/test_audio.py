@@ -1599,3 +1599,56 @@ class TestDatasetCard:
             decl = clip_params(p.dup_of) if p.dup_of is not None else p
             exp_decl += decl.decl_dur_ms
         assert total.declared_ms == exp_decl
+
+
+class TestPrepareVad:
+    def test_fused_vad_equals_staged_composition(self, spark):
+        """prepare_training_audio(vad=True) chunk bytes are
+        bit-identical to remove_silence → normalize_loudness →
+        segment_bytes staged over three materialized tables."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.audio import (normalize_loudness,
+                                          prepare_training_audio,
+                                          remove_silence, segment_bytes)
+        from datatest_spark.fixtures import speech_clips_df
+
+        src = speech_clips_df(spark, 80, parts=4)
+        fused = prepare_training_audio(src, vad=True, window_ms=500)
+        fused_rows = {
+            (r.clip_id, r.chunk_idx):
+            (r.start_ms, r.chunk_ms, r.sr_hz, r.bytes)
+            for r in fused.collect()
+            if r.ok and r.chunk_idx is not None
+        }
+        staged_rm = remove_silence(src).where("ok and dur_ms > 0")
+        staged_norm = normalize_loudness(
+            staged_rm.select("clip_id", "bytes")).where("ok")
+        staged = segment_bytes(
+            staged_norm.select("clip_id", "bytes"), window_ms=500)
+        staged_rows = {
+            (r.clip_id, r.chunk_idx):
+            (r.start_ms, r.chunk_ms, r.sr_hz, r.bytes)
+            for r in staged.collect() if r.ok
+        }
+        assert fused_rows.keys() == staged_rows.keys()
+        assert len(fused_rows) > 0
+        for k, v in fused_rows.items():
+            assert v == staged_rows[k], k
+
+    def test_vad_mode_audit_rows(self, spark):
+        from datatest_spark.audio import prepare_training_audio
+        from datatest_spark.fixtures import speech_clips_df
+
+        out = prepare_training_audio(
+            speech_clips_df(spark, 100, parts=4), vad=True).collect()
+        by_clip = {}
+        for r in out:
+            by_clip.setdefault(r.clip_id, []).append(r)
+        for i in range(100):
+            rows = by_clip[f"sp-{i:08d}"]
+            if i % 97 == 13:
+                assert len(rows) == 1 and not rows[0].ok
+            elif i % 89 == 7:
+                assert len(rows) == 1 and rows[0].ok
+                assert rows[0].chunk_idx is None and rows[0].bytes is None
