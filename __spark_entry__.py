@@ -451,6 +451,20 @@ def _bpe_packing_sql() -> str:
     """
 
 
+def q_speech_ratio_rule(spark, sf_dir):
+    """VAD as a first-class constraint: SpeechRatioRule emits
+    DEVIATION rows for clips whose speech ratio (VAD spec) is below
+    0.5 — composable with acceptances and per-partition verdicts like
+    every other rule.  Oracle: independent decode + state-machine VAD
+    with the same rounding contract."""
+    from datatest_spark.audio import SpeechRatioRule
+    from datatest_spark.fixtures import speech_clips_df
+    from datatest_spark.validation import Engine
+
+    df = speech_clips_df(spark, 600, parts=8)
+    return Engine(spark).compile(df, [SpeechRatioRule(min_ratio=0.5)])
+
+
 def q_audio_prepare_vad(spark, sf_dir):
     """Fused VAD-compaction training materializer over the F7 speech
     fixture: decode → VAD dead-air removal → gain → 500 ms windows in
@@ -3228,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dataset_card": q_audio_dataset_card,
         "streaming_vad": q_streaming_vad,
         "audio_prepare_vad": q_audio_prepare_vad,
+        "speech_ratio_rule": q_speech_ratio_rule,
         "audio_remove_silence": q_audio_remove_silence,
         "audio_vad": q_audio_vad,
         "audio_vad_stats": q_audio_vad_stats,
@@ -4323,6 +4338,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_vad": _oracles.audio_vad_stats_sql(n=400, parts=4),
         "audio_prepare_vad": _oracles.audio_prepare_vad_sql(
             n=600, parts=8, window_ms=500),
+        "speech_ratio_rule": _oracles.speech_ratio_sql(
+            n=600, parts=8, min_ratio=0.5),
         "audio_remove_silence": _oracles.audio_remove_silence_sql(
             n=600, parts=8),
         "audio_vad": _oracles.audio_vad_sql(n=600, parts=8),

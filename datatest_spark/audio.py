@@ -65,6 +65,7 @@ __all__ = ["decode_batch", "decode_info", "AudioConsistencyRule",
            "delta_features", "add_deltas",
            "vad_runs", "vad_segments", "vad_stats", "remove_silence",
            "dataset_card", "DATASET_CARD_SCHEMA",
+           "SpeechRatioRule", "speech_ratio",
            "REMOVE_SILENCE_SCHEMA",
            "VAD_SEGMENTS_SCHEMA", "VAD_STATS_SCHEMA"]
 
@@ -2412,3 +2413,94 @@ def dataset_card(df: DataFrame, clipped_above: float = 0.01,
             "n_null_transcript",
         )
     )
+
+
+_SPEECH_RATIO_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("speech_ratio", T.DoubleType(), True),
+        T.StructField("partition_id", T.StringType(), True),
+    ]
+)
+
+
+class SpeechRatioRule(Rule):
+    """VAD as a first-class constraint: clips whose speech ratio
+    (:func:`vad_runs` spec) falls below ``min_ratio`` emit DEVIATION
+    rows (``rule:ratio``, deviation = ratio − min_ratio) — the
+    "mostly dead air" gate expressed in the engine's violation
+    vocabulary, so acceptances (``accepted.tolerance`` /
+    ``accepted.percent``) and per-partition verdicts compose with it
+    like any other rule.
+
+    Undecodable clips emit nothing here (the decodable rule's
+    business).  The ratio is speech samples / total samples rounded to
+    6 decimals (numpy half-even, matching the oracle) before the bound
+    comparison.  Scale shape: column-pruned Arrow decode pass emitting
+    4 thin columns, violations filtered JVM-side; no shuffle.
+    """
+
+    kind = "plan"
+
+    def __init__(self, min_ratio: float = 0.3, frame_ms: int = 20,
+                 threshold_dbfs: float = -40.0, max_gap_ms: int = 150,
+                 min_speech_ms: int = 100,
+                 rule_id: str = "speech_ratio"):
+        super().__init__(rule_id)
+        self.min_ratio = float(min_ratio)
+        self.frame_ms = int(frame_ms)
+        self.threshold_dbfs = float(threshold_dbfs)
+        self.max_gap_ms = int(max_gap_ms)
+        self.min_speech_ms = int(min_speech_ms)
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        df = ctx.df
+        rid = self.rule_id
+        has_part = "part_id" in df.columns
+        part_col = (F.col("part_id").cast("string") if has_part
+                    else F.lit(None).cast("string"))
+        pre = df.select("clip_id", "bytes",
+                        part_col.alias("partition_id"))
+        fm, th = self.frame_ms, self.threshold_dbfs
+        gap, msp = self.max_gap_ms, self.min_speech_ms
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [f.name for f in _SPEECH_RATIO_SCHEMA.fields]
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    try:
+                        _, sr, pcm = decode_bytes(row.bytes)
+                    except ValueError:
+                        out.append((row.clip_id, False, None,
+                                    row.partition_id))
+                        continue
+                    n = len(pcm)
+                    sp = sum(hi - lo for lo, hi in vad_runs(
+                        sr, pcm, fm, th, gap, msp))
+                    ratio = (float(np.round(sp / n, 6)) if n else None)
+                    out.append((row.clip_id, True, ratio,
+                                row.partition_id))
+                yield pd.DataFrame(out, columns=cols)
+
+        base = pre.mapInPandas(gen, _SPEECH_RATIO_SCHEMA)
+        r = F.col("speech_ratio")
+        viol = F.when(
+            F.col("ok") & r.isNotNull() & (r < self.min_ratio),
+            F.struct(*finalize_cols(
+                f"{rid}:ratio", DEVIATION,
+                key=F.col("clip_id"), column="bytes",
+                invalid=r, expected=F.lit(self.min_ratio),
+                deviation=F.round(r - self.min_ratio, 6),
+                expected_num=F.lit(self.min_ratio),
+                partition_id=F.col("partition_id"),
+            )),
+        )
+        arr = F.filter(F.array(viol), lambda x: x.isNotNull())
+        return base.select(F.explode(arr).alias("_v")).select("_v.*")
+
+
+def speech_ratio(min_ratio: float = 0.3, **kw) -> SpeechRatioRule:
+    """Factory matching the module's rule-helper convention."""
+    return SpeechRatioRule(min_ratio=min_ratio, **kw)

@@ -3202,3 +3202,38 @@ def audio_prepare_vad_sql(n: int = 600, parts: int = 8,
     return values_sql(audio_prepare_vad_rows(n, parts,
                                              window_ms=window_ms),
                       _PREPARE_COLS, _PREPARE_CASTS)
+
+
+def speech_ratio_rows(n: int = 600, parts: int = 8,
+                      min_ratio: float = 0.5) -> tuple:
+    """Expected ``SpeechRatioRule(min_ratio)`` violations over
+    ``speech_clips_df(spark, n)`` — independent decode + VAD state
+    machine, same rounding contract."""
+    import numpy as np
+
+    from datatest_spark.fixtures import speech_clip_bytes
+
+    rid = "speech_ratio"
+    out = []
+    for i in range(n):
+        cid = f"sp-{i:08d}"
+        try:
+            _, sr, pcm = _sim_decode_pcm(speech_clip_bytes(i))
+        except ValueError:
+            continue  # undecodable: the decodable rule's business
+        m = len(pcm)
+        if not m:
+            continue
+        sp = sum(hi - lo for lo, hi in _sim_vad_runs(sr, pcm))
+        ratio = float(np.round(sp / m, 6))
+        if ratio < min_ratio:
+            out.append((f"{rid}:ratio", cid, "bytes", "DEVIATION",
+                        str(ratio), str(min_ratio),
+                        float(np.round(ratio - min_ratio, 6)),
+                        min_ratio, str(i % parts)))
+    return tuple(out)
+
+
+def speech_ratio_sql(n: int = 600, parts: int = 8,
+                     min_ratio: float = 0.5) -> str:
+    return violations_values_sql(speech_ratio_rows(n, parts, min_ratio))

@@ -1652,3 +1652,38 @@ class TestPrepareVad:
             elif i % 89 == 7:
                 assert len(rows) == 1 and rows[0].ok
                 assert rows[0].chunk_idx is None and rows[0].bytes is None
+
+
+class TestSpeechRatioRule:
+    def test_violations_and_acceptance_compose(self, spark):
+        from datatest_spark.acceptances import accepted
+        from datatest_spark.audio import SpeechRatioRule, decode_bytes, \
+            vad_runs
+        from datatest_spark.fixtures import speech_clip_bytes, \
+            speech_clips_df
+        from datatest_spark.validation import Engine
+
+        df = speech_clips_df(spark, 120, parts=4)
+        viol = Engine(spark).compile(df, [SpeechRatioRule(min_ratio=0.5)])
+        rows = viol.collect()
+        got = {r.key for r in rows}
+        # independent replay of the expected violating set
+        exp = set()
+        for i in range(120):
+            try:
+                _, sr, pcm = decode_bytes(speech_clip_bytes(i))
+            except ValueError:
+                continue
+            sp = sum(hi - lo for lo, hi in vad_runs(sr, pcm))
+            if len(pcm) and round(sp / len(pcm), 6) < 0.5:
+                exp.add(f"sp-{i:08d}")
+        assert got == exp and exp  # nonempty on this fixture
+        for r in rows:
+            assert r.diff_type == "DEVIATION"
+            assert r.deviation < 0
+            assert r.partition_id in {"0", "1", "2", "3"}
+        # tolerance acceptance swallows near-misses like any other rule
+        acc = accepted.tolerance(0.1)
+        remaining = acc.filter_df(viol)
+        kept = {r.key for r in remaining.collect()}
+        assert kept == {r.key for r in rows if r.deviation < -0.1}
