@@ -3226,15 +3226,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs entries in registry order and caps near 50, so if a run is
     # cut short the dropped tail is made of queries with a green row in
     # the MOST RECENT round, never a new or un-recertified one.  Round
-    # 5 rotation: the newest entries (shard_plan/shard_export — the
-    # tar-byte-certified training-shard exporter — then audio_noise,
-    # iceberg_schema_evolution), then the byte-certified audio
-    # materialization ops (audio_prepare/augment/resample/trim/
-    # normalize), then everything new since the r04 driver run (the
-    # audio/curation/drift additions through audio_analysis /
-    # canonical_by_quality / approx_unique), then the 7 whose last
-    # driver row is r03, then the 50 certified in r04.  Every entry is
-    # additionally certified in CORRECTNESS_LOCAL.json each round.
+    # 5 rotation (latest session first): the VAD/BPE family
+    # (bpe_merges/tokens/packing, audio_dataset_card, streaming_vad,
+    # audio_prepare_vad, speech_ratio_rule, audio_vad/_stats,
+    # audio_remove_silence), then the acoustic-feature/shard-export
+    # wave (audio_fbank, audio_feature_pipeline, shard_*), then the
+    # byte-certified audio materialization ops, then everything new
+    # since the r04 driver run, then the 7 whose last driver row is
+    # r03, then the 50 certified in r04.  Every entry is additionally
+    # certified in CORRECTNESS_LOCAL.json each round.
     return {
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
