@@ -69,6 +69,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "character error rate — DEVIATION rows (deviation "
                         "= cer - RATE) when CER exceeds RATE, alongside "
                         "the suite's equality invariant")
+    v.add_argument("--min-speech-ratio", type=float, default=None,
+                   metavar="RATIO",
+                   help="decode bytes and emit DEVIATION rows for "
+                        "clips whose VAD speech ratio falls below "
+                        "RATIO (mostly-dead-air gate)")
     v.add_argument("--partition-col", default="part_id")
     v.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint dir: commit verdicts per partition and "
@@ -167,6 +172,11 @@ def _cmd_validate(args) -> int:
                    else manifest.columns[-1])
         extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
                                            ref_col=ref_col)]
+    if args.min_speech_ratio is not None:
+        from datatest_spark.audio import SpeechRatioRule
+
+        extra_rules = (extra_rules or []) + [
+            SpeechRatioRule(min_ratio=args.min_speech_ratio)]
 
     if args.sample is not None:
         from datatest_spark.sampling import sampled_verdicts
@@ -256,6 +266,11 @@ def _cmd_validate_incremental(spark, args) -> int:
                    else manifest.columns[-1])
         extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
                                            ref_col=ref_col)]
+    if args.min_speech_ratio is not None:
+        from datatest_spark.audio import SpeechRatioRule
+
+        extra_rules = (extra_rules or []) + [
+            SpeechRatioRule(min_ratio=args.min_speech_ratio)]
 
     rules = audio_rules(manifest=manifest, check_snr=args.check_snr,
                         extra_rules=extra_rules)

@@ -165,3 +165,27 @@ def test_incremental_usage_errors(spark, audio_table, capsys):
     assert main(["validate", table, "--format", "iceberg",
                  "--incremental"]) == 2
     assert "--checkpoint" in capsys.readouterr().err
+
+
+def test_validate_min_speech_ratio_gate(spark, tmp_path, capsys):
+    from datatest_spark.fixtures import speech_clips_df
+
+    table = str(tmp_path / "speech.parquet")
+    # CLI suite expects the audio table shape; pad the F7 columns
+    from pyspark.sql import functions as F
+
+    (speech_clips_df(spark, 150, parts=3)
+     .withColumn("sr_hz", F.lit(None).cast("int"))
+     .withColumn("dur_ms", F.lit(None).cast("int"))
+     .withColumn("codec", F.lit("pcm_s16le"))
+     .withColumn("transcript", F.lit("x"))
+     .write.parquet(table))
+    rc = main(["validate", table, "--min-speech-ratio", "0.5", "--json",
+               "--limit", "1000"])
+    assert rc == 1
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    viols = [l for l in lines if l["stage"] == "violation"]
+    ratio_rows = [v for v in viols
+                  if v["rule_id"].startswith("speech_ratio")]
+    assert ratio_rows and all(v["diff_type"] == "DEVIATION"
+                              for v in ratio_rows)
