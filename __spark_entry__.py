@@ -497,14 +497,19 @@ def q_streaming_vad(spark, sf_dir):
     from datatest_spark.fixtures import speech_clips_df
     from datatest_spark.streaming import transform_stream
 
-    src = speech_clips_df(spark, 400, parts=4)
+    # persist: each partition-filtered write re-executes the lazy synth
+    # over ALL rows otherwise (4x fixture generation for 1x data)
+    src = speech_clips_df(spark, 400, parts=4).persist()
     tmp = tempfile.mkdtemp(prefix="dts_vadstream_")
     in_dir = os.path.join(tmp, "in")
     out_dir = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
-    for p in range(4):
-        (src.where(F.col("part_id") == p).coalesce(1)
-         .write.mode("append").parquet(in_dir))
+    try:
+        for p in range(4):
+            (src.where(F.col("part_id") == p).coalesce(1)
+             .write.mode("append").parquet(in_dir))
+    finally:
+        src.unpersist()
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)

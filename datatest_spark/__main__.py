@@ -120,6 +120,30 @@ def _emit(record: dict, as_json: bool) -> None:
         print("  ".join(f"{k}={v}" for k, v in record.items()))
 
 
+def _extra_rules(args, manifest):
+    """Optional rule flags shared by the one-shot and incremental
+    validate commands (single-sourced so a new flag cannot silently
+    become a no-op on one path)."""
+    import sys
+
+    extra = []
+    if args.max_cer is not None:
+        if manifest is None:
+            print("--max-cer needs --manifest", file=sys.stderr)
+            return None
+        from datatest_spark.operators.asr import transcript_fidelity
+
+        ref_col = ("transcript_ref" if "transcript_ref" in manifest.columns
+                   else manifest.columns[-1])
+        extra.append(transcript_fidelity(manifest, max_cer=args.max_cer,
+                                         ref_col=ref_col))
+    if args.min_speech_ratio is not None:
+        from datatest_spark.audio import SpeechRatioRule
+
+        extra.append(SpeechRatioRule(min_ratio=args.min_speech_ratio))
+    return extra or []
+
+
 def _cmd_validate(args) -> int:
     from pyspark.sql import SparkSession
 
@@ -161,22 +185,9 @@ def _cmd_validate(args) -> int:
         df = spark.read.parquet(args.table)
     manifest = spark.read.parquet(args.manifest) if args.manifest else None
 
-    extra_rules = None
-    if args.max_cer is not None:
-        if manifest is None:
-            print("--max-cer needs --manifest", file=sys.stderr)
-            return 2
-        from datatest_spark.operators.asr import transcript_fidelity
-
-        ref_col = ("transcript_ref" if "transcript_ref" in manifest.columns
-                   else manifest.columns[-1])
-        extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
-                                           ref_col=ref_col)]
-    if args.min_speech_ratio is not None:
-        from datatest_spark.audio import SpeechRatioRule
-
-        extra_rules = (extra_rules or []) + [
-            SpeechRatioRule(min_ratio=args.min_speech_ratio)]
+    extra_rules = _extra_rules(args, manifest)
+    if extra_rules is None:
+        return 2
 
     if args.sample is not None:
         from datatest_spark.sampling import sampled_verdicts
@@ -255,22 +266,9 @@ def _cmd_validate_incremental(spark, args) -> int:
 
     manifest = (spark.read.parquet(args.manifest)
                 if args.manifest else None)
-    extra_rules = None
-    if args.max_cer is not None:
-        if manifest is None:
-            print("--max-cer needs --manifest", file=sys.stderr)
-            return 2
-        from datatest_spark.operators.asr import transcript_fidelity
-
-        ref_col = ("transcript_ref" if "transcript_ref" in manifest.columns
-                   else manifest.columns[-1])
-        extra_rules = [transcript_fidelity(manifest, max_cer=args.max_cer,
-                                           ref_col=ref_col)]
-    if args.min_speech_ratio is not None:
-        from datatest_spark.audio import SpeechRatioRule
-
-        extra_rules = (extra_rules or []) + [
-            SpeechRatioRule(min_ratio=args.min_speech_ratio)]
+    extra_rules = _extra_rules(args, manifest)
+    if extra_rules is None:
+        return 2
 
     rules = audio_rules(manifest=manifest, check_snr=args.check_snr,
                         extra_rules=extra_rules)

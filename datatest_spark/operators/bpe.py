@@ -81,6 +81,24 @@ def word_counts(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def _fuse(syms, left: str, right: str) -> list:
+    """Fuse all non-overlapping (left, right) occurrences left-to-right
+    — the single-sourced merge sweep shared by fit and encode (the two
+    must agree or encode diverges from the learned table)."""
+    fused = left + right
+    out: List[str] = []
+    i = 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(fused)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_merges_from_counts(
     counts: Sequence[Tuple[str, int]], num_merges: int,
     min_pair_count: int = 2,
@@ -135,22 +153,10 @@ def bpe_merges_from_counts(
         if cnt < int(min_pair_count):
             break
         merges.append((left, right, int(cnt)))
-        fused = left + right
         touched = list(pair_words.get((left, right), ()))
         for w in touched:
             remove_word(w)
-            syms = words[w]
-            out: List[str] = []
-            i = 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(fused)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[w] = tuple(out)
+            words[w] = tuple(_fuse(words[w], left, right))
             add_word(w)
     return merges
 
@@ -198,19 +204,7 @@ def bpe_encode_word(word: str, ranks: dict) -> List[str]:
                 best_pair = (syms[i], syms[i + 1])
         if best_pair is None:
             break
-        left, right = best_pair
-        fused = left + right
-        out: List[str] = []
-        i = 0
-        while i < len(syms):
-            if (i + 1 < len(syms) and syms[i] == left
-                    and syms[i + 1] == right):
-                out.append(fused)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _fuse(syms, *best_pair)
     return syms
 
 
@@ -239,7 +233,9 @@ def bpe_encode(df: DataFrame, merges, column: str,
 
         def enc(text):
             if text is None:
-                return None
+                return []  # oracle contract: null text -> 0 tokens,
+                # never a null array (size(null) is -1 and would
+                # poison downstream token budgets)
             out: List[str] = []
             for w in text.split(" "):
                 if not w:

@@ -335,7 +335,7 @@ def main():
     from datatest_spark.fixtures import speech_clips_df
     from datatest_spark.operators.bpe import bpe_encode, bpe_train
 
-    vad_1x = AUDIO_1X // 2
+    vad_1x = AUDIO_1X // 5  # speech clips are ~2s (10x the F1 mean); keep the 5x table generable in minutes
     for label, n in (("1x", vad_1x), ("5x", SCALE * vad_1x)):
         path = os.path.join(CACHE, f"speech_n{n}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
