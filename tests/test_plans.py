@@ -180,3 +180,42 @@ class TestSamplingPlans:
         assert schemas and all(
             set(s) <= {"o_orderkey", "o_totalprice"} for s in schemas
         ), schemas
+
+
+class TestVadBpePlans:
+    """Plan shapes for the round-5 session-2 operators."""
+
+    def test_vad_stats_no_shuffle_pruned_input(self, spark):
+        from datatest_spark.audio import vad_stats
+        from datatest_spark.fixtures import speech_clips_df
+
+        plan = vad_stats(speech_clips_df(spark, 40, parts=2))
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        # the only Exchange is the fixture generator's own round-robin
+        # repartition; the operator adds none
+        assert s.count("Exchange") == 1
+        assert "RoundRobinPartitioning" in s
+        assert "BatchEvalPython" not in s
+
+    def test_dataset_card_single_python_stage(self, spark):
+        from datatest_spark.audio import dataset_card
+        from datatest_spark.fixtures import audio_clips_df
+
+        plan = dataset_card(audio_clips_df(spark, 40, parts=2))
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        # the fixture generator itself is one mapInPandas; the card
+        # adds exactly one more (the decode/flags pass) — no per-row
+        # Python anywhere
+        assert s.count("MapInPandas") == 2
+        assert "BatchEvalPython" not in s
+
+    def test_bpe_encode_arrow_only(self, spark):
+        from datatest_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame(
+            [(1, "low lower"), (2, "newest")], "doc_id long, text string")
+        plan = bpe_encode(df, [("l", "o"), ("lo", "w")], "text")
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in s
+        assert "BatchEvalPython" not in s
+        assert "Exchange" not in s
