@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..caching import CacheHandle, evict_all
+from ..parallelism import fan_out
 
 __all__ = [
     "exact_duplicates",
@@ -104,11 +105,22 @@ def exact_duplicates(df: DataFrame, column: str, id_col: str = "doc_id") -> Data
 
 
 def _word_shingles(col: Column, k: int) -> Column:
-    toks = F.split(col, " ")
-    n = F.greatest(F.size(toks) - k + 1, F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    # Bind the token array ONCE per row: higher-order functions are
+    # interpreted (no whole-stage codegen, no subexpression
+    # elimination), so referencing `split(col)` inside the per-element
+    # lambda would re-run the split for every shingle (measured ~2x on
+    # the posting build).  `transform(array(split(..)), λt: ...)`
+    # evaluates the split as a transform ARGUMENT — once per row — and
+    # the inner lambdas only touch the bound array variable `t`.
+    def shingles_of(t):
+        n = F.greatest(F.size(t) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+        )
+
+    return F.flatten(
+        F.transform(F.array(F.split(col, " ")), shingles_of)
     )
 
 
@@ -132,6 +144,7 @@ def minhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id",
     family's transform would rebuild/rehash the strings per family
     (measured 30x slower at 32 families).  Each family then double-
     hashes the 8-byte base hash with its seed (cheap long hashing)."""
+    df = fan_out(df)  # starved-scan guard: shingling is per-row-heavy
     base = df.select(
         F.col(id_col),
         F.transform(
@@ -227,7 +240,7 @@ def minhash_neardup_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
             .select("id_a", "id_b")
             .distinct()
         )
-        sh = df.select(
+        sh = fan_out(df).select(
             F.col(id_col),
             F.array_distinct(_word_shingles(F.col(column), shingle_k)).alias("_sh"),
         )
@@ -283,6 +296,7 @@ def simhash_signatures(df: DataFrame, column: str, id_col: str = "doc_id") -> Da
     restarts (builtin ``hash()`` is PYTHONHASHSEED-salted — using it
     silently breaks pair recall on a real cluster).  Only the numpy
     bit-vote over the hash array runs in a vectorized pandas UDF."""
+    df = fan_out(df)  # starved-scan guard: token hashing + bit-vote
     token_hashes = F.transform(
         F.split(F.col(column), " "), lambda w: F.xxhash64(w)
     )
@@ -475,7 +489,11 @@ def ngram_jaccard_pairs(df: DataFrame, column: str, id_col: str = "doc_id",
         F.transform(_word_shingles(F.col(column), n),
                     lambda s: F.xxhash64(s))
     )
-    shingled = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    # starved-scan guard: the shingle split+hash is the per-row-heavy
+    # stage AND the persisted postings inherit this partitioning — a
+    # 1-split input would otherwise run the whole posting build and
+    # every cache read on one core (guide §2.5/§6)
+    shingled = fan_out(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     postings = shingled.select("id", F.explode("sh").alias("g"))
     handle = CacheHandle(_HANDLES)
     # persist the RAW postings: the df-count pass, the size table and
