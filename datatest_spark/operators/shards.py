@@ -151,16 +151,26 @@ def plan_shards(df: DataFrame, target_bytes: int,
         + tar_member_blocks(F.col("text_bytes")),
     )
 
-    # explicit nparts: user-specified repartition counts are exempt
-    # from AQE coalescing, so if the persisted frame is evicted the
-    # recompute reproduces the SAME partitioning the baked offset
-    # literals describe (the AcceptedCount discipline)
+    # Deterministic range bucketing on the md5 key instead of
+    # repartitionByRange: the md5 hex string is uniform, so bucket
+    # ``floor(first-8-hex-chars * nparts / 2^32)`` is an
+    # order-preserving range split (equal keys share a bucket; a
+    # lexicographically smaller md5 never lands in a later bucket).
+    # This removes RangePartitioner's SAMPLING pass — one full scan of
+    # the input (for a generated/computed source, one full regeneration)
+    # and one shuffle fewer — and the bucket id is a pure function of
+    # the data, so an evicted-cache recompute reproduces the exact
+    # offsets with no partitioner nondeterminism.  The groupBy/window
+    # below shuffle by the bucket VALUE, so physical placement of the
+    # cached rows is irrelevant.
     nparts = _shuffle_partitions(spark)
+    bucket = F.floor(
+        F.conv(F.substring(F.col(_ORD), 1, 8), 16, 10).cast("long")
+        * F.lit(int(nparts)) / F.lit(4294967296)
+    ).cast("int")
     handle = CacheHandle(_HANDLES)
     ranged = handle.register(
-        sized.repartitionByRange(nparts, F.col(_ORD))
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        sized.withColumn(_PID, bucket).persist()
     )
     totals = {
         r[_PID]: r["t"]
