@@ -146,25 +146,31 @@ def _parse_synth_opus(buf: bytes):
 def decode_bytes(buf: Optional[bytes]):
     """Decode any supported container → (codec, sr, pcm) or raise.
 
-    A header that parses but declares a non-positive sample rate is a
-    decode FAILURE (``invalid sample rate``), not a decodable clip —
-    every downstream materialization op divides by ``sr``, and one
-    poisoned header in a 10^12-row corpus must surface as an
-    ``ok=false`` audit row, never a task crash.
+    Accepts any buffer-like payload (``bytes`` or a ``memoryview``
+    into an Arrow data buffer) and never copies it: the chunk walk
+    slices the view and ``pcm`` is a ``frombuffer`` view into the
+    payload.  A header that parses but declares a non-positive sample
+    rate is a decode FAILURE (``invalid sample rate``), not a
+    decodable clip — every downstream materialization op divides by
+    ``sr``, and one poisoned header in a 10^12-row corpus must surface
+    as an ``ok=false`` audit row, never a task crash.
     """
     if buf is None:
         raise ValueError("null bytes")
-    if buf[:4] == b"RIFF":
-        sr, pcm = _parse_wav(bytes(buf))
-    elif buf[:4] == b"fLaC":
-        sr, pcm = _parse_synth_flac(bytes(buf))
-    elif buf[:8] == b"OpusHead":
-        sr, pcm = _parse_synth_opus(bytes(buf))
+    head = bytes(buf[:8])  # 8-byte magic copy only
+    if head[:4] == b"RIFF":
+        codec = "pcm_s16le"
+        sr, pcm = _parse_wav(buf)
+    elif head[:4] == b"fLaC":
+        codec = "flac"
+        sr, pcm = _parse_synth_flac(buf)
+    elif head == b"OpusHead":
+        codec = "opus"
+        sr, pcm = _parse_synth_opus(buf)
     else:
         raise ValueError("unsupported codec payload")
     if sr <= 0:
         raise ValueError("invalid sample rate")
-    codec = {b"RIFF": "pcm_s16le", b"fLaC": "flac"}.get(buf[:4], "opus")
     return codec, sr, pcm
 
 
@@ -220,7 +226,9 @@ def decode_batch(pdf: pd.DataFrame, expected_pcm_fn=None) -> pd.DataFrame:
             codec, sr, pcm = decode_bytes(row.bytes)
             dur_ms = int(round(1000.0 * len(pcm) / sr)) if sr else None
             rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
-            sha = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
+            # zero-copy hash: a contiguous "<i2" view's buffer IS the
+            # bytes astype(...).tobytes() would have copied out
+            sha = hashlib.sha256(pcm).hexdigest()
             snr = None
             if expected_pcm_fn is not None:
                 ref = expected_pcm_fn(row)
@@ -238,40 +246,143 @@ def decode_batch(pdf: pd.DataFrame, expected_pcm_fn=None) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in DECODE_INFO_SCHEMA.fields])
 
 
-def decode_info(df: DataFrame, with_snr: bool = False) -> DataFrame:
-    """One Arrow-batched decode pass over the audio table.
+def _binary_views(arr, n_rows):
+    """Zero-copy per-row ``memoryview`` slices of a pyarrow
+    Binary/String array (+ validity bools) — no per-row ``bytes``
+    objects, no payload copies.  Returns ``(views, valid)`` where
+    ``views[i]`` is a memoryview into the Arrow data buffer and
+    ``valid`` is a bool ndarray (or None when there are no nulls)."""
+    vbuf, obuf, dbuf = arr.buffers()
+    off0 = arr.offset
+    offs = np.frombuffer(obuf, dtype=np.int32)[off0: off0 + n_rows + 1]
+    data = memoryview(dbuf) if dbuf is not None else memoryview(b"")
+    valid = None
+    if arr.null_count:
+        bits = np.unpackbits(
+            np.frombuffer(vbuf, dtype=np.uint8), bitorder="little"
+        )
+        valid = bits[off0: off0 + n_rows].astype(bool)
+    views = [data[offs[i]: offs[i + 1]] for i in range(n_rows)]
+    return views, valid
+
+
+def decode_info(df: DataFrame, with_snr: bool = False,
+                with_rms: bool = True) -> DataFrame:
+    """One Arrow-native decode pass over the audio table.
 
     Column-prunes to exactly the fields the decode needs before the
-    Python stage so the Arrow transfer ships no dead bytes.  Every row
-    gets a ``pcm_sha256`` of the decoded samples — the cheap content
-    fingerprint the SNR fast path joins against (hash-equal ⇒ SNR=∞).
+    Python stage so the Arrow transfer ships no dead bytes, and runs as
+    ``mapInArrow`` with zero-copy payload access: each clip's container
+    bytes are a ``memoryview`` slice of the Arrow data buffer — no
+    pandas block conversion, no per-row ``bytes`` materialization
+    (guide §4.2: re-slice the contiguous binary buffer instead of
+    copying row by row).  Every row gets a ``pcm_sha256`` of the
+    decoded samples — the cheap content fingerprint the SNR fast path
+    joins against (hash-equal ⇒ SNR=∞) — hashed straight from the
+    PCM view's buffer.
 
     ``with_snr=True`` additionally computes the full SNR per row by
     regenerating the reference PCM — the slow path, used only as a
     fallback when no manifest hash is available or for hash-mismatched
-    rows.
+    rows.  ``with_rms=False`` skips the RMS reduction (callers that
+    never read ``rms`` — the consistency-rule path — save one float64
+    conversion + reduction per clip; the column is emitted as NULL).
     """
+    import hashlib
+
+    import pyarrow as pa
+
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
-    if "part_id" in df.columns:
+    has_part = "part_id" in df.columns
+    if has_part:
         cols.append("part_id")
 
-    expected_fn = _fixture_expected_pcm if with_snr else None
+    expected_fn = _fixture_expected_pcm_by_id if with_snr else None
+    out_names = [f.name for f in DECODE_INFO_SCHEMA.fields]
+    out_types = [pa.string(), pa.bool_(), pa.string(), pa.string(),
+                 pa.int32(), pa.int32(), pa.int64(), pa.float64(),
+                 pa.string(), pa.int32(), pa.int32(), pa.string(),
+                 pa.float64(), pa.string()]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield decode_batch(pdf, expected_pcm_fn=expected_fn)
+    def gen(batches):
+        for b in batches:
+            names = b.schema.names
+            col = {nm: b.column(i) for i, nm in enumerate(names)}
+            n = b.num_rows
+            clip_ids = col["clip_id"].to_pylist()
+            srs = col["sr_hz"].to_pylist()
+            durs = col["dur_ms"].to_pylist()
+            codecs = col["codec"].to_pylist()
+            if has_part:
+                parts = [None if v is None else str(v)
+                         for v in col["part_id"].to_pylist()]
+            else:
+                parts = [None] * n
+            views, valid = _binary_views(col["bytes"], n)
+            rows = ([], [], [], [], [], [], [], [], [], [], [], [], [], [])
+            (o_cid, o_ok, o_err, o_codec, o_sr, o_dur, o_ns, o_rms,
+             o_sha, o_dsr, o_ddur, o_dcodec, o_snr, o_part) = rows
+            for i in range(n):
+                o_cid.append(clip_ids[i])
+                o_dsr.append(srs[i])
+                o_ddur.append(durs[i])
+                o_dcodec.append(codecs[i])
+                o_part.append(parts[i])
+                try:
+                    buf = (views[i]
+                           if valid is None or valid[i] else None)
+                    codec, sr, pcm = decode_bytes(buf)
+                    ns = len(pcm)
+                    o_ok.append(True)
+                    o_err.append(None)
+                    o_codec.append(codec)
+                    o_sr.append(sr)
+                    o_dur.append(int(round(1000.0 * ns / sr)))
+                    o_ns.append(ns)
+                    if with_rms:
+                        o_rms.append(
+                            float(np.sqrt(np.mean(
+                                pcm.astype(np.float64) ** 2)))
+                            if ns else 0.0)
+                    else:
+                        o_rms.append(None)
+                    o_sha.append(hashlib.sha256(pcm).hexdigest())
+                    snr = None
+                    if expected_fn is not None:
+                        ref = expected_fn(clip_ids[i])
+                        if ref is not None:
+                            snr = pcm_snr_db(pcm, ref)
+                    o_snr.append(snr)
+                except ValueError as e:
+                    o_ok.append(False)
+                    o_err.append(str(e))
+                    o_codec.append(None)
+                    o_sr.append(None)
+                    o_dur.append(None)
+                    o_ns.append(None)
+                    o_rms.append(None)
+                    o_sha.append(None)
+                    o_snr.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(v, type=t) for v, t in zip(rows, out_types)],
+                names=out_names,
+            )
 
-    return df.select(*cols).mapInPandas(gen, DECODE_INFO_SCHEMA)
+    return df.select(*cols).mapInArrow(gen, DECODE_INFO_SCHEMA)
 
 
 def _fixture_expected_pcm(row):
     """Reference PCM for SNR checks: regenerates the fixture's seeded
     sinusoid from clip_id (see fixtures.py — parameters are a pure
     function of the clip index, so the oracle needs no second table)."""
+    return _fixture_expected_pcm_by_id(row.clip_id)
+
+
+def _fixture_expected_pcm_by_id(clip_id):
     from .fixtures import clip_index_from_id, clip_params, synth_pcm
 
     try:
-        i = clip_index_from_id(row.clip_id)
+        i = clip_index_from_id(clip_id)
     except (ValueError, TypeError):
         return None
     params = clip_params(i)
@@ -515,8 +626,9 @@ class TranscriptRateRule(Rule):
                 )),
             ),
         ]
-        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
-        rate_viol = base.select(F.explode(arr).alias("_v")).select("_v.*")
+        arr = F.array(*checks)
+        rate_viol = (base.select(F.explode(arr).alias("_v"))
+                     .where(F.col("_v").isNotNull()).select("_v.*"))
         return empty.unionByName(rate_viol)
 
 
@@ -844,7 +956,10 @@ class AudioConsistencyRule(Rule):
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
         use_hash_path = self.check_snr and self.pcm_manifest is not None
-        info = decode_info(ctx.df, with_snr=self.check_snr and not use_hash_path)
+        # with_rms=False: no consistency violation reads the RMS, so the
+        # decode pass skips one float64 conversion + reduction per clip
+        info = decode_info(ctx.df, with_snr=self.check_snr and not use_hash_path,
+                           with_rms=False)
         if use_hash_path:
             # the hash path consumes `info` in two subtrees (violations +
             # mismatch discovery); without a persist Spark recomputes the
@@ -916,8 +1031,9 @@ class AudioConsistencyRule(Rule):
                 )
             )
 
-        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
-        out = info.select(F.explode(arr).alias("_v")).select("_v.*")
+        arr = F.array(*checks)
+        out = (info.select(F.explode(arr).alias("_v"))
+               .where(F.col("_v").isNotNull()).select("_v.*"))
 
         if use_hash_path:
             manifest = self.pcm_manifest.select(
@@ -941,7 +1057,7 @@ class AudioConsistencyRule(Rule):
             # then full decode + reference regeneration + exact SNR
             slow = decode_info(
                 ctx.df.join(F.broadcast(mismatched), "clip_id", "left_semi"),
-                with_snr=True,
+                with_snr=True, with_rms=False,
             )
             snr_viol = slow.filter(
                 F.col("ok")
@@ -2497,8 +2613,9 @@ class SpeechRatioRule(Rule):
                 partition_id=F.col("partition_id"),
             )),
         )
-        arr = F.filter(F.array(viol), lambda x: x.isNotNull())
-        return base.select(F.explode(arr).alias("_v")).select("_v.*")
+        arr = F.array(viol)
+        return (base.select(F.explode(arr).alias("_v"))
+                .where(F.col("_v").isNotNull()).select("_v.*"))
 
 
 def speech_ratio(min_ratio: float = 0.3, **kw) -> SpeechRatioRule:

@@ -255,8 +255,13 @@ def audio_clips_df(spark: SparkSession, n_rows: int, parts: int = 16) -> DataFra
                 rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
             )
 
-    return spark.range(0, n_rows, 1).repartition(
-        max(spark.sparkContext.defaultParallelism, parts)
+    # numPartitions directly on range: the synth is a pure function of
+    # the row index, so contiguous range splits and a round-robin
+    # repartition yield identical rows — but the repartition costs an
+    # extra shuffle stage per query that reads this fixture
+    return spark.range(
+        0, n_rows, 1,
+        numPartitions=max(spark.sparkContext.defaultParallelism, parts),
     ).mapInPandas(gen, AUDIO_SCHEMA)
 
 
@@ -378,8 +383,9 @@ def speech_clips_df(spark: SparkSession, n_rows: int,
                 rows, columns=[f.name for f in SPEECH_SCHEMA.fields]
             )
 
-    return spark.range(0, n_rows, 1).repartition(
-        max(spark.sparkContext.defaultParallelism, parts)
+    return spark.range(
+        0, n_rows, 1,
+        numPartitions=max(spark.sparkContext.defaultParallelism, parts),
     ).mapInPandas(gen, SPEECH_SCHEMA)
 
 

@@ -189,8 +189,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     n_input = fp[0]
 
     if n_input <= small_graph_threshold:
+        # one Arrow-accelerated columnar collect (toPandas) instead of
+        # toLocalIterator: the iterator fetches partitions SEQUENTIALLY
+        # (one mini-job each — dozens of scheduling round-trips for a
+        # graph this small); the edge list is ≤ threshold rows by the
+        # measured gate, so a single collect is bounded and ~10x faster
+        pdf = edges.toPandas()
         labels = _union_find_labels(
-            ((r["a"], r["b"]) for r in edges.toLocalIterator())
+            zip(pdf["a"].tolist(), pdf["b"].tolist())
         )
         if stats is not None:
             stats["rounds"] = 0
@@ -322,8 +328,13 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame,
             .select(
                 F.col("component").alias("cluster_id"), F.col("__keep"))
         )
+        # no forced broadcast: `ranked` is one row per multi-member
+        # component — tiny on real graphs (AQE broadcasts it at runtime
+        # when it is), but unbounded at 10^12-clip scale where a forced
+        # hint would OOM the driver.  Strategy choice belongs to the
+        # measured-size machinery, same as the union-find gate.
         out = (
-            base.join(F.broadcast(ranked), "cluster_id", "left")
+            base.join(ranked, "cluster_id", "left")
             .select(
                 F.col(id_col),
                 F.col("cluster_id"),

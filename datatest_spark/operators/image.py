@@ -417,5 +417,6 @@ class ImageConsistencyRule(_Rule):
                   expected_num=F.col("height").cast("double")),
             ),
         ]
-        arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
-        return info.select(F.explode(arr).alias("_v")).select("_v.*")
+        arr = F.array(*checks)
+        return (info.select(F.explode(arr).alias("_v"))
+                .where(F.col("_v").isNotNull()).select("_v.*"))

@@ -1545,9 +1545,11 @@ class ReconcileRule(Rule):
                     )
                 )
 
+        # explode + WHERE instead of the interpreted F.filter HOF
+        # (lambda HOFs block whole-stage codegen — see Engine fused path)
         arr = F.array(*structs)
-        compact = F.filter(arr, lambda x: x.isNotNull())
-        return j.select(F.explode(compact).alias("_v")).select("_v.*")
+        return (j.select(F.explode(arr).alias("_v"))
+                .where(F.col("_v").isNotNull()).select("_v.*"))
 
 
 def reconcile(ref, on, columns=None, abs_tol=0.0, check_missing=True,
