@@ -906,14 +906,45 @@ def audio_transcript_conflicts(df: DataFrame,
     Every shuffled row is ~(8B sig + id + transcript); ``bytes`` never
     leaves the scan stage.
     """
-    sigs = spectral_signatures(df).filter(F.col("ok"))
-    labels = (
-        df.select("clip_id", F.col(transcript_col).alias("_label"))
-        .dropDuplicates(["clip_id"])
+    # ONE pass: carry the transcript through the decode stage instead
+    # of re-scanning the corpus for a (clip_id, transcript) side frame
+    # and joining it back.  The join form read the payload source twice
+    # (for a computed/generated source, two full decodes) to attach a
+    # value every row already carries; under the operator's stated
+    # precondition (transcript functionally dependent on clip_id —
+    # enforced separately by the uniqueness rule) the per-row label IS
+    # the joined label, so the aggregate is unchanged.
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            # zip, not itertuples: a leading-underscore column name is
+            # renamed to a positional attribute by itertuples
+            for cid, buf, label in zip(pdf["clip_id"], pdf["bytes"],
+                                       pdf["_label"]):
+                try:
+                    _, sr, pcm = decode_bytes(buf)
+                    out.append((cid, True, spectral_signature(sr, pcm),
+                                label))
+                except ValueError:
+                    out.append((cid, False, None, label))
+            yield pd.DataFrame(
+                {
+                    "clip_id": [r[0] for r in out],
+                    "ok": [r[1] for r in out],
+                    "sig": pd.array([r[2] for r in out], dtype="Int64"),
+                    "_label": [r[3] for r in out],
+                }
+            )
+
+    schema = T.StructType(
+        list(SPECTRAL_SIG_SCHEMA.fields)
+        + [T.StructField("_label", T.StringType(), True)]
     )
+    sigs = df.select(
+        "clip_id", "bytes", F.col(transcript_col).alias("_label")
+    ).mapInPandas(gen, schema).filter(F.col("ok"))
     return (
-        sigs.join(labels, "clip_id")
-        .groupBy("sig")
+        sigs.groupBy("sig")
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
             F.count_distinct(
@@ -953,23 +984,40 @@ class AudioConsistencyRule(Rule):
         self.check_snr = check_snr
         self.min_snr_db = min_snr_db
         self.pcm_manifest = pcm_manifest
+        self._info = None  # memoized persisted decode output (hash path)
+
+    def decode_frame(self, ctx: ValidationContext) -> DataFrame:
+        """The rule's persisted decode-info frame (hash path only),
+        built once per rule instance.  The suite reuses it as the
+        metadata source for every rule that never touches ``bytes`` —
+        one decode pass feeds the whole rule set instead of N
+        payload-table scans (it carries the declared sr_hz/dur_ms/codec
+        and clip_id through, ~100 B/row, far cheaper to re-read than
+        re-scanning the parquet with its 64 MB-split task fan-out)."""
+        if self._info is None:
+            from pyspark import StorageLevel
+
+            info = decode_info(ctx.df, with_snr=False, with_rms=False)
+            info = info.persist(StorageLevel.MEMORY_AND_DISK)
+            ctx.cached.append(info)
+            self._info = info
+        return self._info
 
     def plan(self, ctx: ValidationContext) -> DataFrame:
         use_hash_path = self.check_snr and self.pcm_manifest is not None
         # with_rms=False: no consistency violation reads the RMS, so the
         # decode pass skips one float64 conversion + reduction per clip
-        info = decode_info(ctx.df, with_snr=self.check_snr and not use_hash_path,
-                           with_rms=False)
         if use_hash_path:
-            # the hash path consumes `info` in two subtrees (violations +
-            # mismatch discovery); without a persist Spark recomputes the
-            # full 6-GB-scan decode once per subtree.  The decode output
-            # is tiny (~100 B/row, no binary), so cache it: the decode
-            # then runs exactly once per table regardless of fan-out.
-            from pyspark import StorageLevel
-
-            info = info.persist(StorageLevel.MEMORY_AND_DISK)
-            ctx.cached.append(info)
+            info = self.decode_frame(ctx)
+        else:
+            info = decode_info(ctx.df, with_snr=self.check_snr,
+                               with_rms=False)
+        if use_hash_path:
+            # the hash path consumes `info` in several subtrees
+            # (violations + mismatch discovery + the suite's shared
+            # metadata rules); decode_frame persisted it — the decode
+            # runs exactly once per table regardless of fan-out.
+            pass
         rid = self.rule_id
         part = F.col("partition_id")
 

@@ -119,13 +119,49 @@ def validate_audio_table(
     """
     part = partition_col if partition_col in df.columns else None
     engine = Engine(df.sparkSession)
-    return engine.validate(
-        df,
-        audio_rules(manifest=manifest, check_snr=check_snr,
-                    fuzzy_cutoff=fuzzy_cutoff, extra_rules=extra_rules),
-        partition_col=part,
-        description="audio constraint suite",
-    )
+    core = audio_rules(manifest=manifest, check_snr=check_snr,
+                       fuzzy_cutoff=fuzzy_cutoff)
+    extra = list(extra_rules or [])
+
+    acr = next((r for r in core if isinstance(r, AudioConsistencyRule)),
+               None)
+    hash_path = (acr is not None and acr.check_snr
+                 and acr.pcm_manifest is not None)
+    if not hash_path:
+        return engine.validate(df, core + extra, partition_col=part,
+                               description="audio constraint suite")
+
+    # Shared-decode compilation (hash path): the consistency rule's
+    # persisted decode output already carries every column the
+    # metadata rules read (clip_id + declared sr_hz/dur_ms/codec +
+    # partition id, ~100 B/row) — compiling those rules against it
+    # removes one payload-table scan per fragment (each a full
+    # 64 MB-split task fan-out over the binary parquet) for
+    # byte-identical violations.  Only rules that genuinely need raw
+    # columns — the decode itself, the transcript ref-match, and any
+    # caller-supplied extra rules (their column set is unknown) — still
+    # compile against the raw table.
+    from .requirements import RefMatchRule, ValidationContext
+
+    raw_rules = ([acr]
+                 + [r for r in core if isinstance(r, RefMatchRule)]
+                 + extra)
+    meta_rules = [r for r in core
+                  if r is not acr and not isinstance(r, RefMatchRule)]
+
+    ctx = ValidationContext(df, partition_col=part)
+    info = acr.decode_frame(ctx)
+    meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec"]
+    if part:
+        meta = info.select(*meta_cols,
+                           F.col("partition_id").alias(part))
+    else:
+        meta = info.select(*meta_cols)
+    frags_meta = engine.compile(meta, meta_rules, partition_col=part)
+    frags_raw = engine._compile_ctx(ctx, raw_rules)
+    violations = frags_meta.unionByName(frags_raw)
+    return ValidationResult(violations, "audio constraint suite",
+                            cached=ctx.cached)
 
 
 def verdicts(violations: DataFrame) -> DataFrame:
