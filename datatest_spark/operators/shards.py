@@ -79,6 +79,15 @@ _RECORD = 10240  # tarfile pads every archive to this record size
 _ORD = "__shard_ord"
 _PID = "__shard_pid"
 
+#: plan rows at or below this are broadcast for the payload attach in
+#: :func:`shard_tars` — the plan is ~50 B/row, so the gate is ~100 MB
+#: of broadcast (the guide-§8 "broadcast the plan" regime).  Above it
+#: the attach degrades to a shuffle join on the id, which is the floor
+#: for an unbounded plan.  Measured for free by plan_shards' existing
+#: per-bucket totals pass, like the union-find and quality-argmax
+#: gates: strategy choice from data size, never a blind hint.
+PLAN_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def tar_member_blocks(size_col: Column) -> Column:
     """Bytes a member of ``size_col`` payload bytes occupies in a tar
@@ -172,12 +181,14 @@ def plan_shards(df: DataFrame, target_bytes: int,
     ranged = handle.register(
         sized.withColumn(_PID, bucket).persist()
     )
-    totals = {
-        r[_PID]: r["t"]
-        for r in ranged.groupBy(_PID)
-        .agg(F.sum("block_bytes").alias("t"))
-        .collect()
-    }
+    rows_total = 0
+    totals = {}
+    for r in (ranged.groupBy(_PID)
+              .agg(F.sum("block_bytes").alias("t"),
+                   F.count(F.lit(1)).alias("n"))
+              .collect()):
+        totals[r[_PID]] = r["t"]
+        rows_total += r["n"]
     acc = 0
     offsets = {}
     for p in sorted(totals):
@@ -216,10 +227,15 @@ def plan_shards(df: DataFrame, target_bytes: int,
         "offset", (F.sum("block_bytes").over(ws)
                    - F.col("block_bytes")).cast("long")
     ).drop(_ORD)
-    return handle.attach(
+    result = handle.attach(
         out.select("clip_id", "audio_bytes", "text_bytes",
                    "block_bytes", "shard_id", "offset")
     )
+    # measured size, collected for free with the bucket totals: lets
+    # shard_tars broadcast the plan side under a row gate (guide-§8
+    # shape: decide with small rows, move the payload once)
+    result._datatest_plan_rows = rows_total
+    return result
 
 
 _TAR_SCHEMA = T.StructType([
@@ -294,15 +310,31 @@ def shard_tars(df: DataFrame, target_bytes: int,
             F.col(bytes_col).alias("__audio"),
             F.col(text_col).cast("string").alias("__text"),
         )
-    # duplicate ids carry identical payloads (plan ties are exact
-    # duplicates); dropDuplicates makes the join 1:1 per plan row
-    joined = plan.join(payload.dropDuplicates(["clip_id"]), "clip_id")
+    # Move the payload ONCE (guide §8): the plan is metadata-only
+    # (~50 B/row) and below PLAN_BROADCAST_MAX_ROWS — the row count the
+    # prefix-sum pass already measured — it is broadcast, so attaching
+    # shard_id/offset is a map-side hash join and the only payload
+    # shuffle is the final groupBy(shard_id).  Above the gate the join
+    # shuffles by id (the floor for an unbounded plan).  Duplicate ids
+    # are NOT pre-deduplicated with a payload shuffle anymore: plan
+    # ties are exact row copies, so the k×k join fan-out per duplicate
+    # id is collapsed to one row per tar slot inside the (already
+    # grouped) assemble step — zero extra payload movement, identical
+    # bytes.
+    plan_side = plan
+    n_plan = getattr(plan, "_datatest_plan_rows", None)
+    if n_plan is not None and n_plan <= PLAN_BROADCAST_MAX_ROWS:
+        plan_side = F.broadcast(plan)
+    joined = plan_side.join(payload, "clip_id")
 
     ext = str(audio_ext)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
-        pdf = pdf.sort_values("offset")
+        # one row per tar slot: duplicate ids joined every copy of
+        # their (identical) payload — keep the first per offset
+        pdf = (pdf.sort_values("offset")
+               .drop_duplicates(subset=["offset"], keep="first"))
         # zip, not itertuples: leading-underscore columns get renamed
         # to positional names by itertuples
         rows = [

@@ -49,10 +49,17 @@ def main():
         results[label]["rmsil_sec"] = sec
         results[label]["rmsil_rows"] = rows
 
-    docs = {
-        "1x": spark.read.parquet(os.path.join(CACHE, "docs_scaled_1x")),
-        "5x": spark.read.parquet(os.path.join(CACHE, "docs_scaled_5x")),
-    }
+    # generate the scaled doc tables when the bench_multisf cache is
+    # absent (fresh environment) instead of failing on the read
+    from bench_multisf import scaled_documents
+
+    docs = {}
+    for label, k in (("1x", 1), ("5x", SCALE)):
+        path = os.path.join(CACHE, f"docs_scaled_{k}x")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            scaled_documents(spark, k).repartition(CPUS).write.mode(
+                "overwrite").parquet(path)
+        docs[label] = spark.read.parquet(path)
 
     def _bpe(df):
         return bpe_encode(df, bpe_train(df, "text", num_merges=150),

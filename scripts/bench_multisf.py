@@ -107,6 +107,14 @@ def timed(fn, *args, runs=3, **kw):
         from datatest_spark.operators.dedup import unpersist_cached
 
         unpersist_cached(blocking=True)
+        # nudge the driver JVM GC so ContextCleaner releases the
+        # finished runs' shuffle files: a long single-session harness
+        # otherwise accumulates tens of GB of dead shuffle output in
+        # the block manager dir and can fill the disk mid-run
+        try:
+            df.sparkSession._jvm.System.gc()
+        except Exception:
+            pass
         if clean >= runs:
             break
     return round(best if best is not None else best_any, 2), n
@@ -173,6 +181,7 @@ def main():
             s1, t1t = read_steal()
             res.unpersist()
             spark.catalog.clearCache()
+            spark._jvm.System.gc()  # release finished shuffle files
             steal = (s1 - s0) / max(t1t - t0t, 1)
             best_any = el if best_any is None else min(best_any, el)
             if steal <= STEAL_GATE:
