@@ -720,6 +720,43 @@ class _BucketDriftRule(Rule):
     def statistic(self, current: Sequence[float], props: Sequence[float]) -> float:
         raise NotImplementedError  # pragma: no cover
 
+    def _edges_only(self):
+        """Interior bucket edges WITHOUT touching baseline proportions —
+        never runs a Spark job (edges are caller-supplied or derived
+        from the quantile grid), so the current-table bucket count and
+        a live baseline's proportion count (:class:`TwoSampleDriftRule`)
+        can run as overlapped jobs (guide §2.6)."""
+        if self._hist_edges is not None:
+            return list(self._hist_edges)
+        return sorted(set(self.baseline_q[1:-1]))
+
+    def _current_counts(self, ctx):
+        """Bucket counts of the CURRENT table — the rule's one bounded
+        compile-time job.  Cached per ctx frame so ``prepare_jobs``
+        (Engine-overlapped) and ``plan`` share a single job."""
+        cache = getattr(self, "_cur_cache", None)
+        if cache is not None and cache[0] is ctx.df:
+            return cache[1]
+        edges = self._edges_only()
+        if len(edges) < 1:
+            got = None
+        else:
+            c = F.col(self.column).cast("double")
+            bucket = _bucket_index(c, edges)
+            got = {
+                r["_b"]: r["count"]
+                for r in ctx.df.select(bucket.alias("_b"))
+                .where(c.isNotNull()).groupBy("_b").count().collect()
+            }
+        self._cur_cache = (ctx.df, got)
+        return got
+
+    def prepare_jobs(self, ctx):
+        """Independent compile-time Spark jobs (zero-arg callables) the
+        Engine may run concurrently before sequential plan compilation
+        — each is a small aggregate returning driver-side scalars."""
+        return [lambda: self._current_counts(ctx)]
+
     def _edges_props(self):
         """(interior edges, baseline bucket proportions) — from the
         explicit histogram when given, else derived from the baseline
@@ -755,21 +792,11 @@ class _BucketDriftRule(Rule):
                 finalize_cols(self.rule_id, DEVIATION)
             ).limit(0)
 
-        c = F.col(self.column).cast("double")
-        # bucket index = number of edges below the value (codegen'd
-        # comparison chain — no UDF, no second scan)
-        bucket = _bucket_index(c, edges)
-
-        counts = (
-            ctx.df.select(bucket.alias("_b"))
-            .where(c.isNotNull())
-            .groupBy("_b")
-            .count()
-        )
         # the statistic runs driver-side over the tiny bucket vector
-        # (n_buckets values) — the heavy lifting was the one groupBy
-        row = counts.collect()
-        got = {r["_b"]: r["count"] for r in row}
+        # (n_buckets values) — the heavy lifting was the one codegen'd
+        # bucket-index groupBy in _current_counts (possibly already run
+        # as an Engine-overlapped prepare job)
+        got = self._current_counts(ctx)
         n = sum(got.values()) or 1
         current = [got.get(b, 0) / n for b in range(n_buckets)]
         value = self.statistic(current, props)
@@ -863,6 +890,12 @@ class TwoSampleDriftRule(_BucketDriftRule):
 
     def statistic(self, current, props):
         return self._stat_fn(current, props)
+
+    def prepare_jobs(self, ctx):
+        # The live-baseline proportion count and the current-table
+        # bucket count touch different tables and different cache
+        # attributes — independent jobs, overlappable by the Engine.
+        return [lambda: self._edges_props()] + super().prepare_jobs(ctx)
 
     def _edges_props(self):
         if self._hist_props is None:

@@ -264,6 +264,25 @@ class Engine:
         return self._compile_ctx(ctx, rules)
 
     def _compile_ctx(self, ctx: ValidationContext, rules: Sequence[Rule]) -> DataFrame:
+        # Overlap the bounded compile-time statistic jobs (drift bucket
+        # counts, live-baseline proportions) before the sequential
+        # fragment build: each is an independent small aggregate whose
+        # result the rule caches, and Spark schedules concurrent driver
+        # threads FIFO, so N sequential driver round-trips become ~1
+        # wave.  Rules without prepare_jobs are untouched; a single job
+        # runs inline as before (a pool would only add overhead).
+        jobs = []
+        for r in rules:
+            pj = getattr(r, "prepare_jobs", None)
+            if pj is not None:
+                jobs.extend(pj(ctx))
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+                for f in [pool.submit(j) for j in jobs]:
+                    f.result()
+
         fragments = []
         row_exprs = [r.row_expr(ctx) for r in rules if r.kind == "row"]
         if row_exprs:

@@ -196,6 +196,35 @@ class TestDriftRule:
         with pytest.raises(ValueError):
             TwoSampleDriftRule("value", df, [1.0], stat="wasserstein")
 
+    def test_prepare_jobs_overlap_matches_sequential(self, spark):
+        # Engine overlaps multi-rule compile-time statistic jobs in a
+        # thread pool (guide §2.6); the verdicts must be identical to
+        # the per-rule sequential path, and the prepare pass must leave
+        # each rule's cached counts in place so plan() re-runs no job.
+        from datatest_spark.stats import TwoSampleDriftRule
+        from datatest_spark.validation import ValidationContext
+
+        cur = df_from(spark, list(range(1000)))
+        base = df_from(spark, list(range(1000)))
+        shifted = df_from(spark, [v + 800 for v in range(1000)])
+        edges = [200.0, 400.0, 600.0, 800.0]
+        rules = [
+            TwoSampleDriftRule("value", base, edges, stat="psi",
+                               threshold=0.01),
+            TwoSampleDriftRule("value", shifted, edges, stat="js",
+                               threshold=0.01),
+        ]
+        assert len(rules[0].prepare_jobs(
+            ValidationContext(cur))) == 2  # baseline + current counts
+        rows = Engine(spark).validate(cur, rules).violations.collect()
+        # psi vs identical baseline passes; js vs shifted fires once
+        assert len(rows) == 1
+        assert rows[0]["rule_id"] == "drift_2s_js:value"
+        # the overlapped prepare cached both sides on each rule
+        for r in rules:
+            assert r._hist_props is not None
+            assert getattr(r, "_cur_cache", None) is not None
+
 
 class TestApproxUnique:
     """ApproxUniqueRule: the one-aggregate uniqueness pre-gate."""
