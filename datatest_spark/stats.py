@@ -963,16 +963,32 @@ class OutlierRule(Rule):
         self.multiplier = multiplier
         self.approx = approx
 
-    def plan(self, ctx: ValidationContext) -> DataFrame:
-        from .schema import empty_violations, repr_col
-
+    def _quartiles(self, ctx):
+        """The rule's one bounded compile-time job (Q1/Q3 aggregate) —
+        cached per ctx frame so an Engine-overlapped ``prepare_jobs``
+        run and ``plan`` share a single job."""
+        cache = getattr(self, "_q_cache", None)
+        if cache is not None and cache[0] is ctx.df:
+            return cache[1]
         fn = "percentile_approx" if self.approx else "percentile"
         row = ctx.df.agg(
             F.expr(
                 f"{fn}(cast({self.column} as double), array(0.25, 0.75))"
             ).alias("q")
         ).first()
-        q = row["q"]
+        self._q_cache = (ctx.df, row["q"])
+        return row["q"]
+
+    def prepare_jobs(self, ctx):
+        """Quartile aggregate as an overlappable compile-time job — in
+        a rule set alongside drift rules the Engine runs them all in
+        one concurrent wave (guide §2.6) instead of sequentially."""
+        return [lambda: self._quartiles(ctx)]
+
+    def plan(self, ctx: ValidationContext) -> DataFrame:
+        from .schema import empty_violations, repr_col
+
+        q = self._quartiles(ctx)
         if not q or q[0] is None or q[1] is None:
             return empty_violations(ctx.spark)
         q1, q3 = float(q[0]), float(q[1])

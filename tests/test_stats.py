@@ -225,6 +225,26 @@ class TestDriftRule:
             assert r._hist_props is not None
             assert getattr(r, "_cur_cache", None) is not None
 
+    def test_outlier_rule_joins_the_overlap_wave(self, spark):
+        # OutlierRule's quartile aggregate is also an overlappable
+        # prepare job; mixed with a drift rule the verdicts must match
+        # the sequential per-rule semantics exactly.
+        from datatest_spark.stats import OutlierRule, TwoSampleDriftRule
+
+        values = list(range(100)) + [10_000]  # one Tukey outlier
+        cur = df_from(spark, values)
+        shifted = df_from(spark, [v + 800 for v in range(100)])
+        rows = Engine(spark).validate(cur, [
+            OutlierRule("value", rule_id="v:out"),
+            TwoSampleDriftRule("value", shifted, [25.0, 50.0, 75.0],
+                               stat="js", threshold=0.01, rule_id="v:js"),
+        ]).violations.collect()
+        by_rule = sorted(r["rule_id"] for r in rows)
+        assert by_rule == ["v:js", "v:out"]
+        out_row = next(r for r in rows if r["rule_id"] == "v:out")
+        assert out_row["invalid"].startswith("10000")
+        assert out_row["deviation"] > 0
+
 
 class TestApproxUnique:
     """ApproxUniqueRule: the one-aggregate uniqueness pre-gate."""
