@@ -998,6 +998,17 @@ class AudioConsistencyRule(Rule):
             from pyspark import StorageLevel
 
             info = decode_info(ctx.df, with_snr=False, with_rms=False)
+            # Re-key the ~100 B/row decode output to session parallelism
+            # before persisting: the decode stage keeps the payload
+            # scan's full split fan-out (it runs as the map side of this
+            # one narrow exchange), but the CACHED frame no longer
+            # inherits the 64 MB-split partition count of a multi-GB
+            # binary table — without this, every cached-frame consumer
+            # (six rule fragments + the mismatch probe) re-pays the full
+            # task-launch fan-out to scan a few MB of metadata (guide
+            # §2.2: fewer, larger partitions for downstream reads).
+            sc = ctx.df.sparkSession.sparkContext
+            info = info.repartition(sc.defaultParallelism)
             info = info.persist(StorageLevel.MEMORY_AND_DISK)
             ctx.cached.append(info)
             self._info = info
