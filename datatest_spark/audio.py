@@ -267,7 +267,8 @@ def _binary_views(arr, n_rows):
 
 
 def decode_info(df: DataFrame, with_snr: bool = False,
-                with_rms: bool = True) -> DataFrame:
+                with_rms: bool = True,
+                carry: Optional[list] = None) -> DataFrame:
     """One Arrow-native decode pass over the audio table.
 
     Column-prunes to exactly the fields the decode needs before the
@@ -287,6 +288,13 @@ def decode_info(df: DataFrame, with_snr: bool = False,
     rows.  ``with_rms=False`` skips the RMS reduction (callers that
     never read ``rms`` — the consistency-rule path — save one float64
     conversion + reduction per clip; the column is emitted as NULL).
+
+    ``carry`` passes extra input columns through the decode stage
+    ZERO-COPY (the output batch references the input batch's Arrow
+    arrays — no per-row work, no byte copies): consumers that need a
+    small raw column alongside the decode output (e.g. the suite's
+    transcript ref-match) can then read this one pass instead of
+    re-scanning the payload table with its full split fan-out.
     """
     import hashlib
 
@@ -297,8 +305,17 @@ def decode_info(df: DataFrame, with_snr: bool = False,
     if has_part:
         cols.append("part_id")
 
+    base_names = {f.name for f in DECODE_INFO_SCHEMA.fields}
+    carried = [c for c in (carry or [])
+               if c in df.columns and c not in cols and c not in base_names]
+    out_schema = T.StructType(
+        list(DECODE_INFO_SCHEMA.fields)
+        + [df.schema[c] for c in carried]
+    )
+    cols = cols + carried
+
     expected_fn = _fixture_expected_pcm_by_id if with_snr else None
-    out_names = [f.name for f in DECODE_INFO_SCHEMA.fields]
+    out_names = [f.name for f in out_schema.fields]
     out_types = [pa.string(), pa.bool_(), pa.string(), pa.string(),
                  pa.int32(), pa.int32(), pa.int64(), pa.float64(),
                  pa.string(), pa.int32(), pa.int32(), pa.string(),
@@ -363,12 +380,13 @@ def decode_info(df: DataFrame, with_snr: bool = False,
                     o_rms.append(None)
                     o_sha.append(None)
                     o_snr.append(None)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(v, type=t) for v, t in zip(rows, out_types)],
-                names=out_names,
-            )
+            arrays = [pa.array(v, type=t) for v, t in zip(rows, out_types)]
+            # carried columns: reference the input batch's arrays
+            # as-is (zero-copy pass-through)
+            arrays.extend(col[c] for c in carried)
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
-    return df.select(*cols).mapInArrow(gen, DECODE_INFO_SCHEMA)
+    return df.select(*cols).mapInArrow(gen, out_schema)
 
 
 def _fixture_expected_pcm(row):
@@ -986,18 +1004,22 @@ class AudioConsistencyRule(Rule):
         self.pcm_manifest = pcm_manifest
         self._info = None  # memoized persisted decode output (hash path)
 
-    def decode_frame(self, ctx: ValidationContext) -> DataFrame:
+    def decode_frame(self, ctx: ValidationContext,
+                     carry: Optional[list] = None) -> DataFrame:
         """The rule's persisted decode-info frame (hash path only),
         built once per rule instance.  The suite reuses it as the
         metadata source for every rule that never touches ``bytes`` —
         one decode pass feeds the whole rule set instead of N
         payload-table scans (it carries the declared sr_hz/dur_ms/codec
         and clip_id through, ~100 B/row, far cheaper to re-read than
-        re-scanning the parquet with its 64 MB-split task fan-out)."""
+        re-scanning the parquet with its 64 MB-split task fan-out).
+        ``carry`` (first call only) threads extra small raw columns
+        through the pass — see :func:`decode_info`."""
         if self._info is None:
             from pyspark import StorageLevel
 
-            info = decode_info(ctx.df, with_snr=False, with_rms=False)
+            info = decode_info(ctx.df, with_snr=False, with_rms=False,
+                               carry=carry)
             # Re-key the ~100 B/row decode output to session parallelism
             # before persisting: the decode stage keeps the payload
             # scan's full split fan-out (it runs as the map side of this

@@ -143,14 +143,36 @@ def validate_audio_table(
     # compile against the raw table.
     from .requirements import RefMatchRule, ValidationContext
 
-    raw_rules = ([acr]
-                 + [r for r in core if isinstance(r, RefMatchRule)]
-                 + extra)
+    ref_rules = [r for r in core if isinstance(r, RefMatchRule)]
     meta_rules = [r for r in core
                   if r is not acr and not isinstance(r, RefMatchRule)]
 
     ctx = ValidationContext(df, partition_col=part)
-    info = acr.decode_frame(ctx)
+    # thread the ref-match rules' raw columns (e.g. transcript) through
+    # the one decode pass zero-copy, so those rules also read the
+    # cached frame instead of re-scanning the payload table with its
+    # full split fan-out — the last extra payload-parquet FileScan in
+    # the hash-path plan
+    carry = []
+    for r in ref_rules:
+        for c in (r.on, r.column):
+            if c in df.columns and c not in carry:
+                carry.append(c)
+    info = acr.decode_frame(ctx, carry=carry)
+    from .audio import DECODE_INFO_SCHEMA
+
+    # columns of `info` whose values equal the RAW table's: the four
+    # declared pass-throughs plus whatever `carry` threaded through
+    # (decode-output names like ok/error/rms shadow any same-named raw
+    # column and MUST NOT satisfy a ref rule)
+    safe_cols = {"clip_id", "sr_hz", "dur_ms", "codec"} | (
+        set(info.columns) - {f.name for f in DECODE_INFO_SCHEMA.fields}
+    )
+    ref_cached = [r for r in ref_rules
+                  if r.on in safe_cols and r.column in safe_cols]
+    raw_rules = ([acr]
+                 + [r for r in ref_rules if r not in ref_cached]
+                 + extra)
     meta_cols = ["clip_id", "sr_hz", "dur_ms", "codec"]
     if part:
         meta = info.select(*meta_cols,
@@ -160,6 +182,19 @@ def validate_audio_table(
     frags_meta = engine.compile(meta, meta_rules, partition_col=part)
     frags_raw = engine._compile_ctx(ctx, raw_rules)
     violations = frags_meta.unionByName(frags_raw)
+    if ref_cached:
+        ref_sel = []
+        for r in ref_cached:
+            for c in (r.on, r.column):
+                if c not in ref_sel:
+                    ref_sel.append(c)
+        if part:
+            refsrc = info.select(*ref_sel,
+                                 F.col("partition_id").alias(part))
+        else:
+            refsrc = info.select(*ref_sel)
+        frags_ref = engine.compile(refsrc, ref_cached, partition_col=part)
+        violations = violations.unionByName(frags_ref)
     return ValidationResult(violations, "audio constraint suite",
                             cached=ctx.cached)
 

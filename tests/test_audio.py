@@ -86,6 +86,26 @@ class TestDecodeInfo:
         )
         assert mism == expected
 
+    def test_carry_threads_raw_columns_through(self, spark, audio_df):
+        # carry passes extra input columns through the Arrow decode
+        # stage zero-copy: values must equal the raw table's, decode
+        # outputs must be untouched, and unknown/shadowed names are
+        # ignored ("ok" collides with a decode output, "nope" does not
+        # exist — neither may alter the schema)
+        from pyspark.sql import functions as F
+
+        info = decode_info(audio_df, carry=["transcript", "ok", "nope"])
+        assert info.columns[-1] == "transcript"
+        assert info.columns.count("ok") == 1
+        joined = (
+            info.select("clip_id", F.col("transcript").alias("got"))
+            .join(audio_df.select("clip_id", "transcript"), "clip_id")
+        )
+        assert joined.filter(
+            ~F.col("got").eqNullSafe(F.col("transcript"))).count() == 0
+        base = decode_info(audio_df)
+        assert info.filter("not ok").count() == base.filter("not ok").count()
+
 
 class TestAudioSuite:
     def test_full_suite_violation_counts(self, spark, audio_df, manifest_df):
